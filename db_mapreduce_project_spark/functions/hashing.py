@@ -1,0 +1,137 @@
+"""Hash-based sketch primitives: shingling, MinHash signatures,
+SimHash, rolling-hash fingerprints.
+
+All built from Catalyst expressions (xxhash64, bit ops, HOFs) —
+JVM-side, shuffle-friendly, no Python in the hot path.  These are
+the scale path for near-duplicate detection: signatures are fixed
+width regardless of document size, and LSH banding turns the O(n^2)
+pair search into an equi-join on (band, band_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Modulus/bases for the oracle-checkable polynomial rolling hash
+# (small enough that acc*BASE + char never overflows int64).
+FP_MOD = 1_000_000_007
+FP_CHAR_BASE = 31
+FP_WORD_BASE = 131
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    tokens = lowercased whitespace split; shingle = n consecutive
+    tokens joined by single spaces.  Returns (id_col, shingle).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+", -1)
+    # guard: sequence(0, k) needs k >= 0; short docs yield no shingles
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signature(
+    shingles: DataFrame, id_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature: for seed i, h_i = min over shingles of
+    xxhash64(shingle, i).  One shuffle (groupBy id), num_hashes
+    parallel min-aggregates."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band the signature: rows/band = num_hashes/bands; band key =
+    xxhash64 of that band's minhashes.  Output (id, band, band_hash)
+    — candidate pairs share (band, band_hash)."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("band_hash"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")).distinct()
+
+
+def simhash63(tokens: DataFrame, id_col: str, token_col: str = "word") -> DataFrame:
+    """63-bit SimHash per document from token frequencies.
+
+    For bit i: s_i = sum over tokens(cnt if bit i of xxhash64(token)
+    else -cnt); simhash bit i = 1 if s_i > 0.  Bits 0..62 assembled
+    into a non-negative bigint (bit 63 dropped to avoid int64
+    overflow).  One shuffle.
+    """
+    counted = tokens.groupBy(id_col, token_col).agg(F.count("*").alias("cnt"))
+    h = F.xxhash64(F.col(token_col))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s_{i}")
+        for i in range(63)
+    ]
+    sums = counted.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(63):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("bigint") * (2**i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def spark_word_fingerprint(words_col: Column) -> Column:
+    """Rolling polynomial fingerprint of an array<string> of words:
+      wordhash(w) = fold over chars: (acc*31 + ascii(c)) % M
+      doc_fp     = fold over words: (acc*131 + wordhash(w)) % M
+    Mirrored exactly by :func:`duck_word_fingerprint`."""
+
+    def wordhash(w: Column) -> Column:
+        chars = F.split(w, "")
+        return F.aggregate(
+            chars,
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * FP_CHAR_BASE + F.ascii(c)) % FP_MOD,
+        )
+
+    return F.aggregate(
+        words_col,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * FP_WORD_BASE + wordhash(w)) % FP_MOD,
+    )
+
+
+def duck_word_fingerprint(words_sql: str) -> str:
+    """DuckDB SQL fragment matching :func:`spark_word_fingerprint`
+    over a list-of-varchar expression."""
+    wordhash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {FP_CHAR_BASE} + c) % {FP_MOD})"
+    )
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({words_sql}, w -> {wordhash})), "
+        f"(acc, wh) -> (acc * {FP_WORD_BASE} + wh) % {FP_MOD})"
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over the embeddings table.
+
+- `ann_cosine_topk`: brute-force cosine top-k — the exactness
+  baseline.  Ranking key is ROUND(cos, 6) with vec_id tiebreak, and
+  both engines compute the identical double (see functions.vectors
+  determinism contract), so ranks compare exactly.
+- `ann_lsh_bucketed`: random-hyperplane LSH (sign sketch) — the
+  scale path: each vector maps to one of 2^16 buckets; neighbor
+  search only scans the query's bucket.  Hyperplanes are a fixed
+  seeded +/-1 matrix baked into the plan as literals, so the result
+  is fully deterministic (rows-only driver check; brute-force
+  recall is asserted in tests).
+
+At 100 TB: top-k per query is a groupBy(query) of a bucket-join —
+never a global sort; the +/-1 projection is a fixed-size literal
+array, broadcast implicitly inside the expression.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.stable import duck_qavg, qavg
+from ..functions.vectors import cosine, duck_cosine
+from ..io import load_table
+from ..registry import register
+
+TOPK = 5
+QUERY_MOD = 50  # vec_id % 50 == 0 -> ~2% of vectors are queries
+
+# 6 planes -> 64 buckets: ~8 vectors/bucket at sf0.01 so every
+# query has in-bucket candidates; at larger corpora raise planes to
+# keep bucket occupancy ~O(100) (planes scale log2(n/occupancy)).
+N_PLANES = 6
+DIM = 64
+
+
+def _planes() -> list[list[int]]:
+    """Deterministic +/-1 hyperplane matrix (seeded PRNG, built at
+    plan time — pure literals in the expression tree)."""
+    rng = random.Random(20240813)
+    return [[rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)]
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for every query vector
+    (vec_id % 50 == 0), excluding self."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        q.crossJoin(c)
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine("qv", "nv"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+ANN_COSINE_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         {duck_cosine('q.embedding', 'n.embedding')} AS cos
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> n.vec_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+def _bucket_expr(vec_col: str) -> F.Column:
+    """LSH bucket id: bit p = sign(dot(v, plane_p))."""
+    planes = _planes()
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors: candidates limited to the
+    query's LSH bucket (16 random hyperplanes -> 2^16 buckets).
+    Rows-only driver check; recall vs brute force tested in
+    tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
+    )
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "bucket"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        q.join(c, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine("qv", "nv"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid stats — the IVF coarse-quantizer building
+    block (grouping vectors into cells).  Element-wise mean of the
+    first 8 dims, rounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = [
+        qavg(F.element_at("embedding", i + 1).cast("double"), 6).alias(f"c{i}")
+        for i in range(8)
+    ]
+    return (
+        e.groupBy("label")
+        .agg(F.count("*").alias("n"), *cols)
+        .orderBy("label")
+    )
+
+
+EMBEDDING_LABEL_CENTROIDS_ORACLE = """
+SELECT label, count(*) AS n,
+       ((CAST(sum(CAST(floor((CAST(embedding[1] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*)) AS c0,
+       ((CAST(sum(CAST(floor((CAST(embedding[2] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*)) AS c1,
+       ((CAST(sum(CAST(floor((CAST(embedding[3] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*)) AS c2,
+       ((CAST(sum(CAST(floor((CAST(embedding[4] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*)) AS c3,
+       ((CAST(sum(CAST(floor((CAST(embedding[5] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*)) AS c4,
+       ((CAST(sum(CAST(floor((CAST(embedding[6] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*)) AS c5,
+       ((CAST(sum(CAST(floor((CAST(embedding[7] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*)) AS c6,
+       ((CAST(sum(CAST(floor((CAST(embedding[8] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*)) AS c7
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+register("ann_cosine_topk", ann_cosine_topk, ANN_COSINE_TOPK_ORACLE)
+register("ann_lsh_bucketed", ann_lsh_bucketed)  # rows-only (seeded planes)
+register(
+    "embedding_label_centroids",
+    embedding_label_centroids,
+    EMBEDDING_LABEL_CENTROIDS_ORACLE,
+)

@@ -1,0 +1,202 @@
+"""Text analysis operators for training-data pipelines: language-ID
+heuristic, quality scoring, token counting, document fingerprinting
+(SURVEY.md §2.2 north-star rows; the reference's only text analysis
+is word count).
+
+All pure Catalyst expressions — regexp + higher-order functions,
+zero UDFs, so the whole stage is one codegen'd map over the corpus:
+at 100 TB this pipelines with the parquet scan, no shuffle at all
+(the only shuffle below is the final orderBy for stable output,
+which the driver's comparison doesn't even need).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    duck_word_fingerprint,
+    spark_word_fingerprint,
+)
+from ..functions.text import (
+    BPE_ISH_RE,
+    EN_STOPWORDS,
+    punct_ratio,
+    stopword_ratio,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from ..io import load_table
+from ..registry import register
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword count +
+    char length sanity vs the n_chars metadata column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").alias("len_chars"),
+            "n_chars",
+            token_count_ws("text").alias("ws_tokens"),
+            token_count_bpe_ish("text").alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS len_chars,
+       n_chars,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER)
+           AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS INTEGER)
+           AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: char length, mean token length, punctuation
+    ratio, stopword ratio, and a composite keep/drop flag — the
+    standard pre-training corpus filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_ws("text")
+    mean_tok_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+        / n_tok.cast("double")
+    )
+    sw = stopword_ratio("text")
+    pr = punct_ratio("text")
+    keep = (
+        (F.col("len_chars") >= 100)
+        & (F.col("punct_ratio") <= 0.2)
+        & (F.col("stop_ratio") >= 0.01)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").alias("len_chars"),
+            mean_tok_len.alias("mean_tok_len"),
+            pr.alias("punct_ratio"),
+            sw.alias("stop_ratio"),
+        )
+        .withColumn("keep", keep)
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS len_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         length(text) AS n_all,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> list_contains({_STOPLIST_SQL}, x))) END AS n_stop
+  FROM documents
+)
+SELECT doc_id, len_chars,
+       CASE WHEN n_tok = 0 THEN 0.0
+            ELSE CAST(n_nonspace AS DOUBLE) / n_tok END AS mean_tok_len,
+       CASE WHEN n_all = 0 THEN 0.0
+            ELSE CAST(n_punct AS DOUBLE) / n_all END AS punct_ratio,
+       CASE WHEN n_tok = 0 THEN 0.0
+            ELSE CAST(n_stop AS DOUBLE) / n_tok END AS stop_ratio,
+       (len_chars >= 100
+        AND CASE WHEN n_all = 0 THEN 0.0
+                 ELSE CAST(n_punct AS DOUBLE) / n_all END <= 0.2
+        AND CASE WHEN n_tok = 0 THEN 0.0
+                 ELSE CAST(n_stop AS DOUBLE) / n_tok END >= 0.01) AS keep
+FROM base
+ORDER BY doc_id
+"""
+
+
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword density.  (The
+    fixture corpus is English word-soup under assorted lang tags, so
+    the heuristic flags nearly everything 'en' — the operator shape
+    is what matters: pure-expression per-doc scoring.)"""
+    d = load_table(spark, sf_dir, "documents")
+    sw = stopword_ratio("text")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            sw.alias("en_score"),
+        )
+        .withColumn(
+            "pred_lang",
+            F.when(F.col("en_score") >= 0.05, "en").otherwise("other"),
+        )
+        .withColumn("agrees", F.col("pred_lang") == F.col("lang"))
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LANG_GUESS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\\s+')) END
+             AS en_score
+  FROM documents
+)
+SELECT doc_id, lang, en_score,
+       CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+       (CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END) = lang AS agrees
+FROM base
+ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (polynomial
+    mod 1e9+7 over normalized words) — content-defined identity for
+    dedup joins; pure integer arithmetic, bit-exact across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words_arr = F.filter(
+        F.transform(
+            F.split(F.lower(F.trim("text")), r"\s+", -1),
+            lambda w: F.regexp_replace(w, "[^a-z]", ""),
+        ),
+        lambda w: w != "",
+    )
+    return (
+        d.select("doc_id", spark_word_fingerprint(words_arr).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+_DUCK_WORDS = (
+    "list_filter(list_transform("
+    "string_split_regex(lower(trim(text)), '\\s+'), "
+    "w -> regexp_replace(w, '[^a-z]', '', 'g')), w -> w <> '')"
+)
+
+TEXT_FINGERPRINT_ORACLE = f"""
+SELECT doc_id, {duck_word_fingerprint(_DUCK_WORDS)} AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE)
+register("text_quality", text_quality, TEXT_QUALITY_ORACLE)
+register("text_lang_guess", text_lang_guess, TEXT_LANG_GUESS_ORACLE)
+register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE)

@@ -1,0 +1,266 @@
+"""Window-function operator surface (SURVEY.md §2.2 "Window
+functions": ranking, analytic lag/lead, running/moving frames —
+absent in the reference, built on `pyspark.sql.Window`).
+
+Every ORDER BY inside a window carries a unique tiebreak column
+(custkey / event_id / orderkey) so results are total-ordered and
+deterministic across engines and partitionings.
+
+Scale note: a window partitioned by a high-cardinality key
+(user_id, custkey) shuffles once on that key and sorts within
+partitions — the same cost shape as a groupBy.  Windows with no
+PARTITION BY would funnel everything to one task; none are used
+here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.stable import (
+    duck_qavg_over,
+    duck_qsum_over,
+    qavg_window,
+    qsum_window,
+)
+from ..io import load_table
+from ..registry import register
+
+
+def window_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per nation: row_number /
+    rank / dense_rank over one shuffled+sorted window."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+WINDOW_RANK_ORACLE = """
+SELECT c_nationkey, c_custkey, acctbal, rn, rnk, drnk FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
+         CAST(row_number() OVER w AS INTEGER) AS rn,
+         CAST(rank()       OVER w AS INTEGER) AS rnk,
+         CAST(dense_rank() OVER w AS INTEGER) AS drnk
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC)
+) t
+WHERE rn <= 3
+ORDER BY c_nationkey, rn
+"""
+
+
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving sum/avg of event value over the last 4 events
+    (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wf = w.rowsBetween(-3, 0)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            qsum_window("value", 4, wf).alias("mov_sum"),
+            qavg_window("value", 4, wf).alias("mov_avg"),
+            F.count("*").over(wf).alias("mov_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_MOVING_SUM_ORACLE = """
+SELECT user_id, event_id,
+       (CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) / 10000.0) AS mov_sum,
+       ((CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) / 10000.0) / count(*) OVER w) AS mov_avg,
+       count(*) OVER w AS mov_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user (lag) and next event type (lead) —
+    the sessionization building block."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts", 1).over(w)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts))
+            .cast("bigint")
+            .alias("gap_s"),
+            F.lead("event_type", 1).over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_LAG_LEAD_ORACLE = """
+SELECT user_id, event_id, event_type,
+       CAST(date_diff('second', lag(ts, 1) OVER w, ts) AS BIGINT) AS gap_s,
+       lead(event_type, 1) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, event_id
+"""
+
+
+def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running order total per customer (UNBOUNDED PRECEDING)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            qsum_window("o_totalprice", 2, w).alias("running_total"),
+            F.row_number()
+            .over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+                )
+            )
+            .alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+WINDOW_CUMULATIVE_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       (CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+             OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / 100.0) AS running_total,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC) AS INTEGER)
+           AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: for each part, how many parts of the
+    same brand are within 2 size units below it."""
+    p = load_table(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_size").asc())
+        .rangeBetween(-2, 0)
+    )
+    return (
+        p.select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            F.count("*").over(w).alias("near_size_n"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+WINDOW_RANGE_FRAME_ORACLE = """
+SELECT p_partkey, p_brand, p_size,
+       count(*) OVER (PARTITION BY p_brand ORDER BY p_size ASC
+                      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS near_size_n
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment of customers by balance within segment."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.ntile(4).over(w).alias("bal_quartile"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+WINDOW_NTILE_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER)
+           AS bal_quartile
+FROM customer
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over a full-partition frame: each
+    user's first and latest event type."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.count("*").over(w).alias("n_events"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+WINDOW_FIRST_LAST_ORACLE = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       count(*) OVER w AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id
+"""
+
+
+register("window_rank_acctbal", window_rank_acctbal, WINDOW_RANK_ORACLE)
+register("window_moving_sum", window_moving_sum, WINDOW_MOVING_SUM_ORACLE)
+register("window_lag_lead", window_lag_lead, WINDOW_LAG_LEAD_ORACLE)
+register("window_cumulative", window_cumulative, WINDOW_CUMULATIVE_ORACLE)
+register("window_range_frame", window_range_frame, WINDOW_RANGE_FRAME_ORACLE)
+register("window_ntile", window_ntile, WINDOW_NTILE_ORACLE)
+register("window_first_last", window_first_last, WINDOW_FIRST_LAST_ORACLE)

@@ -1,0 +1,47 @@
+"""Sinks.  SaveMode.Overwrite replaces the reference's manual
+stale-file cleanup (remove_befor_map_file, maprdeuce.cpp:428-455).
+
+Scale rules encoded here:
+- parquet for anything downstream (columnar, min/max pruning);
+- partitionBy for natural read-pruning keys (dates, not
+  high-cardinality ids — 1 dir per value);
+- the text sink mirrors the reference's "word count" line output
+  (maprdeuce.cpp:322-329).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_wordcount_text(df: DataFrame, path: str) -> None:
+    """The reference's exact sink format: one '"word count"' line
+    per word, space-separated, globally sorted ascending
+    (maprdeuce.cpp:322-329).  Single output file to mirror the
+    single result.txt — acceptable because the aggregated vocabulary
+    is small; never coalesce(1) a fact-sized frame."""
+    out = df.orderBy("word").select(
+        F.concat_ws(" ", F.col("word"), F.col("cnt").cast("string")).alias(
+            "value"
+        )
+    )
+    out.coalesce(1).write.mode("overwrite").text(path)

@@ -1,0 +1,228 @@
+"""Event-time window operators over `events`.
+
+Each window shape is registered as a BATCH query with a DuckDB
+oracle (window semantics are engine math, not streaming-only), and
+has a matching readStream runner used by tests to prove the same
+code produces the same result under incremental execution
+(Trigger.availableNow + memory sink).
+
+Scale/streaming notes:
+- watermark 10 minutes bounds state: late events beyond it are
+  dropped instead of growing state forever;
+- tumbling/sliding windows are hash aggregations keyed by
+  (window, key) — shuffle volume = windows x keys, independent of
+  event count;
+- session windows are Spark's built-in session_window merge-state
+  aggregation (gap-based, per user).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.stable import duck_qavg, duck_qsum, qavg, qsum
+from ..io import load_table
+from ..registry import register
+
+GAP = "5 minutes"
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window counts/sums per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            qsum("value", 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_ORACLE = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+           AS window_start,
+       event_type,
+       count(*) AS n,
+       (CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in
+    exactly two windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            qavg("value", 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+EVENTS_SLIDING_ORACLE = """
+SELECT make_timestamp(
+         (CAST(floor((epoch(ts) - 300 * o.off) / 600) * 600 AS BIGINT)
+          + 300 * o.off) * 1000000) AS window_start,
+       count(*) AS n,
+       ((CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0) / count(*)) AS avg_value
+FROM events, (SELECT unnest([0, 1]) AS off) o
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5-minute gap) per user: Spark's
+    session_window merges events whose gaps are < 5 min; the window
+    end is last_event + gap."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("user_id"), F.session_window("ts", GAP).alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            qsum("value", 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# lag/cumsum sessionization: new session when gap >= 300s (Spark's
+# session [start, last+gap) is right-open, so an event exactly at
+# last+gap starts a new session).  Microsecond-exact via epoch_us.
+EVENTS_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(*) AS n_events,
+       (CAST(sum(CAST(floor((value) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+register("events_tumbling", events_tumbling, EVENTS_TUMBLING_ORACLE)
+register("events_sliding", events_sliding, EVENTS_SLIDING_ORACLE)
+register("events_session", events_session, EVENTS_SESSION_ORACLE)
+
+
+# ----------------- true streaming runners (tests) -----------------
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet.  The file stores
+    TIMESTAMP(NANOS), so the stream reads the RAW schema (ts as
+    nanos bigint via nanosAsLong) and applies the same micros
+    truncation as io.load_table."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def stream_tumbling_counts(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_tumbling"
+):
+    """Streaming version of events_tumbling with a 10-minute
+    watermark, availableNow trigger, memory sink.  Returns the
+    StreamingQuery; caller awaits termination then reads the
+    `query_name` in-memory table."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            qsum("value", 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_session_windows(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sessions"
+):
+    """Streaming session windows (update-mode state) — proves the
+    stateful-operator path."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.col("user_id"), F.session_window("ts", GAP).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
