@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark driver: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized with the no-op sink (format
+"noop") — real execution, no driver collect bottleneck, no disk
+write skew.  One warm-up of a trivial query absorbs JVM/session
+startup so timings measure the engine, not process boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from db_mapreduce_project_spark import registry
+from db_mapreduce_project_spark.session import get_spark
+
+# Headline suite: one representative per operator family, weighted
+# toward the scale-relevant shapes (fact joins, window aggs, text
+# pipeline, sketch-based dedup, vector search).
+HEADLINE = [
+    "wordcount",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "join_range",
+    "rollup_sales",
+    "window_moving_sum",
+    "events_session",
+    "json_extract_stats",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "multimodal_features",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    registry.load_all_queries()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footer reads
+    materialize(registry.QUERIES["wordcount"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(registry.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

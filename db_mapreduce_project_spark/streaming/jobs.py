@@ -156,14 +156,20 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation as io.load_table."""
     import os
 
+    import tempfile
+
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
+    # the file streaming source requires a DIRECTORY: stage the
+    # fixture file into a temp dir via symlink (no copy)
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(path)
+        .parquet(stage)
     )
     if isinstance(stream.schema["ts"].dataType, T.LongType):
         stream = stream.withColumn(

@@ -1,0 +1,46 @@
+"""The reference's modes-agree invariant, translated (SURVEY.md
+§5.2 item 4): results are invariant under repartitioning — plan /
+parallelism changes never change answers.  This is the property
+that makes the quantize-then-sum aggregation design safe under AQE
+re-planning at scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_mapreduce_project_spark.functions.stable import qsum
+from db_mapreduce_project_spark.functions.text import words
+from db_mapreduce_project_spark.io import load_table
+
+
+def _wordcount_rows(spark, sf_dir, nparts):
+    docs = load_table(spark, sf_dir, "documents")
+    if nparts:
+        docs = docs.repartition(nparts)
+    return sorted(
+        (r["word"], r["cnt"])
+        for r in words(docs, "text")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+
+
+@pytest.mark.parametrize("nparts", [1, 2, 8])
+def test_wordcount_partition_invariant(spark, sf_dir, nparts):
+    assert _wordcount_rows(spark, sf_dir, None) == _wordcount_rows(
+        spark, sf_dir, nparts
+    )
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 16])
+def test_stable_sum_partition_invariant(spark, sf_dir, nparts):
+    """Double-sum invariance: the quantized sum is bit-identical
+    regardless of partitioning (a raw float sum would not be)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.agg(qsum("l_extendedprice", 2).alias("s")).collect()[0]["s"]
+    re = (
+        l.repartition(nparts)
+        .agg(qsum("l_extendedprice", 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert base == re  # exact equality, not approx

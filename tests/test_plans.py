@@ -1,0 +1,78 @@
+"""Physical-plan discipline (SURVEY.md §4 + the 100 TB checklist):
+broadcast joins stay broadcast, filters and column pruning reach
+the parquet scan, shuffle counts don't silently regress, hot paths
+stay inside WholeStageCodegen."""
+
+from db_mapreduce_project_spark import registry
+from db_mapreduce_project_spark.plans.inspect import (
+    count_exchanges,
+    has_broadcast_join,
+    has_sort_merge_join,
+    has_wholestage_codegen,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_dim_joins_are_broadcast(spark):
+    df = registry.QUERIES["join_broadcast_dims"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_q5_broadcasts_dims(spark):
+    df = registry.QUERIES["q5_regional_revenue"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_q1_filter_pushdown(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF)
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_q1_column_pruning(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF)
+    cols = read_schema_columns(df)
+    # only the 7 referenced lineitem columns are read, not all 11
+    assert set(cols) <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+
+
+def test_wordcount_shuffle_budget(spark):
+    """The flagship plan: ONE hash shuffle for the aggregate plus
+    ONE range shuffle for the ordered sink — exactly the reference's
+    merge+reduce structure, nothing more."""
+    df = registry.QUERIES["wordcount"](spark, SF)
+    assert count_exchanges(df) <= 2
+
+
+def test_filter_project_stays_codegen(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.QUERIES["filter_project_math"](spark, SF)
+        assert has_wholestage_codegen(df)
+        assert "l_quantity" in pushed_filters(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_semi_join_no_fact_duplication(spark):
+    df = registry.QUERIES["join_semi"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_plan(spark):
+    df = registry.QUERIES["join_anti"](spark, SF)
+    assert "LeftAnti" in physical_plan(df)

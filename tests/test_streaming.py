@@ -1,0 +1,31 @@
+"""Structured Streaming: the batch window queries and their
+readStream counterparts must agree (availableNow replay of the
+events fixture — SURVEY.md §5.2 'streaming state' de-risk)."""
+
+from db_mapreduce_project_spark import registry
+from db_mapreduce_project_spark.streaming.jobs import (
+    stream_session_windows,
+    stream_tumbling_counts,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    q = stream_tumbling_counts(spark, sf_dir, query_name="t_tumble")
+    q.awaitTermination(120)
+    streamed = spark.table("t_tumble")
+    batch = registry.QUERIES["events_tumbling"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_session_windows_run(spark, sf_dir):
+    q = stream_session_windows(spark, sf_dir, query_name="t_sess")
+    q.awaitTermination(120)
+    streamed = spark.table("t_sess")
+    batch = registry.QUERIES["events_session"](spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
