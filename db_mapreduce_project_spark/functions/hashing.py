@@ -44,13 +44,17 @@ def word_shingles(
 
 
 def minhash_signature(
-    shingles: DataFrame, id_col: str, num_hashes: int = 32
+    shingles: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_col: str = "shingle",
 ) -> DataFrame:
     """MinHash signature: for seed i, h_i = min over shingles of
     xxhash64(shingle, i).  One shuffle (groupBy id), num_hashes
-    parallel min-aggregates."""
+    parallel min-aggregates.  Works on string shingles or their
+    64-bit hashes (hash-of-hash keeps the min-wise property)."""
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)

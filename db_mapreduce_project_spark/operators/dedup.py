@@ -60,12 +60,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A u B| = |A| + |B| - |A n B|.  Jaccard is a ratio of exact
     integers — no float-order hazard."""
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d, "doc_id", "text", n=3).cache()
+    # shuffle 8-byte shingle hashes, not shingle strings: same join
+    # semantics (xxhash64 collisions are ~n^2/2^64, negligible),
+    # a fraction of the shuffle bytes — the difference between
+    # shipping the corpus and shipping fixed-width keys at 100 TB.
+    sh = (
+        word_shingles(d, "doc_id", "text", n=3)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -130,8 +138,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an equi-join on 8 fixed-width band keys per doc.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d, "doc_id", "text", n=3).cache()
-    sig = minhash_signature(sh, "doc_id", num_hashes=32)
+    sh = (
+        word_shingles(d, "doc_id", "text", n=3)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
+    sig = minhash_signature(sh, "doc_id", num_hashes=32, shingle_col="sh")
     bands = lsh_bands(sig, "doc_id", num_hashes=32, bands=8)
     cand = (
         bands.alias("x")
@@ -143,11 +155,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
         cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -186,13 +198,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairs with cosine >= 0.92 (brute-force
     O(n^2) baseline — correct reference implementation; the LSH
     variant in similarity.py is the 100 TB path)."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from ..functions.vectors import dot, l2
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2("embedding").alias("norm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine("va", "vb"))
+        .withColumn(
+            "cos",
+            dot("va", "vb")
+            / F.nullif(F.col("norm_a") * F.col("norm_b"), F.lit(0.0)),
+        )
         .where(F.col("cos") >= COSINE_THRESHOLD)
         .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")

@@ -1,0 +1,376 @@
+"""Extended operator coverage: pivot/unpivot, regexp functions,
+conditional functions, map functions, array set operations,
+arg-max aggregates, percentiles, approximate distinct, sampling,
+the spark.sql textual surface, and bitwise ops — the remaining
+rows of SURVEY.md §2.2's category sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, register_temp_views
+from ..registry import register
+
+
+# ---------------------------------------------------------------
+# PIVOT: long -> wide conditional aggregation.  Values enumerated
+# explicitly so the plan needs no discovery pass over the data.
+# ---------------------------------------------------------------
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_STATUS_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------
+# UNPIVOT (melt): wide -> long.
+# ---------------------------------------------------------------
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return (
+        wide.unpivot(
+            "p_partkey", ["retailprice", "size"], "metric", "value"
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+UNPIVOT_PART_METRICS_ORACLE = """
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+ORDER BY p_partkey, metric
+"""
+
+
+# ---------------------------------------------------------------
+# Regexp scalar functions.
+# ---------------------------------------------------------------
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.regexp_count("p_name", F.lit(r"[aeiou]")).cast("int").alias(
+                "n_vowels"
+            ),
+            F.col("p_type").rlike("BRUSHED").alias("is_brushed"),
+            F.regexp_replace("p_name", r"\d", "#").alias("masked"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+REGEX_FUNCS_ORACLE = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+       regexp_matches(p_type, 'BRUSHED') AS is_brushed,
+       regexp_replace(p_name, '\\d', '#', 'g') AS masked
+FROM part
+WHERE p_partkey <= 500
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------
+# Conditional scalar functions.
+# ---------------------------------------------------------------
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_orderkey") <= 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.greatest("l_discount", "l_tax").alias("max_rate"),
+            F.least("l_discount", "l_tax").alias("min_rate"),
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+            F.coalesce(
+                F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)
+            ).alias("disc_or_neg1"),
+            F.when(F.col("l_returnflag") == "N", None)
+            .otherwise(F.col("l_returnflag"))
+            .alias("flag_nulled"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+CONDITIONAL_FUNCS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax)    AS min_rate,
+       nullif(l_discount, 0.0)     AS disc_or_null,
+       coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg1,
+       CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END
+           AS flag_nulled
+FROM lineitem
+WHERE l_orderkey <= 300
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------
+# Map functions: build, introspect, extract (output kept scalar so
+# the oracle stays engine-neutral).
+# ---------------------------------------------------------------
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        p.where(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            F.element_at(m, "brand").alias("from_map_brand"),
+            F.size(m).alias("map_size"),
+            F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+            F.map_contains_key(m, "type").alias("has_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+MAP_FUNCS_ORACLE = """
+SELECT p_partkey,
+       p_brand AS from_map_brand,
+       CAST(2 AS INTEGER) AS map_size,
+       'brand,type' AS keys_sorted,
+       true AS has_type
+FROM part
+WHERE p_partkey <= 300
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------
+# Array set operations (outputs sorted -> order-independent).
+# ---------------------------------------------------------------
+def array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    # bigint arrays so driver-side value canon agrees with DuckDB's
+    # int64 lists (F.sequence over int literals yields array<int>)
+    a = F.sequence(F.lit(1), F.col("p_size") % 8 + 3).cast("array<bigint>")
+    b = F.sequence(F.lit(2), F.lit(6)).cast("array<bigint>")
+    return (
+        p.where(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            F.sort_array(F.array_intersect(a, b)).alias("inter"),
+            F.sort_array(F.array_union(a, b)).alias("uni"),
+            F.sort_array(F.array_except(a, b)).alias("exc"),
+            F.array_contains(a, 5).alias("has5"),
+            F.size(F.array_distinct(F.concat(a, b))).alias("n_distinct"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ARRAY_SETOPS_ORACLE = """
+WITH base AS (
+  SELECT p_partkey,
+         generate_series(1, p_size % 8 + 3) AS a,
+         generate_series(2, 6) AS b
+  FROM part WHERE p_partkey <= 300
+)
+SELECT p_partkey,
+       list_sort(list_intersect(a, b)) AS inter,
+       list_sort(list_distinct(list_concat(a, b))) AS uni,
+       list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x)))
+           AS exc,
+       list_contains(a, 5) AS has5,
+       CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_distinct
+FROM base
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------
+# arg-max/arg-min aggregates (deterministic: ranking key o_orderkey
+# is unique).
+# ---------------------------------------------------------------
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderpriority", "o_orderkey").alias("latest_prio"),
+            F.min_by("o_orderpriority", "o_orderkey").alias("earliest_prio"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_ARGMAX_ORACLE = """
+SELECT o_orderstatus,
+       arg_max(o_orderpriority, o_orderkey) AS latest_prio,
+       arg_min(o_orderpriority, o_orderkey) AS earliest_prio,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------
+# Percentiles (exact, interpolated).
+# ---------------------------------------------------------------
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+            F.min("o_totalprice").alias("p0"),
+            F.max("o_totalprice").alias("p100"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       min(o_totalprice) AS p0,
+       max(o_totalprice) AS p100
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------
+# Approximate distinct (HLL) — engine-specific estimate: rows-only
+# driver check; tests assert <5% error vs exact.
+# ---------------------------------------------------------------
+def approx_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = words(d, "text")
+    return w.agg(
+        F.approx_count_distinct("word").alias("approx_words"),
+        F.countDistinct("word").alias("exact_words"),
+    )
+
+
+# ---------------------------------------------------------------
+# Deterministic sampling (seeded) — rows-only (engine-specific
+# RNG); tests assert determinism and expected fraction.
+# ---------------------------------------------------------------
+def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.sample(fraction=0.1, seed=42)
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------
+# The textual SQL surface: same engine, spark.sql entry point
+# (CTE + join + agg through the parser/analyzer).
+# ---------------------------------------------------------------
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_custkey, c_mktsegment FROM customer
+        )
+        SELECT s.c_mktsegment AS segment,
+               count(*) AS n_orders,
+               (CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 100.0) AS revenue
+        FROM orders o JOIN seg s ON o.o_custkey = s.c_custkey
+        GROUP BY s.c_mktsegment
+        ORDER BY segment
+        """
+    )
+
+
+SQL_API_REVENUE_ORACLE = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_orders,
+       (CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+             AS DOUBLE) / 100.0) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------
+# Bitwise operations.
+# ---------------------------------------------------------------
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            (F.col("event_id").bitwiseAND(F.lit(255))).alias("low_byte"),
+            (F.col("event_id").bitwiseXOR(F.col("user_id"))).alias("xored"),
+            F.shiftleft("event_id", 2).alias("shl2"),
+            F.shiftright("event_id", 3).alias("shr3"),
+        )
+        .orderBy("event_id")
+    )
+
+
+BITWISE_FUNCS_ORACLE = """
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       xor(event_id, user_id) AS xored,
+       event_id << 2 AS shl2,
+       event_id >> 3 AS shr3
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+"""
+
+
+register("pivot_status", pivot_status, PIVOT_STATUS_ORACLE)
+register("unpivot_part_metrics", unpivot_part_metrics, UNPIVOT_PART_METRICS_ORACLE)
+register("regex_funcs", regex_funcs, REGEX_FUNCS_ORACLE)
+register("conditional_funcs", conditional_funcs, CONDITIONAL_FUNCS_ORACLE)
+register("map_funcs", map_funcs, MAP_FUNCS_ORACLE)
+register("array_setops", array_setops, ARRAY_SETOPS_ORACLE)
+register("agg_argmax", agg_argmax, AGG_ARGMAX_ORACLE)
+register("agg_percentiles", agg_percentiles, AGG_PERCENTILES_ORACLE)
+register("approx_distinct_words", approx_distinct_words)  # rows-only (HLL)
+register("sample_lineitem", sample_lineitem)  # rows-only (engine RNG)
+register("sql_api_revenue", sql_api_revenue, SQL_API_REVENUE_ORACLE)
+register("bitwise_funcs", bitwise_funcs, BITWISE_FUNCS_ORACLE)

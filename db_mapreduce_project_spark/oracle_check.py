@@ -12,6 +12,7 @@ import os
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from .io import TABLES
@@ -30,6 +31,10 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_cell(v: object) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, np.ndarray):
+        return _canon_cell(v.tolist())
+    if isinstance(v, np.generic):
+        return _canon_cell(v.item())
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
