@@ -158,6 +158,91 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF coarse cells; scale as ~sqrt(n) on real corpora
+N_PROBE = 3  # cells searched per query
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5: a coarse quantizer of N_CELLS
+    centroids (deterministic: the N_CELLS lowest vec_ids) assigns
+    every vector to its nearest cell; each query searches only its
+    N_PROBE nearest cells.
+
+    Scale shape: centroids are broadcast (fixed small set), so cell
+    assignment is a broadcast nested-loop scan — linear in n, no
+    shuffle of the corpus.  The nearest-cell argmax is a map-side-
+    combining groupBy(vec_id) max_by, NOT a window over the n*K
+    expansion.  The probe join is keyed by cell; with N_CELLS ~
+    sqrt(n) cells, cost drops from n*q to ~n*q*probe/cells, and AQE
+    skew-join splits any hot cell.  Rows-only driver check; recall
+    vs brute force asserted in tests.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2("embedding").alias("norm")
+    )
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("cv"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    ccos = dot("embedding", "cv") / F.nullif(
+        F.col("norm") * F.col("c_norm"), F.lit(0.0)
+    )
+    best_cell = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", ccos.alias("ccos"), "cell")
+        .groupBy("vec_id")
+        .agg(F.max_by("cell", F.struct(F.col("ccos"), -F.col("cell"))).alias("cell"))
+    )
+    assigned = e.join(best_cell, "vec_id")
+
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("q_norm"),
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.col("pcos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "pcos",
+            dot("qv", "cv")
+            / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
+        )
+        .withColumn("prk", F.row_number().over(probe_w))
+        .where(F.col("prk") <= N_PROBE)
+        .select("q_id", "qv", "q_norm", "cell")
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        F.col("norm").alias("n_norm"),
+        "cell",
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        probes.join(cand, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            dot("qv", "nv")
+            / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid stats — the IVF coarse-quantizer building
     block (grouping vectors into cells).  Element-wise mean of the
@@ -192,6 +277,7 @@ ORDER BY label
 
 register("ann_cosine_topk", ann_cosine_topk, ANN_COSINE_TOPK_ORACLE)
 register("ann_lsh_bucketed", ann_lsh_bucketed)  # rows-only (seeded planes)
+register("ann_ivf_topk", ann_ivf_topk)  # rows-only (approx; recall in tests)
 register(
     "embedding_label_centroids",
     embedding_label_centroids,

@@ -43,6 +43,7 @@ def load_all_queries() -> None:
     import).  Idempotent."""
     from .functions import udfs  # noqa: F401
     from .operators import (  # noqa: F401
+        classic,
         dedup,
         extended,
         multimodal,
@@ -54,4 +55,4 @@ def load_all_queries() -> None:
         windows,
         wordcount,
     )
-    from .streaming import jobs  # noqa: F401
+    from .streaming import jobs, stateful  # noqa: F401

@@ -27,6 +27,32 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted parquet table: rows are hash-partitioned
+    into a fixed bucket count on `bucket_col` at WRITE time, so
+    later joins/aggregations on that key read co-located data and
+    plan NO shuffle (the write amortizes the exchange once).  This
+    is the at-scale answer for a fact table joined repeatedly on the
+    same key; bucket counts should divide evenly into cluster
+    parallelism."""
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:

@@ -46,3 +46,21 @@ def test_exact_dedup_unique_corpus(spark):
     out = registry.QUERIES["dedup_exact"](spark, SF).collect()
     # fixture corpus has no exact duplicates: every doc is a keeper
     assert all(r["n_copies"] == 1 for r in out)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    brute = registry.QUERIES["ann_cosine_topk"](spark, SF).collect()
+    ivf = registry.QUERIES["ann_ivf_topk"](spark, SF).collect()
+    assert ivf, "IVF probe produced no candidates"
+    brute_top = {}
+    for r in brute:
+        brute_top.setdefault(r["q_id"], set()).add(r["n_id"])
+    ivf_top = {}
+    for r in ivf:
+        ivf_top.setdefault(r["q_id"], set()).add(r["n_id"])
+    # every query must get results, and 3-probe IVF over 16 cells
+    # should recover a decent share of the exact top-k
+    assert set(ivf_top) == set(brute_top)
+    hits = sum(len(ivf_top[q] & brute_top[q]) for q in brute_top)
+    total = sum(len(v) for v in brute_top.values())
+    assert hits / total >= 0.3, f"IVF recall too low: {hits}/{total}"

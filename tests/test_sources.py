@@ -73,3 +73,42 @@ def test_wordcount_text_sink_format(spark, sf_dir, tmp_path):
     assert cnt.isdigit()
     back = read_text(spark, path)
     assert back.count() == wc.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = back.queryExecution.executedPlan.toString() if hasattr(
+        back, "queryExecution"
+    ) else back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    expected = orders.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
+
+
+def test_bucketed_write_joins_without_shuffle(spark, sf_dir, tmp_path):
+    from db_mapreduce_project_spark.plans.inspect import count_exchanges
+    from db_mapreduce_project_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed_table(
+        orders, "orders_bkt", "o_custkey", num_buckets=4,
+        path=str(tmp_path / "orders_bkt"),
+    )
+    try:
+        t = spark.table("orders_bkt")
+        agg = t.groupBy("o_custkey").count()
+        # aggregation on the bucket key: data already co-located
+        assert count_exchanges(agg) == 0, agg._jdf.queryExecution().executedPlan().toString()
+        a = t.select("o_custkey", "o_totalprice")
+        b = t.select("o_custkey", "o_orderkey")
+        joined = a.join(b, "o_custkey")
+        assert count_exchanges(joined) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")

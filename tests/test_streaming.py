@@ -29,3 +29,25 @@ def test_stream_session_windows_run(spark, sf_dir):
     batch = registry.QUERIES["events_session"](spark, sf_dir)
     cols = ["user_id", "session_start", "n_events"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stateful_user_totals_equals_batch(spark, sf_dir):
+    from db_mapreduce_project_spark.streaming.stateful import (
+        stream_user_totals,
+    )
+
+    q = stream_user_totals(spark, sf_dir, query_name="t_user_totals")
+    q.awaitTermination(120)
+    streamed = spark.table("t_user_totals")
+    # update mode may emit one running-total row per micro-batch;
+    # the final state per user is the row with the largest n_events
+    final = {}
+    for r in streamed.collect():
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    batch = registry.QUERIES["events_user_totals"](spark, sf_dir)
+    expected = {
+        r["user_id"]: (r["n_events"], r["sum_value"]) for r in batch.collect()
+    }
+    assert final == expected
