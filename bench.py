@@ -43,7 +43,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "multimodal_features",
+    "q10_returned_items",
+    "events_user_totals",
 ]
 
 

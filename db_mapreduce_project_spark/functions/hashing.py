@@ -43,21 +43,36 @@ def word_shingles(
     )
 
 
+# Double-hashing parameters: h_i = (h1 mod P61) + i * (h2 mod 2^57).
+# Max value: (2^61 - 2) + 31 * (2^57 - 1) < 2^63 — no int64 overflow
+# even under ANSI arithmetic.
+_MH_P61 = (1 << 61) - 1
+_MH_P57 = 1 << 57
+
+
 def minhash_signature(
     shingles: DataFrame,
     id_col: str,
     num_hashes: int = 32,
     shingle_col: str = "shingle",
 ) -> DataFrame:
-    """MinHash signature: for seed i, h_i = min over shingles of
-    xxhash64(shingle, i).  One shuffle (groupBy id), num_hashes
-    parallel min-aggregates.  Works on string shingles or their
-    64-bit hashes (hash-of-hash keeps the min-wise property)."""
+    """MinHash signature via double hashing (Kirsch–Mitzenmacher):
+    two base hashes per shingle, permutation i is the linear combo
+    h1 + i*h2 — same min-wise independence class as num_hashes
+    separate hash functions at 1/16th the hashing cost.  One shuffle
+    (groupBy id), num_hashes parallel min-aggregates over fused
+    multiply-adds.  Works on string shingles or their 64-bit hashes
+    (hash-of-hash keeps the min-wise property)."""
+    h1 = F.pmod(F.xxhash64(F.col(shingle_col), F.lit(0)), F.lit(_MH_P61))
+    h2 = F.pmod(F.xxhash64(F.col(shingle_col), F.lit(1)), F.lit(_MH_P57))
+    base = shingles.select(
+        F.col(id_col), h1.alias("_h1"), h2.alias("_h2")
+    )
     aggs = [
-        F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"mh_{i}")
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(
@@ -73,9 +88,11 @@ def lsh_bands(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("band_hash"))
         )
+    # no distinct: one signature row per id -> (id, band) pairs are
+    # unique by construction; a distinct here would be a wasted shuffle
     return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
-    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")).distinct()
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
 
 def simhash63(tokens: DataFrame, id_col: str, token_col: str = "word") -> DataFrame:
