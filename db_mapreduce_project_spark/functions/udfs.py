@@ -165,3 +165,51 @@ from ..operators.wordcount import WORDCOUNT_ORACLE  # noqa: E402
 register("udf_wordcount", udf_wordcount, WORDCOUNT_ORACLE)
 register("grouped_agg_pandas", grouped_agg_pandas, GROUPED_AGG_PANDAS_ORACLE)
 register("applyinpandas_zscore", applyinpandas_zscore, APPLYINPANDAS_ZSCORE_ORACLE)
+
+
+# ---------------------------------------------------------------
+# Python UDTF (Spark 4): one input row -> n output rows, consumed
+# via LATERAL join — the modern, registered form of the reference's
+# UDTF-shaped make_map (maprdeuce.cpp:232-255, line -> n pairs).
+# Arrow-batched like every Python boundary in this engine.
+# ---------------------------------------------------------------
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sentence string, n_words int")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for raw in (text or "").split("."):
+                s = raw.strip()
+                if s:
+                    yield doc_id, s, len(s.split())
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    from ..io import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sentence, s.n_words
+        FROM documents d, LATERAL sentence_split(d.doc_id, d.text) s
+        WHERE d.doc_id <= 200
+        ORDER BY s.doc_id, s.sentence
+        """
+    )
+
+
+UDTF_SENTENCES_ORACLE = r"""
+SELECT doc_id, sentence,
+       CAST(len(string_split_regex(sentence, '\s+')) AS INTEGER) AS n_words
+FROM (
+  SELECT doc_id, trim(s) AS sentence
+  FROM (
+    SELECT doc_id, unnest(string_split(text, '.')) AS s
+    FROM documents WHERE doc_id <= 200
+  )
+)
+WHERE sentence <> ''
+ORDER BY doc_id, sentence
+"""
+
+register("udtf_sentences", udtf_sentences, UDTF_SENTENCES_ORACLE)

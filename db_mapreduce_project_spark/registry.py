@@ -49,6 +49,7 @@ def load_all_queries() -> None:
         multimodal,
         relational,
         rollups,
+        skew,
         semistructured,
         similarity,
         text_analysis,

@@ -232,3 +232,78 @@ def stream_session_windows(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_purchase_attribution(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_ss_join"
+):
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding 30 minutes.  Both sides carry
+    watermarks so the join state is bounded — click state can be
+    dropped once the watermark passes the 30-minute interval, which
+    is what makes this run forever at scale.  availableNow + memory
+    sink; batch equivalence asserted in tests."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_ts >= p_ts - INTERVAL 30 MINUTES AND
+            c_ts <= p_ts
+            """
+        ),
+    ).select("purchase_id", "click_id", "p_user", "amount")
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the stream-stream interval join."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_ts >= p_ts - INTERVAL 30 MINUTES AND
+            c_ts <= p_ts
+            """
+        ),
+    ).select("purchase_id", "click_id", "p_user", "amount")

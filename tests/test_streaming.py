@@ -51,3 +51,17 @@ def test_stateful_user_totals_equals_batch(spark, sf_dir):
         r["user_id"]: (r["n_events"], r["sum_value"]) for r in batch.collect()
     }
     assert final == expected
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from db_mapreduce_project_spark.streaming.jobs import (
+        batch_purchase_attribution,
+        stream_stream_purchase_attribution,
+    )
+
+    q = stream_stream_purchase_attribution(spark, sf_dir, query_name="t_ssj")
+    q.awaitTermination(180)
+    streamed = spark.table("t_ssj")
+    batch = batch_purchase_attribution(spark, sf_dir)
+    cols = ["purchase_id", "click_id", "p_user", "amount"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
