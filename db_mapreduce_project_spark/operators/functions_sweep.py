@@ -1,0 +1,223 @@
+"""Function-surface sweep: higher-order array functions, list
+aggregates, correlation/moment statistics, error-safe (try_)
+arithmetic, edit-distance fuzzy matching, and mode/median — the
+long tail of scalar/aggregate coverage.
+
+Everything stays in whole-stage codegen (built-in expressions, no
+Python); outputs are aliased identically in Spark and the DuckDB
+oracle so the driver's column-sorted value hash lines up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+# ---------------------------------------------------------------
+# Higher-order functions over arrays: filter / exists / forall /
+# transform+aggregate composition.
+# ---------------------------------------------------------------
+def hof_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    pos = F.filter(emb, lambda x: x > 0)
+    return (
+        e.where(F.col("vec_id") <= 500)
+        .select(
+            "vec_id",
+            F.size(pos).alias("n_pos"),
+            F.exists(emb, lambda x: x > F.lit(2.0)).alias("any_gt2"),
+            F.forall(emb, lambda x: F.abs(x) < F.lit(10.0)).alias("all_lt10"),
+            F.aggregate(
+                F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("sumsq"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+HOF_ARRAY_ORACLE = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+       len(list_filter(embedding, x -> x > 2.0)) > 0 AS any_gt2,
+       len(list_filter(embedding, x -> NOT (abs(x) < 10.0))) = 0 AS all_lt10,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (acc, v) -> acc + v) AS sumsq
+FROM embeddings
+WHERE vec_id <= 500
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------
+# List aggregates: collect_list / collect_set (sorted -> the
+# nondeterministic accumulation order is canonicalized away).
+# ---------------------------------------------------------------
+def agg_collect_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.sort_array(F.collect_set("n_nationkey")).alias("keys"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+AGG_COLLECT_ORACLE = """
+SELECT n_regionkey,
+       list_sort(list(n_name)) AS nations,
+       list_sort(list(DISTINCT n_nationkey)) AS keys,
+       count(*) AS n
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+# ---------------------------------------------------------------
+# Correlation / covariance / moments.  Each moment is rounded AFTER
+# aggregation at coarse enough scale that float noise cannot flip a
+# bit (values are O(1)); per the engine determinism contract,
+# money-style exact sums use stable.qsum instead.
+# ---------------------------------------------------------------
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    r4 = lambda c: (F.floor(c * 10000.0 + 0.5) / 10000.0)  # noqa: E731
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+            r4(F.covar_samp("l_discount", "l_tax")).alias("covar_dt"),
+            r4(F.skewness("l_quantity")).alias("skew_q"),
+            r4(F.kurtosis("l_quantity")).alias("kurt_q"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_CORR_ORACLE = """
+SELECT l_returnflag,
+       floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0
+           AS corr_qp,
+       floor(covar_samp(l_discount, l_tax) * 10000.0 + 0.5) / 10000.0
+           AS covar_dt,
+       floor(skewness(l_quantity) * 10000.0 + 0.5) / 10000.0 AS skew_q,
+       floor(kurtosis(l_quantity) * 10000.0 + 0.5) / 10000.0 AS kurt_q,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------
+# Error-safe arithmetic: try_divide / try_add and NULL on failure
+# (the ANSI-mode-safe surface).
+# ---------------------------------------------------------------
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_orderkey") <= 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+                "price_per_disc"
+            ),
+            F.try_divide(F.lit(1.0), F.col("l_discount") - F.col("l_discount"))
+            .alias("div_zero_null"),
+            F.try_to_number(F.lit("123.45"), F.lit("999.99")).cast("double")
+            .alias("parsed"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+TRY_ARITH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE l_extendedprice / l_discount END AS price_per_disc,
+       CAST(NULL AS DOUBLE) AS div_zero_null,
+       CAST(123.45 AS DOUBLE) AS parsed
+FROM lineitem
+WHERE l_orderkey <= 300
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------
+# Edit-distance fuzzy matching: the string-similarity primitive
+# (levenshtein) applied as a self-match of part names — the same
+# shape as a fuzzy-dedup verification pass.
+# ---------------------------------------------------------------
+def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    a = p.select(F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("pk_b"), F.col("p_name").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("pk_a") < F.col("pk_b"))
+        .withColumn("dist", F.levenshtein("na", "nb"))
+        .where(F.col("dist") <= 12)
+        .select("pk_a", "pk_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("pk_a", "pk_b")
+    )
+
+
+FUZZY_LEV_ORACLE = """
+SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a, part b
+WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
+  AND a.p_partkey < b.p_partkey
+  AND levenshtein(a.p_name, b.p_name) <= 12
+ORDER BY pk_a, pk_b
+"""
+
+
+# ---------------------------------------------------------------
+# mode() and median() aggregates.
+# ---------------------------------------------------------------
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            F.mode("l_quantity").alias("mode_qty"),
+            F.median("l_quantity").alias("median_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+AGG_MODE_MEDIAN_ORACLE = """
+SELECT l_linestatus,
+       mode(l_quantity) AS mode_qty,
+       median(l_quantity) AS median_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+register("hof_array_funcs", hof_array_funcs, HOF_ARRAY_ORACLE)
+register("agg_collect_lists", agg_collect_lists, AGG_COLLECT_ORACLE)
+register("agg_corr_moments", agg_corr_moments, AGG_CORR_ORACLE)
+register("try_arithmetic", try_arithmetic, TRY_ARITH_ORACLE)
+register("fuzzy_levenshtein", fuzzy_levenshtein, FUZZY_LEV_ORACLE)
+register("agg_mode_median", agg_mode_median, AGG_MODE_MEDIAN_ORACLE)

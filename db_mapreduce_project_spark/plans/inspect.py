@@ -21,9 +21,22 @@ def simple_plan(df: DataFrame) -> str:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan
-    (broadcast exchanges excluded) — the scale cost driver."""
+    (broadcast exchanges excluded) — the scale cost driver.
+
+    Matches both plan styles: the formatted explain's numbered
+    nodes ("(9) Exchange" — BroadcastExchange prints as its own
+    node name, ReusedExchange likewise, so plain "Exchange" is
+    exactly the shuffle set) and the simple-string style
+    ("Exchange hashpartitioning(...)")."""
     plan = physical_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    n = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    if n == 0:
+        n = len(
+            re.findall(
+                r"\bExchange (?:hash|range|SinglePartition)", plan
+            )
+        )
+    return n
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

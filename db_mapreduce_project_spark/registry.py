@@ -46,6 +46,7 @@ def load_all_queries() -> None:
         classic,
         dedup,
         extended,
+        functions_sweep,
         multimodal,
         relational,
         rollups,

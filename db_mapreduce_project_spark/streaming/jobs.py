@@ -307,3 +307,26 @@ def batch_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ),
     ).select("purchase_id", "click_id", "p_user", "amount")
+
+
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+):
+    """Streaming deduplication: first occurrence per (user_id,
+    event_type) wins; the watermark bounds the dedup state so keys
+    older than the watermark are evicted — the pattern for exact
+    dedup on an unbounded ingest stream (state = one entry per live
+    key, not per event)."""
+    ev = _stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

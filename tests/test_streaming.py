@@ -65,3 +65,19 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     batch = batch_purchase_attribution(spark, sf_dir)
     cols = ["purchase_id", "click_id", "p_user", "amount"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.streaming.jobs import stream_dedup_events
+
+    q = stream_dedup_events(spark, sf_dir, query_name="t_dedup")
+    q.awaitTermination(120)
+    streamed = spark.table("t_dedup")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    cols = ["user_id", "event_type"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
