@@ -76,3 +76,39 @@ def test_semi_join_no_fact_duplication(spark):
 def test_anti_join_plan(spark):
     df = registry.QUERIES["join_anti"](spark, SF)
     assert "LeftAnti" in physical_plan(df)
+
+
+def test_q10_uses_takeordered_not_global_sort(spark):
+    df = registry.QUERIES["q10_returned_items"](spark, SF)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_q3_pushes_both_date_filters(spark):
+    df = registry.QUERIES["q3_shipping_priority"](spark, SF)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "o_orderdate" in pf
+
+
+def test_salted_agg_exchange_budget(spark):
+    # partial (user, salt) -> final (user) -> orderBy: exactly 3
+    df = registry.QUERIES["salted_agg_user_stats"](spark, SF)
+    assert count_exchanges(df) == 3
+
+
+def test_corr_subquery_threshold_is_broadcast(spark):
+    df = registry.QUERIES["corr_subquery_nation_avg"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_ivf_centroid_assignment_is_broadcast_nlj(spark):
+    # centroid cross join must be a broadcast nested-loop, never a
+    # shuffled cartesian
+    df = registry.QUERIES["ann_ivf_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wordcount_reads_only_text_column(spark):
+    df = registry.QUERIES["wordcount"](spark, SF)
+    assert read_schema_columns(df) == ["text"]

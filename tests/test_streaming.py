@@ -81,3 +81,27 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
     )
     cols = ["user_id", "event_type"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch sink: each micro-batch lands as parquet; total
+    rows equal the batch count (the incremental-ETL sink shape)."""
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.streaming.jobs import _stream_events
+
+    out = str(tmp_path / "events_sink")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    ev = _stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    n_stream = spark.read.parquet(out).count()
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n_stream == n_batch
