@@ -171,7 +171,53 @@ ORDER BY o_orderkey
 """
 
 
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): aggregate the fact
+    FIRST (groupBy + HAVING-style filter on the aggregate), then
+    join the small surviving set to orders/customer.  At scale the
+    HAVING filter collapses the fact table before any join touches
+    it — the join input is the filtered aggregate, not 6B lineitems."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(qsum("l_quantity", 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {duck_qsum('l_quantity', 2)} AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {duck_qsum('l_quantity', 2)} > 150.0
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 register("q10_returned_items", q10_returned_items, Q10_ORACLE)
+register("q18_large_orders", q18_large_orders, Q18_ORACLE)
 register(
     "corr_subquery_nation_avg", corr_subquery_nation_avg, CORR_SUBQUERY_ORACLE
 )

@@ -242,3 +242,122 @@ register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", dedup_minhash_lsh)  # rows-only (xxhash64)
 register("dedup_simhash", dedup_simhash)  # rows-only (xxhash64)
 register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS: connected components over the near-dup pair
+    graph (ngram-jaccard pairs), each doc labeled with its
+    component's minimum doc_id — the step that turns pairwise
+    candidates into keep/drop groups in a dedup pipeline.
+
+    Iterative min-label propagation: every vertex starts as its own
+    label; each round joins labels across edges and takes the min;
+    stops when no label changes (diameter-bounded, large-star style
+    — the driver loop only orchestrates, every round is a
+    distributed join+agg).  The DuckDB oracle computes the same
+    components with a recursive CTE, so even this iterative,
+    'non-SQL' operator is differentially tested.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edge list, both directions
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(20):  # bounded: pair-graph diameter is tiny
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .where(F.col("cluster_size") > 1)  # only real dup groups
+        .select(
+            F.col("label").alias("cluster_id"), "cluster_size", "members"
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+    FROM toks
+  ) u
+  WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.doc_b, r.l FROM reach r JOIN edges e ON e.doc_a = r.v
+),
+comp AS (SELECT v AS doc_id, min(l) AS label FROM reach GROUP BY v)
+SELECT label AS cluster_id,
+       count(*) AS cluster_size,
+       list_sort(list(doc_id)) AS members
+FROM comp
+GROUP BY label
+HAVING count(*) > 1
+ORDER BY cluster_id
+"""
+
+
+register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
