@@ -151,3 +151,41 @@ register("json_extract_stats", json_extract_stats, JSON_EXTRACT_STATS_ORACLE)
 register("array_reduce_stats", array_reduce_stats, ARRAY_REDUCE_STATS_ORACLE)
 register("array_posexplode", array_posexplode, ARRAY_POSEXPLODE_ORACLE)
 register("array_transform_norm", array_transform_norm, ARRAY_TRANSFORM_NORM_ORACLE)
+
+
+def variant_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: parse_json into a variant,
+    variant_get typed extraction, is_variant_null — plus the
+    construction direction (to_json of a struct).  Output is scalar
+    so the DuckDB oracle just extracts the same JSON paths."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.where(F.col("event_id") <= 400)
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "int").alias("k_typed"),
+            F.variant_get(v, "$.missing", "int").alias("k_missing"),
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("t"),
+                    F.col("user_id").alias("u"),
+                )
+            ).alias("built_json"),
+        )
+        .orderBy("event_id")
+    )
+
+
+VARIANT_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+       CAST(NULL AS INTEGER) AS k_missing,
+       concat('{"t":"', event_type, '","u":', CAST(user_id AS VARCHAR), '}')
+           AS built_json
+FROM events
+WHERE event_id <= 400
+ORDER BY event_id
+"""
+
+register("variant_json_funcs", variant_json_funcs, VARIANT_JSON_ORACLE)

@@ -264,3 +264,48 @@ register("window_cumulative", window_cumulative, WINDOW_CUMULATIVE_ORACLE)
 register("window_range_frame", window_range_frame, WINDOW_RANGE_FRAME_ORACLE)
 register("window_ntile", window_ntile, WINDOW_NTILE_ORACLE)
 register("window_first_last", window_first_last, WINDOW_FIRST_LAST_ORACLE)
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist, and
+    nth_value over each customer segment's balance ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    r6 = lambda col: (F.floor(col * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return (
+        c.where(F.col("c_custkey") <= 600)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            r6(F.percent_rank().over(w)).alias("pct_rank"),
+            r6(F.cume_dist().over(w)).alias("cume"),
+            F.nth_value("c_acctbal", 3).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("third_lowest"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+WINDOW_DISTRIBUTION_ORACLE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+       floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume,
+       nth_value(c_acctbal, 3) OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY c_acctbal ASC, c_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS third_lowest
+FROM customer
+WHERE c_custkey <= 600
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+ORDER BY c_custkey
+"""
+
+register(
+    "window_distribution", window_distribution, WINDOW_DISTRIBUTION_ORACLE
+)
