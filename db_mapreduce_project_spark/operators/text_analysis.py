@@ -200,3 +200,84 @@ register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE)
 register("text_quality", text_quality, TEXT_QUALITY_ORACLE)
 register("text_lang_guess", text_lang_guess, TEXT_LANG_GUESS_ORACLE)
 register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE)
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF.
+
+    tf = term count / doc token count; idf = ln((N+1)/(df+1)).
+    All shuffles key on doc_id or term (never a cross product);
+    the corpus size N joins in as a broadcast single-row aggregate.
+    Ranking uses the score QUANTIZED at 1e-9 with a term tiebreak so
+    both engines order identically (a final-ulp ln() divergence
+    cannot flip a rank unless two scores differ by < 1e-9, in which
+    case the term tiebreak decides both sides the same way).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dlen"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    score = (F.col("cnt") / F.col("dlen")) * F.log(
+        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    )
+    qscore = F.floor(score * 1e9 + 0.5)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("qs").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dlen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("qs", qscore)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            (F.col("qs") / 1e9).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+TEXT_TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS cnt
+  FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dlen AS (SELECT doc_id, sum(cnt) AS dlen FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor((CAST(cnt AS DOUBLE) / dlen)
+               * ln((n_docs + 1.0) / (df + 1.0)) * 1e9 + 0.5) AS qs
+  FROM tf
+  JOIN dlen USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN nd
+)
+SELECT doc_id, term, qs / 1e9 AS tfidf, rk FROM (
+  SELECT doc_id, term, qs,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY qs DESC, term ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+register("text_tfidf_top_terms", text_tfidf_top_terms, TEXT_TFIDF_ORACLE)
