@@ -259,12 +259,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     'non-SQL' operator is differentially tested.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edge list, both directions
-    edges = pairs.union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # undirected edge list, both directions; localCheckpoint cuts
+    # the lineage so the LSH pipeline plans once, not per iteration
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).cache()
+        .localCheckpoint(eager=True)
+    )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(20):  # bounded: pair-graph diameter is tiny
@@ -273,6 +277,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("label").alias("nlabel"))
         )
+        # localCheckpoint each round: iterative self-joins otherwise
+        # DOUBLE the logical plan per iteration (exponential analysis
+        # / codegen cost -> driver OOM long before data is the issue)
         new_labels = (
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
@@ -283,7 +290,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
