@@ -44,3 +44,29 @@ def test_stable_sum_partition_invariant(spark, sf_dir, nparts):
         .collect()[0]["s"]
     )
     assert base == re  # exact equality, not approx
+
+
+def test_minhash_signature_partition_invariant(spark, sf_dir):
+    """Sketches are pure hash arithmetic: signatures must be
+    bit-identical under any input partitioning (this is what makes
+    MinHash dedup reproducible across cluster sizes)."""
+    from pyspark.sql import functions as F2
+
+    from db_mapreduce_project_spark.functions.hashing import (
+        minhash_signature,
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def sigs(docs):
+        sh = word_shingles(docs, "doc_id", "text", n=3).select(
+            "doc_id", F2.xxhash64("shingle").alias("sh")
+        )
+        return sorted(
+            tuple(r) for r in minhash_signature(
+                sh, "doc_id", num_hashes=32, shingle_col="sh"
+            ).collect()
+        )
+
+    assert sigs(d) == sigs(d.repartition(7))
