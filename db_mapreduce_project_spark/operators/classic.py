@@ -216,8 +216,165 @@ LIMIT 100
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between nation pairs (TPC-H Q7 shape): the
+    two-role dimension pattern — nation joins in twice under
+    different aliases (supplier's vs customer's nation), both
+    broadcast; the fact chain shuffles once per fact key."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(qsum(disc_price, 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year, {duck_qsum(_DISC_PRICE, 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND n1.n_name < n2.n_name
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue share (TPC-H Q14 shape): conditional
+    aggregation over a fact><dim join — the numerator is a CASE
+    inside the same aggregate pass, not a second scan."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), disc_price
+    ).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            qsum(promo, 4).alias("promo_revenue"),
+            qsum(disc_price, 4).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (
+                F.floor(
+                    F.col("promo_revenue") / F.col("total_revenue") * 1e6
+                    + 0.5
+                )
+                / 1e4
+            ).alias("promo_pct"),
+        )
+    )
+
+
+Q14_ORACLE = f"""
+WITH agg AS (
+  SELECT
+    {duck_qsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+        AS promo_revenue,
+    {duck_qsum(_DISC_PRICE, 4)} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+SELECT promo_revenue, total_revenue,
+       floor(promo_revenue / total_revenue * 1e6 + 0.5) / 1e4 AS promo_pct
+FROM agg
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-clause predicate join (TPC-H Q19 shape):
+    OR-of-ANDs across both join sides — the planner must keep the
+    equi-join key extractable from the disjunction to avoid a
+    nested-loop plan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    clause1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 30)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 40)
+    )
+    clause3 = (
+        (F.col("p_brand") == "Brand#15")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 50)
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .where(clause1 | clause2 | clause3)
+        .agg(
+            qsum(disc_price, 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q19_ORACLE = f"""
+SELECT {duck_qsum(_DISC_PRICE, 4)} AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 register("q10_returned_items", q10_returned_items, Q10_ORACLE)
 register("q18_large_orders", q18_large_orders, Q18_ORACLE)
+register("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE)
+register("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE)
+register(
+    "q19_disjunctive_predicates", q19_disjunctive_predicates, Q19_ORACLE
+)
 register(
     "corr_subquery_nation_avg", corr_subquery_nation_avg, CORR_SUBQUERY_ORACLE
 )
