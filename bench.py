@@ -46,6 +46,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_features",
     "q10_returned_items",
+    "q7_volume_shipping",
+    "q18_large_orders",
+    "text_tfidf_top_terms",
     "events_user_totals",
 ]
 
