@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Scale stress: run the heavy operators on a synthetically
+expanded corpus (~sf1, 10x the sf0.1 fixtures) built by unioning
+key-shifted copies — no files written, pure plan-level expansion.
+
+This is the scale-headroom check the fixtures can't give: shuffle
+volumes, sketch pipelines, window states, and iterative loops at
+10x bench scale.  Prints one JSON line per query.
+
+Usage: python scripts/stress_scale.py [copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import DataFrame, functions as F
+
+from db_mapreduce_project_spark.functions.hashing import (
+    lsh_bands,
+    minhash_signature,
+    word_shingles,
+)
+from db_mapreduce_project_spark.functions.stable import qsum
+from db_mapreduce_project_spark.functions.text import words
+from db_mapreduce_project_spark.io import load_table
+from db_mapreduce_project_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def expand(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
+    """Union `copies` key-shifted replicas (keys offset per copy so
+    cardinalities scale realistically instead of multiplying
+    duplicates)."""
+    out = None
+    for i in range(copies):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + F.lit(i * 100_000_000))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = expand(
+        load_table(spark, SF_DIR, "documents"), ["doc_id"], copies
+    )
+    lineitem = expand(
+        load_table(spark, SF_DIR, "lineitem"), ["l_orderkey"], copies
+    )
+    events = expand(
+        load_table(spark, SF_DIR, "events"), ["event_id", "user_id"], copies
+    )
+
+    def bench(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "copies": copies,
+                }
+            ),
+            flush=True,
+        )
+
+    # wordcount over ~50k docs
+    bench(
+        "wordcount_10x",
+        words(docs, "text")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("word"),
+    )
+
+    # Q1-style rollup over ~6M lineitems
+    bench(
+        "q1_10x",
+        lineitem.where(
+            F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qsum("l_quantity", 2).alias("sum_qty"),
+            qsum("l_extendedprice", 2).alias("sum_base"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus"),
+    )
+
+    # full MinHash+LSH candidate pipeline over ~50k docs
+    sh = word_shingles(docs, "doc_id", "text", n=3).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    sig = minhash_signature(sh, "doc_id", num_hashes=32, shingle_col="sh")
+    bands = lsh_bands(sig, "doc_id", num_hashes=32, bands=8)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    bench("minhash_lsh_candidates_10x", cand)
+
+    # windowed event aggregation over ~1M events
+    bench(
+        "events_tumbling_10x",
+        events.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n"), qsum("value", 4).alias("s")),
+    )
+
+
+if __name__ == "__main__":
+    main()
