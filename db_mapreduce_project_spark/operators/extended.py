@@ -374,3 +374,46 @@ register("approx_distinct_words", approx_distinct_words)  # rows-only (HLL)
 register("sample_lineitem", sample_lineitem)  # rows-only (engine RNG)
 register("sql_api_revenue", sql_api_revenue, SQL_API_REVENUE_ORACLE)
 register("bitwise_funcs", bitwise_funcs, BITWISE_FUNCS_ORACLE)
+
+
+# ---------------------------------------------------------------
+# SQL subquery surface through the parser: EXISTS, IN, and a scalar
+# subquery in one statement (Catalyst decorrelates all three).
+# ---------------------------------------------------------------
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000.0
+              )
+          AND c_nationkey IN (
+                SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
+              )
+          AND c_acctbal > (SELECT avg(0.0) FROM region)
+        ORDER BY c_custkey
+        """
+    )
+
+
+SQL_SUBQUERIES_ORACLE = """
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > 300000.0
+      )
+  AND c_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
+      )
+  AND c_acctbal > (SELECT avg(0.0) FROM region)
+ORDER BY c_custkey
+"""
+
+
+register("sql_subqueries", sql_subqueries, SQL_SUBQUERIES_ORACLE)

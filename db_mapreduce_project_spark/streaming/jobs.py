@@ -330,3 +330,27 @@ def stream_dedup_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sliding_windows(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sliding"
+):
+    """Streaming version of events_sliding (overlapping windows:
+    each event feeds two window states)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            qavg("value", 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -112,3 +112,10 @@ def test_ivf_centroid_assignment_is_broadcast_nlj(spark):
 def test_wordcount_reads_only_text_column(spark):
     df = registry.QUERIES["wordcount"](spark, SF)
     assert read_schema_columns(df) == ["text"]
+
+
+def test_wordcount_global_sort_is_range_partitioned(spark):
+    # the reference's external merge sort (maprdeuce.cpp:334-426)
+    # maps to a range-partitioned sort in the final orderBy
+    df = registry.QUERIES["wordcount"](spark, SF)
+    assert "rangepartitioning" in physical_plan(df)

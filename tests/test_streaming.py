@@ -105,3 +105,16 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
     n_stream = spark.read.parquet(out).count()
     n_batch = load_table(spark, sf_dir, "events").count()
     assert n_stream == n_batch
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    from db_mapreduce_project_spark.streaming.jobs import (
+        stream_sliding_windows,
+    )
+
+    q = stream_sliding_windows(spark, sf_dir, query_name="t_slide")
+    q.awaitTermination(120)
+    streamed = spark.table("t_slide")
+    batch = registry.QUERIES["events_sliding"](spark, sf_dir)
+    cols = ["window_start", "n", "avg_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)

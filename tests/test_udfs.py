@@ -22,3 +22,19 @@ def test_applyinpandas_zscore_shape(spark, sf_dir):
     # z-scores of a full group mean ~0
     zs = [r["z"] for r in rows]
     assert abs(sum(zs) / len(zs)) < 0.1
+
+
+def test_parameterized_sql(spark, sf_dir):
+    """Spark 4 named-parameter SQL: same engine, injection-safe
+    textual surface."""
+    from db_mapreduce_project_spark.io import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > :thresh",
+        args={"thresh": 200000.0},
+    ).collect()[0]["n"]
+    expected = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > 200000.0"
+    ).collect()[0]["n"]
+    assert got == expected and got > 0
