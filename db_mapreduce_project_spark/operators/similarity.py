@@ -283,3 +283,69 @@ register(
     embedding_label_centroids,
     EMBEDDING_LABEL_CENTROIDS_ORACLE,
 )
+
+
+def ann_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized-Python ANN: the query set (bounded by definition —
+    it is the user's input, not the corpus) broadcasts as one numpy
+    matrix; candidates stream through mapInPandas in Arrow batches
+    and score against ALL queries at once with a single matmul.
+    Each batch emits only its per-query top-k (partial top-k), so
+    the final global top-k aggregates #partitions * k * q rows —
+    never the full n*q score matrix.
+
+    This is the Python-vectorized twin of ann_cosine_topk: ~64x
+    fewer interpreter transitions than per-pair expression eval,
+    at the cost of float-sum order differing from the HOF fold
+    (rows-only driver check; recall vs the exact query asserted in
+    tests)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = (
+        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, qm))
+
+    def score_batches(batches):
+        ids, Q = bq.value
+        k = TOPK + 1  # +1: a query may appear in its own batch
+        for pdf in batches:
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = M @ Q.T  # B x Qn cosines
+            n_ids = pdf["vec_id"].to_numpy()
+            take = min(k, S.shape[0])
+            top = np.argpartition(-S, take - 1, axis=0)[:take]  # take x Qn
+            out_q, out_n, out_c = [], [], []
+            for j in range(S.shape[1]):
+                rows = top[:, j]
+                out_q.extend([ids[j]] * len(rows))
+                out_n.extend(n_ids[rows])
+                out_c.extend(S[rows, j])
+            yield pd.DataFrame(
+                {"q_id": out_q, "n_id": out_n, "cos": out_c}
+            )
+
+    partial = e.mapInPandas(score_batches, "q_id long, n_id long, cos double")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        partial.where(F.col("q_id") != F.col("n_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+register("ann_cosine_topk_matmul", ann_cosine_topk_matmul)  # rows-only

@@ -64,3 +64,20 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     hits = sum(len(ivf_top[q] & brute_top[q]) for q in brute_top)
     total = sum(len(v) for v in brute_top.values())
     assert hits / total >= 0.3, f"IVF recall too low: {hits}/{total}"
+
+
+def test_ann_matmul_matches_exact_topk(spark):
+    exact = registry.QUERIES["ann_cosine_topk"](spark, SF).collect()
+    mat = registry.QUERIES["ann_cosine_topk_matmul"](spark, SF).collect()
+    exact_top = {}
+    for r in exact:
+        exact_top.setdefault(r["q_id"], set()).add(r["n_id"])
+    mat_top = {}
+    for r in mat:
+        mat_top.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert set(mat_top) == set(exact_top)
+    # numpy float order can differ in the last ulp; ranks should
+    # still agree nearly everywhere
+    hits = sum(len(mat_top[q] & exact_top[q]) for q in exact_top)
+    total = sum(len(v) for v in exact_top.values())
+    assert hits / total >= 0.95, f"matmul recall {hits}/{total}"
