@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import (
     duck_qavg_over,
+    duck_qsum,
     duck_qsum_over,
     qavg_window,
+    qsum,
     qsum_window,
 )
 from ..io import load_table
@@ -309,3 +311,80 @@ ORDER BY c_custkey
 register(
     "window_distribution", window_distribution, WINDOW_DISTRIBUTION_ORACLE
 )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute gaps, then roll each session up to
+    (start, end, n_events, total_value).
+
+    The canonical scalable form — lag() to find gaps, a cumulative
+    sum of new-session markers to assign session ids, one groupBy —
+    everything partitioned by user_id, so the whole pipeline is ONE
+    shuffle on user_id (the window and the groupBy share the key;
+    no per-session re-scan, no driver loop).  This is the batch
+    twin of the streaming session_window query (events_session) and
+    the shape that holds at 100 TB: cost is O(events log events-
+    per-user) within partitions.
+
+    Reference analogue: none — maprdeuce.cpp has no temporal
+    operators; this generalizes its per-key aggregation (SURVEY.md
+    §2.1 #8) to order-dependent keys derived from the data itself.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_marker = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session")
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        e.select("user_id", "ts", "event_id", "value", gap_marker)
+        .withColumn("session_id", F.sum("new_session").over(wcum))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            qsum("value", 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), assigned AS (
+    SELECT user_id, ts, event_id, value,
+           CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       {duck_qsum('value', 4)} AS total_value
+FROM assigned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+register("sessionize_events", sessionize_events, SESSIONIZE_ORACLE)

@@ -27,6 +27,10 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

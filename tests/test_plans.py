@@ -119,3 +119,36 @@ def test_wordcount_global_sort_is_range_partitioned(spark):
     # maps to a range-partitioned sort in the final orderBy
     df = registry.QUERIES["wordcount"](spark, SF)
     assert "rangepartitioning" in physical_plan(df)
+
+
+def test_asof_join_has_no_join_operator(spark):
+    # the union+window as-of form must compile to window + exchange
+    # only — a join operator here would mean the O(events x orders)
+    # range-explosion form snuck back in
+    df = registry.QUERIES["join_asof"](spark, SF)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # dedupe agg + window-on-user_id + final orderBy
+    assert count_exchanges(df) <= 4
+
+
+def test_q4_is_semi_join(spark):
+    df = registry.QUERIES["q4_order_priority"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in pushed_filters(df)
+
+
+def test_q15_max_is_broadcast(spark):
+    # the 1-row global max joins back as a broadcast, never a shuffle
+    df = registry.QUERIES["q15_top_supplier"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q22_anti_join_plan(spark):
+    df = registry.QUERIES["q22_idle_customers"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert has_broadcast_join(df)  # 1-row avg_bal broadcast

@@ -112,3 +112,20 @@ def test_bucketed_write_joins_without_shuffle(spark, sf_dir, tmp_path):
         assert count_exchanges(joined) == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from db_mapreduce_project_spark.plans.inspect import pushed_filters
+    from db_mapreduce_project_spark.sources.readers import read_orc
+    from db_mapreduce_project_spark.sources.writers import write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+    # ORC scans take predicate pushdown like parquet
+    filtered = back.where(back.n_nationkey > 10)
+    assert "n_nationkey" in pushed_filters(filtered)
