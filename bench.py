@@ -50,6 +50,9 @@ HEADLINE = [
     "q18_large_orders",
     "text_tfidf_top_terms",
     "events_user_totals",
+    "join_asof",
+    "sessionize_events",
+    "q13_customer_distribution",
 ]
 
 

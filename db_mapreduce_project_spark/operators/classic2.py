@@ -234,10 +234,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     first collapsed to the max orderkey (max_by payload) so the
     pick is deterministic in both engines; the DuckDB oracle uses
     its native ASOF JOIN against the same deduped orders."""
-    e = load_table(spark, sf_dir, "events")
+    return asof_join_events_orders(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def asof_join_events_orders(e: DataFrame, orders: DataFrame) -> DataFrame:
+    """DataFrame-level as-of join (see join_asof)."""
     o = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
+        orders.groupBy("o_custkey", "o_orderdate")
         .agg(
             F.max("o_orderkey").alias("o_orderkey"),
             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),

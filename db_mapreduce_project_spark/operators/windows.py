@@ -331,12 +331,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators; this generalizes its per-key aggregation (SURVEY.md
     §2.1 #8) to order-dependent keys derived from the data itself.
     """
-    e = load_table(spark, sf_dir, "events")
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def sessionize(e: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """DataFrame-level sessionization (see sessionize_events)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_marker = (
         F.when(
             F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            > 1800,
+            > gap_s,
             1,
         )
         .otherwise(0)

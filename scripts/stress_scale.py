@@ -31,6 +31,8 @@ from db_mapreduce_project_spark.functions.hashing import (
 from db_mapreduce_project_spark.functions.stable import qsum
 from db_mapreduce_project_spark.functions.text import words
 from db_mapreduce_project_spark.io import load_table
+from db_mapreduce_project_spark.operators.classic2 import asof_join_events_orders
+from db_mapreduce_project_spark.operators.windows import sessionize
 from db_mapreduce_project_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,6 +128,17 @@ def main() -> None:
             F.window("ts", "10 minutes").alias("w"), "event_type"
         ).agg(F.count("*").alias("n"), qsum("value", 4).alias("s")),
     )
+
+    # gap-based sessionization over ~1M events (single user_id shuffle)
+    bench("sessionize_10x", sessionize(events))
+
+    # as-of join: ~1M events x ~1.5M deduped orders, union+window form
+    orders = expand(
+        load_table(spark, SF_DIR, "orders"),
+        ["o_orderkey", "o_custkey"],
+        copies,
+    )
+    bench("join_asof_10x", asof_join_events_orders(events, orders))
 
 
 if __name__ == "__main__":
