@@ -1,0 +1,83 @@
+"""Dataset profiling + in-flight quality metrics — the
+observability layer a 100 TB training-data pipeline runs before and
+during every job.
+
+`profile_documents` is the ahead-of-time profile: one grouped pass
+over the corpus producing per-(lang, source) volume, null, length,
+and duplication statistics.  One shuffle on the (tiny-cardinality)
+group key; every metric is an algebraic aggregate, so the partial/
+final split keeps map-side combine effective no matter the corpus
+size.
+
+`observed_write` is the in-flight variant: `Observation` metrics
+piggyback on whatever action the job already runs — row counts and
+null tallies cost zero extra passes (they fold into the same
+whole-stage-codegen pipeline), which is the only affordable way to
+count quality at 100 TB.  The reference's one observability hook
+(printWordCounts' unique-key count, maprdeuce.cpp:1403-1427) is a
+driver-side re-read of the result file; this is its engine-side
+generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import duck_qavg, qavg
+from ..io import load_table
+from ..registry import register
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus profile: doc volume, empty/short
+    counts, char-length stats, and exact-duplicate volume (docs
+    minus distinct texts) — the pre-training sanity scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.length(F.trim("text")) == 0, 1).otherwise(0)
+            ).alias("n_empty"),
+            F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias(
+                "n_short"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            qavg("n_chars", 2).alias("avg_chars"),
+            (
+                F.count(F.lit(1)) - F.count_distinct(F.col("text"))
+            ).alias("n_exact_dups"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+PROFILE_DOCUMENTS_ORACLE = f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       {duck_qavg('CAST(n_chars AS DOUBLE)', 2)} AS avg_chars,
+       count(*) - count(DISTINCT text) AS n_exact_dups
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+def observed_write(df: DataFrame, name: str, metrics: dict[str, F.Column]):
+    """Attach Observation metrics to `df`, materialize it with the
+    no-op sink, and return the collected metrics dict.  The metrics
+    ride the job's own pass — no second scan."""
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    out.write.format("noop").mode("overwrite").save()
+    return obs.get
+
+
+register("profile_documents", profile_documents, PROFILE_DOCUMENTS_ORACLE)

@@ -49,6 +49,7 @@ def load_all_queries() -> None:
         extended,
         functions_sweep,
         multimodal,
+        profiling,
         relational,
         rollups,
         skew,

@@ -129,3 +129,23 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     # ORC scans take predicate pushdown like parquet
     filtered = back.where(back.n_nationkey > 10)
     assert "n_nationkey" in pushed_filters(filtered)
+
+
+def test_observed_write_metrics(spark, sf_dir):
+    # Observation metrics ride the job's own pass: row count + null
+    # tally collected without a second scan
+    from db_mapreduce_project_spark.operators.profiling import observed_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = observed_write(
+        docs,
+        "docs_quality",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_text": F.sum(F.isnull("text").cast("long")),
+            "n_langs": F.approx_count_distinct("lang"),  # observe() forbids exact distinct
+        },
+    )
+    assert got["n_rows"] == docs.count()
+    assert got["n_null_text"] == 0
+    assert got["n_langs"] >= 1

@@ -2,6 +2,8 @@
 readStream counterparts must agree (availableNow replay of the
 events fixture — SURVEY.md §5.2 'streaming state' de-risk)."""
 
+import pytest
+
 from db_mapreduce_project_spark import registry
 from db_mapreduce_project_spark.streaming.jobs import (
     stream_session_windows,
@@ -118,3 +120,28 @@ def test_stream_sliding_equals_batch(spark, sf_dir):
     batch = registry.QUERIES["events_sliding"](spark, sf_dir)
     cols = ["window_start", "n", "avg_value"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_transform_with_state_equals_batch(spark, sf_dir):
+    # Spark 4 StatefulProcessor API produces the same final state as
+    # the legacy applyInPandasWithState operator and the batch agg.
+    # The state-server protocol needs protobuf, which this container
+    # lacks — the operator is exercised wherever protobuf exists.
+    pytest.importorskip("google.protobuf")
+    from db_mapreduce_project_spark.streaming.tws import (
+        stream_user_totals_tws,
+    )
+
+    q = stream_user_totals_tws(spark, sf_dir, query_name="t_user_totals_tws")
+    q.awaitTermination(120)
+    streamed = spark.table("t_user_totals_tws")
+    final = {}
+    for r in streamed.collect():
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    batch = registry.QUERIES["events_user_totals"](spark, sf_dir)
+    expected = {
+        r["user_id"]: (r["n_events"], r["sum_value"]) for r in batch.collect()
+    }
+    assert final == expected
