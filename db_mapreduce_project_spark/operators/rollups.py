@@ -111,3 +111,79 @@ ORDER BY status, priority
 register("rollup_sales", rollup_sales, ROLLUP_SALES_ORACLE)
 register("cube_orders", cube_orders, CUBE_ORDERS_ORACLE)
 register("grouping_sets_mixed", grouping_sets_mixed, GROUPING_SETS_MIXED_ORACLE)
+
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: minute, hour,
+    and day buckets of the event stream computed in ONE pass using
+    a ROLLUP over truncation levels (day ⊃ hour ⊃ minute, so the
+    hierarchy is exactly a rollup: each coarser bucket is a prefix
+    of the finer one).
+
+    The Expand operator clones each row once per level inside the
+    partial aggregate — shuffle volume is (#distinct buckets x
+    levels), NOT (#events x levels), because map-side combine runs
+    before the exchange.  This is how a 100 TB event table keeps
+    minute/hour/day dashboards from triple-scanning: one scan, one
+    shuffle.  `grain` labels the level via grouping().
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("bucket_day")
+    hour = F.date_trunc("hour", "ts").alias("bucket_hour")
+    minute = F.date_trunc("minute", "ts").alias("bucket_minute")
+    rolled = (
+        e.select(day, hour, minute, "value")
+        .rollup("bucket_day", "bucket_hour", "bucket_minute")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qsum("value", 4).alias("sum_value"),
+            # gid bits (day,hour,minute): 0=minute, 1=hour, 3=day, 7=total
+            F.grouping_id().alias("gid"),
+        )
+        .withColumn(
+            "grain",
+            F.when(F.col("gid") == 7, "total")
+            .when(F.col("gid") == 3, "day")
+            .when(F.col("gid") == 1, "hour")
+            .otherwise("minute"),
+        )
+    )
+    return (
+        rolled.where(F.col("grain") != "total")
+        .select(
+            "grain",
+            F.coalesce("bucket_minute", "bucket_hour", "bucket_day").alias(
+                "bucket"
+            ),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("grain", "bucket")
+    )
+
+
+EVENTS_TIME_ROLLUP_ORACLE = f"""
+WITH rolled AS (
+    SELECT date_trunc('day', ts)    AS bucket_day,
+           date_trunc('hour', ts)   AS bucket_hour,
+           date_trunc('minute', ts) AS bucket_minute,
+           CASE WHEN GROUPING(date_trunc('day', ts)) = 1 THEN 'total'
+                WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN 'day'
+                WHEN GROUPING(date_trunc('minute', ts)) = 1 THEN 'hour'
+                ELSE 'minute' END AS grain,
+           count(*) AS n_events,
+           {duck_qsum('value', 4)} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts),
+                     date_trunc('minute', ts))
+)
+SELECT grain,
+       coalesce(bucket_minute, bucket_hour, bucket_day) AS bucket,
+       n_events, sum_value
+FROM rolled
+WHERE grain <> 'total'
+ORDER BY grain, bucket
+"""
+
+
+register("events_time_rollup", events_time_rollup, EVENTS_TIME_ROLLUP_ORACLE)
