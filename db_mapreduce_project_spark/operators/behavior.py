@@ -1,0 +1,109 @@
+"""Behavioral / product-analytics query shapes over the event
+stream: ordered funnel conversion and day-N cohort retention.
+Neither exists in the reference (maprdeuce.cpp is word count only);
+both are core to any event-analytics engine and exercise the
+conditional-aggregation + self-comparison patterns at scale.
+
+Scale notes:
+* funnel_conversion folds each user's history into three MIN(ts
+  WHERE type=step) aggregates in ONE groupBy — no self-joins, no
+  per-step passes.  Step ordering is then a row-local comparison.
+  Cost: one shuffle on user_id regardless of funnel depth.
+* cohort_retention derives each user's cohort (first-seen day) with
+  the same single-shuffle min() aggregate, broadcast-joins it back
+  onto the (already user_id-partitioned) activity set, and counts
+  distinct users per (cohort, day-offset).  Two shuffles total; the
+  cohort map is |users| rows — broadcastable far beyond fixture
+  scale (1e8 users x 16B ≈ 1.6 GB would switch to a shuffle join,
+  which AQE picks automatically when the size estimate crosses the
+  threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel: per-user first
+    timestamp of each step, counted when steps happen in order."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    did_purchase = did_click & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(did_view.cast("bigint")).alias("step_view"),
+        F.sum(did_click.cast("bigint")).alias("step_view_click"),
+        F.sum(did_purchase.cast("bigint")).alias("step_view_click_purchase"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS step_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS step_view_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS step_view_click_purchase
+FROM per_user
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention: users grouped by first-seen day (cohort),
+    distinct active users per (cohort, day offset)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(cohorts, "user_id")
+        .withColumn("day_n", F.datediff("day", "cohort_day"))
+        .groupBy("cohort_day", "day_n")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_n")
+    )
+
+
+COHORT_ORACLE = """
+WITH activity AS (
+    SELECT user_id, date_trunc('day', ts) AS day FROM events),
+cohorts AS (
+    SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_n,
+       count(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY cohort_day, day_n
+ORDER BY cohort_day, day_n
+"""
+
+
+register("funnel_conversion", funnel_conversion, FUNNEL_ORACLE)
+register("cohort_retention", cohort_retention, COHORT_ORACLE)

@@ -314,3 +314,38 @@ register("q15_top_supplier", q15_top_supplier, Q15_ORACLE)
 register("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE)
 register("q22_idle_customers", q22_idle_customers, Q22_ORACLE)
 register("join_asof", join_asof, JOIN_ASOF_ORACLE)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan -> filter -> agg, the predicate-pushdown
+    showcase — every filter reaches the parquet scan (row-group
+    min/max pruning at scale), no shuffle except the 1-row final
+    agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            qsum(
+                F.col("l_extendedprice") * F.col("l_discount"), 4
+            ).alias("revenue")
+        )
+    )
+
+
+Q6_ORACLE = f"""
+SELECT {duck_qsum('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+register("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE)

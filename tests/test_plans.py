@@ -152,3 +152,19 @@ def test_q22_anti_join_plan(spark):
     plan = physical_plan(df)
     assert "LeftAnti" in plan
     assert has_broadcast_join(df)  # 1-row avg_bal broadcast
+
+
+def test_q6_all_filters_pushed(spark):
+    df = registry.QUERIES["q6_forecast_revenue"](spark, SF)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    # scan -> partial agg -> 1-row final agg: a single exchange
+    assert count_exchanges(df) <= 1
+
+
+def test_funnel_is_single_shuffle_per_level(spark):
+    # user fold + global fold: two exchanges, no joins
+    df = registry.QUERIES["funnel_conversion"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 2
