@@ -417,3 +417,24 @@ ORDER BY c_custkey
 
 
 register("sql_subqueries", sql_subqueries, SQL_SUBQUERIES_ORACLE)
+
+
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-stratum fraction) sampling via sampleBy on
+    event_type — the training-data rebalancing primitive (e.g.
+    downsample 'click', keep all 'purchase').  Seeded but
+    engine-RNG-dependent, so rows-only check; the test asserts
+    per-stratum proportions statistically.  Scale: sampleBy is a
+    per-row Bernoulli filter — no shuffle at all until the final
+    tiny summary agg."""
+    e = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.1, "view": 0.5, "purchase": 1.0}
+    return (
+        e.sampleBy("event_type", fractions, seed=7)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+register("sample_stratified_events", sample_stratified_events)  # rows-only (engine RNG)

@@ -75,3 +75,19 @@ def write_wordcount_text(df: DataFrame, path: str) -> None:
         )
     )
     out.coalesce(1).write.mode("overwrite").text(path)
+
+
+def write_range_clustered_parquet(
+    df: DataFrame, path: str, col: str, partitions: int = 8
+) -> None:
+    """Range-clustered sink: repartitionByRange + sortWithinPartitions
+    gives each output file a disjoint [min, max] span of `col`, so a
+    later filtered scan prunes whole files/row-groups via parquet
+    min/max stats — the clustering technique that turns a 100 TB
+    table scan into a few-file read for range predicates."""
+    (
+        df.repartitionByRange(partitions, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

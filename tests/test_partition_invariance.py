@@ -70,3 +70,29 @@ def test_minhash_signature_partition_invariant(spark, sf_dir):
         )
 
     assert sigs(d) == sigs(d.repartition(7))
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    # sampleBy keeps ~fraction of each stratum and drops unlisted ones
+    from db_mapreduce_project_spark import registry
+
+    got = {
+        r["event_type"]: r["n"]
+        for r in registry.QUERIES["sample_stratified_events"](
+            spark, sf_dir
+        ).collect()
+    }
+    from db_mapreduce_project_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    base = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == {"click", "view", "purchase"}  # unlisted strata dropped
+    assert got["purchase"] == base["purchase"]  # fraction 1.0 keeps all
+    for k, frac in {"click": 0.1, "view": 0.5}.items():
+        assert abs(got[k] / base[k] - frac) < 0.15, (k, got[k], base[k])

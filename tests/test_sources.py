@@ -149,3 +149,26 @@ def test_observed_write_metrics(spark, sf_dir):
     assert got["n_rows"] == docs.count()
     assert got["n_null_text"] == 0
     assert got["n_langs"] >= 1
+
+
+def test_range_clustered_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    from db_mapreduce_project_spark.sources.writers import (
+        write_range_clustered_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_clustered")
+    write_range_clustered_parquet(orders, path, "o_orderkey", partitions=4)
+    # per-file [min,max] spans of the cluster column must not overlap
+    spans = []
+    for f in sorted(glob.glob(path + "/part-*.parquet")):
+        part = spark.read.parquet(f)
+        row = part.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        spans.append((row["lo"], row["hi"]))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {spans}"
+    # and the clustered copy still holds all rows
+    assert spark.read.parquet(path).count() == orders.count()
