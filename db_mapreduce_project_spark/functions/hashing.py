@@ -6,6 +6,15 @@ JVM-side, shuffle-friendly, no Python in the hot path.  These are
 the scale path for near-duplicate detection: signatures are fixed
 width regardless of document size, and LSH banding turns the O(n^2)
 pair search into an equi-join on (band, band_hash).
+
+Published sources: MinHash resemblance sketches (Broder, "On the
+resemblance and containment of documents", SEQUENCES 1997); the
+banding analysis follows Leskovec/Rajaraman/Ullman, "Mining of
+Massive Datasets" ch. 3; SimHash is Charikar's random-hyperplane
+rounding ("Similarity estimation techniques from rounding
+algorithms", STOC 2002) as deployed for web dedup in Manku et al.,
+WWW 2007; the double-hashing trick for simulating k MinHash
+permutations from 2 hashes is Kirsch & Mitzenmacher, ESA 2006.
 """
 
 from __future__ import annotations

@@ -166,7 +166,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-5: a coarse quantizer of N_CELLS
     centroids (deterministic: the N_CELLS lowest vec_ids) assigns
     every vector to its nearest cell; each query searches only its
-    N_PROBE nearest cells.
+    N_PROBE nearest cells.  (Inverted-file ANN after Jégou et al.,
+    "Product quantization for nearest neighbor search", TPAMI 2011
+    — coarse-quantizer stage only, no PQ residual codes.)
 
     Scale shape: centroids are broadcast (fixed small set), so cell
     assignment is a broadcast nested-loop scan — linear in n, no
