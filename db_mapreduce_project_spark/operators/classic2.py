@@ -349,3 +349,70 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 
 register("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE)
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier with a
+    returned lineitem on a multi-supplier order (fixture lacks
+    commit/receipt dates, so 'failed' = l_returnflag = 'R').
+
+    The EXISTS (another supplier on the order) / NOT EXISTS (another
+    failing supplier) pair decorrelates into two per-order aggregate
+    counts — n_supp > 1 and n_fail = 1 — computed in one pass over
+    the distinct (orderkey, suppkey) sets and broadcast-free joined
+    back on l_orderkey.  No correlated re-scans: cost is two
+    shuffles on l_orderkey + one on l_suppkey, independent of how
+    many suppliers an order has."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    pairs = l.select("l_orderkey", "l_suppkey").distinct()
+    fail_pairs = (
+        l.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    fails_per_order = fail_pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_fail")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        fail_pairs.join(per_order, "l_orderkey")
+        .join(fails_per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_fail") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+Q21_ORACLE = """
+WITH f AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    WHERE l_returnflag = 'R'),
+a AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM f
+JOIN supplier ON s_suppkey = f.l_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM a
+        WHERE a.l_orderkey = f.l_orderkey
+          AND a.l_suppkey <> f.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM f f2
+        WHERE f2.l_orderkey = f.l_orderkey
+          AND f2.l_suppkey <> f.l_suppkey)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
+register("q21_waiting_supplier", q21_waiting_supplier, Q21_ORACLE)
