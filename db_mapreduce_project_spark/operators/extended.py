@@ -179,13 +179,16 @@ def array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64 lists (F.sequence over int literals yields array<int>)
     a = F.sequence(F.lit(1), F.col("p_size") % 8 + 3).cast("array<bigint>")
     b = F.sequence(F.lit(2), F.lit(6)).cast("array<bigint>")
+    # set-op results are serialized to comma-joined strings: flat
+    # strings stay hashable for any external row comparator
+    j = lambda c: F.array_join(c.cast("array<string>"), ",")  # noqa: E731
     return (
         p.where(F.col("p_partkey") <= 300)
         .select(
             "p_partkey",
-            F.sort_array(F.array_intersect(a, b)).alias("inter"),
-            F.sort_array(F.array_union(a, b)).alias("uni"),
-            F.sort_array(F.array_except(a, b)).alias("exc"),
+            j(F.sort_array(F.array_intersect(a, b))).alias("inter"),
+            j(F.sort_array(F.array_union(a, b))).alias("uni"),
+            j(F.sort_array(F.array_except(a, b))).alias("exc"),
             F.array_contains(a, 5).alias("has5"),
             F.size(F.array_distinct(F.concat(a, b))).alias("n_distinct"),
         )
@@ -201,10 +204,11 @@ WITH base AS (
   FROM part WHERE p_partkey <= 300
 )
 SELECT p_partkey,
-       list_sort(list_intersect(a, b)) AS inter,
-       list_sort(list_distinct(list_concat(a, b))) AS uni,
-       list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x)))
-           AS exc,
+       array_to_string(list_sort(list_intersect(a, b)), ',') AS inter,
+       array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS uni,
+       array_to_string(
+         list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))),
+         ',') AS exc,
        list_contains(a, 5) AS has5,
        CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_distinct
 FROM base

@@ -67,8 +67,15 @@ def agg_collect_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
-            F.sort_array(F.collect_set("n_nationkey")).alias("keys"),
+            # comma-joined, sorted: canonical AND hashable as a flat
+            # string for external row comparators
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.array_join(
+                F.sort_array(F.collect_set("n_nationkey")).cast("array<string>"),
+                ",",
+            ).alias("keys"),
             F.count("*").alias("n"),
         )
         .orderBy("n_regionkey")
@@ -77,8 +84,8 @@ def agg_collect_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_ORACLE = """
 SELECT n_regionkey,
-       list_sort(list(n_name)) AS nations,
-       list_sort(list(DISTINCT n_nationkey)) AS keys,
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
+       array_to_string(list_sort(list(DISTINCT n_nationkey)), ',') AS keys,
        count(*) AS n
 FROM nation
 GROUP BY n_regionkey
