@@ -25,8 +25,35 @@ from pyspark.sql import functions as F
 # Modulus/bases for the oracle-checkable polynomial rolling hash
 # (small enough that acc*BASE + char never overflows int64).
 FP_MOD = 1_000_000_007
+FP_MOD2 = 1_000_000_009  # second modulus for independent portable hash
 FP_CHAR_BASE = 31
 FP_WORD_BASE = 131
+
+
+def spark_charhash(
+    col: Column, base: int = FP_CHAR_BASE, mod: int = FP_MOD
+) -> Column:
+    """Polynomial rolling hash of a string column:
+    fold over chars: (acc*base + ascii(c)) % mod.  Pure Catalyst HOF
+    (JVM-side), mirrored bit-for-bit by :func:`duck_charhash` — the
+    portable primitive that lets sketches (MinHash, SimHash) be
+    differentially tested against DuckDB."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def duck_charhash(expr: str, base: int = FP_CHAR_BASE, mod: int = FP_MOD) -> str:
+    """DuckDB SQL fragment computing :func:`spark_charhash` of a
+    varchar expression."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {base} + c) % {mod})"
+    )
 
 
 def word_shingles(
@@ -104,6 +131,61 @@ def lsh_bands(
     ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
 
+def minhash_signature_portable(
+    shingles: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Portable-hash MinHash signature: same Kirsch–Mitzenmacher
+    double hashing as :func:`minhash_signature`, but the two base
+    hashes are polynomial rolling hashes (bases 31/131, moduli
+    1e9+7/1e9+9) that DuckDB reproduces exactly — so the whole
+    LSH pipeline is oracle-checkable.  Max value of h1 + i*h2 for
+    i<32 is ~3.3e10: no int64 overflow.  Still one shuffle."""
+    h1 = spark_charhash(F.col(shingle_col), FP_CHAR_BASE, FP_MOD)
+    h2 = spark_charhash(F.col(shingle_col), FP_WORD_BASE, FP_MOD2)
+    base = shingles.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
+    aggs = [
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands_portable(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Portable banding: band key = polynomial fold of that band's
+    minhashes mod 1e9+7 (mirrored in SQL by :func:`duck_band_hash`).
+    Output (id, band, band_hash) like :func:`lsh_bands`."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        acc: Column = F.lit(0).cast("bigint")
+        for r in range(rows):
+            acc = (acc * FP_WORD_BASE + F.col(f"mh_{b * rows + r}")) % FP_MOD
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), acc.alias("band_hash"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
+    ).select(
+        id_col,
+        F.col("bh.band").alias("band"),
+        F.col("bh.band_hash").alias("band_hash"),
+    )
+
+
+def duck_band_hash(band: int, rows: int) -> str:
+    """DuckDB fragment matching one :func:`lsh_bands_portable` band
+    key over columns mh_0..mh_{n-1} of a `sig` relation."""
+    expr = "CAST(0 AS BIGINT)"
+    for r in range(rows):
+        expr = f"(({expr}) * {FP_WORD_BASE} + mh_{band * rows + r}) % {FP_MOD}"
+    return expr
+
+
 def simhash63(tokens: DataFrame, id_col: str, token_col: str = "word") -> DataFrame:
     """63-bit SimHash per document from token frequencies.
 
@@ -129,6 +211,72 @@ def simhash63(tokens: DataFrame, id_col: str, token_col: str = "word") -> DataFr
         )
         sig = term if sig is None else sig + term
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash60_portable(
+    tokens: DataFrame, id_col: str, token_col: str = "word"
+) -> DataFrame:
+    """60-bit SimHash from the portable polynomial hashes: the token
+    hash is h1 | (h2 << 30) where h1 = charhash(31, 1e9+7) and
+    h2 = charhash(131, 1e9+9) — both < 2^30, so the combination is a
+    60-bit value both engines compute identically (Charikar 2002
+    rounding, Manku 2007 deployment; the hash family is weaker than
+    xxhash64 but identical cross-engine, which is what makes the
+    signature differentially testable).  Same one-shuffle plan as
+    :func:`simhash63`."""
+    counted = tokens.groupBy(id_col, token_col).agg(F.count("*").alias("cnt"))
+    h = (
+        spark_charhash(F.col(token_col), FP_CHAR_BASE, FP_MOD)
+        + spark_charhash(F.col(token_col), FP_WORD_BASE, FP_MOD2)
+        * F.lit(1 << 30).cast("bigint")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s_{i}")
+        for i in range(60)
+    ]
+    sums = counted.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(60):
+        term = F.when(
+            F.col(f"s_{i}") > 0, F.lit(1).cast("bigint") * (2**i)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def duck_simhash60(tokens_rel: str, id_col: str, token_col: str) -> str:
+    """DuckDB SQL (full SELECT) matching :func:`simhash60_portable`
+    over a relation of exploded tokens."""
+    h1 = duck_charhash(token_col, FP_CHAR_BASE, FP_MOD)
+    h2 = duck_charhash(token_col, FP_WORD_BASE, FP_MOD2)
+    bit_terms = ",\n".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS s_{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+WITH counted AS (
+  SELECT {id_col}, {token_col}, count(*) AS cnt
+  FROM {tokens_rel}
+  GROUP BY 1, 2
+),
+hashed AS (
+  SELECT {id_col}, cnt,
+         {h1} + {h2} * CAST({1 << 30} AS BIGINT) AS h
+  FROM counted
+),
+sums AS (
+  SELECT {id_col}, {bit_terms}
+  FROM hashed GROUP BY {id_col}
+)
+SELECT {id_col}, {sig} AS simhash FROM sums
+"""
 
 
 def spark_word_fingerprint(words_col: Column) -> Column:

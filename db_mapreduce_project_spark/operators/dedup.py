@@ -18,13 +18,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import lsh_bands, minhash_signature, word_shingles
-from ..functions.vectors import cosine, duck_cosine
+from ..functions.hashing import (
+    FP_CHAR_BASE,
+    FP_MOD,
+    FP_MOD2,
+    FP_WORD_BASE,
+    duck_band_hash,
+    duck_charhash,
+    duck_simhash60,
+    lsh_bands_portable,
+    minhash_signature_portable,
+    simhash60_portable,
+    word_shingles,
+)
+from ..functions.vectors import duck_cosine
 from ..io import load_table
 from ..registry import register
 
 JACCARD_THRESHOLD = 0.05  # synthetic word-soup docs share few shingles
 COSINE_THRESHOLD = 0.92
+
+# Document-frequency cap: shingles appearing in more than this many
+# documents are dropped before any self-join.  A shingle shared by k
+# docs emits O(k^2) candidate rows — without the cap, one stop-phrase
+# shingle at 100 TB produces a quadratic hot key.  Capped shingles
+# carry no discriminative signal anyway (standard MinHash-pipeline
+# prefilter).  Jaccard is then computed over the capped shingle
+# universe on BOTH engines, so the oracle stays exact.
+SHINGLE_DF_CAP = 100
+
+
+def _capped_shingles(d: DataFrame, key: str = "shingle") -> DataFrame:
+    """Distinct word-3-gram shingles per doc with hot (DF > cap)
+    shingles removed via a broadcast anti-join — the hot set is tiny
+    by construction, so no extra shuffle of the big side."""
+    sh_all = word_shingles(d, "doc_id", "text", n=3)
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    return sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+# Shared oracle CTE: tokenize -> distinct shingles -> DF cap.
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+shingles_all AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+    FROM toks
+  ) u
+  WHERE shingle <> ''
+),
+shingles AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles_all s
+  JOIN (SELECT shingle FROM shingles_all
+        GROUP BY shingle HAVING count(*) <= {SHINGLE_DF_CAP}) keep
+    USING (shingle)
+)"""
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,17 +115,18 @@ ORDER BY keeper_doc_id
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard similarity >= 0.05.
 
-    Inverted-index join: explode distinct shingles, self-join on
-    shingle (only co-occurring docs meet), count intersection, then
-    |A u B| = |A| + |B| - |A n B|.  Jaccard is a ratio of exact
-    integers — no float-order hazard."""
+    Inverted-index join: explode distinct shingles, drop hot
+    (DF > cap) shingles, self-join on shingle (only co-occurring
+    docs meet), count intersection, then |A u B| = |A| + |B| -
+    |A n B|.  Jaccard is a ratio of exact integers — no float-order
+    hazard."""
     d = load_table(spark, sf_dir, "documents")
     # shuffle 8-byte shingle hashes, not shingle strings: same join
     # semantics (xxhash64 collisions are ~n^2/2^64, negligible),
     # a fraction of the shuffle bytes — the difference between
     # shipping the corpus and shipping fixed-width keys at 100 TB.
     sh = (
-        word_shingles(d, "doc_id", "text", n=3)
+        _capped_shingles(d)
         .select("doc_id", F.xxhash64("shingle").alias("sh"))
         .cache()
     )
@@ -95,20 +156,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_JACCARD_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-  FROM documents
-),
-shingles AS (
-  SELECT DISTINCT doc_id, shingle
-  FROM (
-    SELECT doc_id,
-           unnest(list_transform(generate_series(1, len(w) - 2),
-                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
-    FROM toks
-  ) u
-  WHERE shingle <> ''
-),
+WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -127,24 +175,32 @@ ORDER BY doc_a, doc_b
 """
 
 
+_MH_HASHES = 32
+_MH_BANDS = 8
+_MH_ROWS = _MH_HASHES // _MH_BANDS
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands x 4 rows) candidate pairs,
-    verified with exact shingle Jaccard.  No SQL oracle (xxhash64 is
-    Spark-specific) — driver records rows-only; the Jaccard verify
-    step is itself oracle-tested via dedup_ngram_jaccard.
+    verified with exact shingle Jaccard over the DF-capped shingle
+    sets.  Built entirely on the portable polynomial hash family
+    (charhash base 31/131, moduli 1e9+7/1e9+9), so DuckDB computes
+    the IDENTICAL signatures, band keys, candidates, and verified
+    pairs — the whole sketch pipeline is differentially tested, not
+    just rows-counted.
 
     Output: candidate pairs with exact jaccard >= 0.05 that LSH
     surfaced.  At scale this replaces the full inverted-index join
     with an equi-join on 8 fixed-width band keys per doc.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        word_shingles(d, "doc_id", "text", n=3)
-        .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .cache()
+    sh = _capped_shingles(d).cache()
+    sig = minhash_signature_portable(
+        sh, "doc_id", num_hashes=_MH_HASHES, shingle_col="shingle"
     )
-    sig = minhash_signature(sh, "doc_id", num_hashes=32, shingle_col="sh")
-    bands = lsh_bands(sig, "doc_id", num_hashes=32, bands=8)
+    bands = lsh_bands_portable(
+        sig, "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_hash"])
@@ -155,11 +211,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -179,19 +235,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash signature per document (rows-only check —
-    xxhash64-based).  Exact-signature collisions would be trivially
-    groupable; at scale Hamming-near search uses 4x16-bit band
-    blocking on the signature."""
-    from ..functions.hashing import simhash63
-    from ..functions.text import words
+def _minhash_oracle_sql() -> str:
+    """Generate the DuckDB mirror of the full MinHash+LSH pipeline:
+    same capped shingles, same double-hash signatures, same band
+    fold, same candidate equi-join, same Jaccard verify."""
+    h1 = duck_charhash("shingle", FP_CHAR_BASE, FP_MOD)
+    h2 = duck_charhash("shingle", FP_WORD_BASE, FP_MOD2)
+    sig_cols = ",\n         ".join(
+        f"min(h1 + {i} * h2) AS mh_{i}" for i in range(_MH_HASHES)
+    )
+    band_arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {duck_band_hash(b, _MH_ROWS)} AS band_hash FROM sig"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {band_arms}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y USING (band, band_hash)
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
 
+
+DEDUP_MINHASH_LSH_ORACLE = _minhash_oracle_sql()
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document, built from the
+    portable polynomial hash pair so DuckDB reproduces every bit
+    (full value-hash oracle, not rows-only).  Exact-signature
+    collisions would be trivially groupable; at scale Hamming-near
+    search uses 4x15-bit band blocking on the signature."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias("word")
     ).where(F.col("word") != "")
-    return simhash63(toks, "doc_id", "word").orderBy("doc_id")
+    return simhash60_portable(toks, "doc_id", "word").orderBy("doc_id")
+
+
+_SIMHASH_TOKENS_REL = """(SELECT doc_id, word FROM (
+         SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         FROM documents) u
+       WHERE word <> '') t"""
+
+DEDUP_SIMHASH_ORACLE = f"""
+SELECT doc_id, simhash FROM (
+{duck_simhash60(_SIMHASH_TOKENS_REL, 'doc_id', 'word')}
+) s
+ORDER BY doc_id
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,8 +360,8 @@ ORDER BY id_a, id_b
 
 register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
-register("dedup_minhash_lsh", dedup_minhash_lsh)  # rows-only (xxhash64)
-register("dedup_simhash", dedup_simhash)  # rows-only (xxhash64)
+register("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_ORACLE)
+register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
 register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE)
 
 
@@ -271,6 +392,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    changed = 1
     for _ in range(20):  # bounded: pair-graph diameter is tiny
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -302,11 +424,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # label propagation needs O(diameter) rounds; returning
+        # unconverged labels would silently mislabel clusters
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge "
+            "in 20 rounds (pair-graph diameter > 20); raise the bound "
+            "or switch to a doubling/large-star scheme"
+        )
     return (
         labels.groupBy("label")
         .agg(
             F.count("*").alias("cluster_size"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            # serialized (comma-joined) member list: a flat string is
+            # hashable by any downstream comparator, unlike array rows
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("members"),
         )
         .where(F.col("cluster_size") > 1)  # only real dup groups
         .select(
@@ -318,20 +453,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE
-toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-  FROM documents
-),
-shingles AS (
-  SELECT DISTINCT doc_id, shingle
-  FROM (
-    SELECT doc_id,
-           unnest(list_transform(generate_series(1, len(w) - 2),
-                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
-    FROM toks
-  ) u
-  WHERE shingle <> ''
-),
+{_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -359,7 +481,7 @@ reach(v, l) AS (
 comp AS (SELECT v AS doc_id, min(l) AS label FROM reach GROUP BY v)
 SELECT label AS cluster_id,
        count(*) AS cluster_size,
-       list_sort(list(doc_id)) AS members
+       array_to_string(list_sort(list(doc_id)), ',') AS members
 FROM comp
 GROUP BY label
 HAVING count(*) > 1
