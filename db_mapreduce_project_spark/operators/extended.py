@@ -289,18 +289,77 @@ def approx_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------
-# Deterministic sampling (seeded) — rows-only (engine-specific
-# RNG); tests assert determinism and expected fraction.
+# Exact distinct-count twin of the HLL sketch above: same shape
+# (count-distinct tokens, grouped), fully oracle-checkable, so the
+# capability has a value-hash-verified row next to the estimate.
 # ---------------------------------------------------------------
+def distinct_words_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias("word"),
+    ).where(F.col("word") != "")
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.countDistinct("word").alias("n_distinct_words"),
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DISTINCT_WORDS_BY_LANG_ORACLE = """
+SELECT lang,
+       count(DISTINCT word) AS n_distinct_words,
+       count(*) AS n_tokens
+FROM (
+  SELECT lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+) t
+WHERE word <> ''
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------
+# Deterministic sampling via a portable multiplicative hash of the
+# row key: pmod(key-hash, 1000) < 100 is a reproducible 10% sample
+# that ANY engine computes identically (no RNG, no seed drift), so
+# the sample itself is oracle-checkable.  At scale this is a
+# map-side filter — no shuffle, prunes before any downstream work —
+# and the same predicate selects the same rows on re-runs,
+# backfills, and other engines (the property that matters for
+# training-data reproducibility).  Knuth multiplicative hashing;
+# key reduced mod 1e9 first so the product stays under 2^63.
+# ---------------------------------------------------------------
+_KNUTH = 2654435761  # 2^32 * golden ratio conjugate
+
+
+def _keyhash_spark(key, mixin):
+    return F.pmod((key % 1_000_000_000) * F.lit(_KNUTH) + mixin, F.lit(1000))
+
+
 def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
+    bucket = _keyhash_spark(F.col("l_orderkey"), F.col("l_linenumber"))
     return (
-        l.sample(fraction=0.1, seed=42)
+        l.where(bucket < 100)
         .agg(
             F.count("*").alias("n_sampled"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+SAMPLE_LINEITEM_ORACLE = f"""
+SELECT count(*) AS n_sampled,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE ((l_orderkey % 1000000000) * {_KNUTH} + l_linenumber) % 1000 < 100
+"""
 
 
 # ---------------------------------------------------------------
@@ -375,7 +434,10 @@ register("array_setops", array_setops, ARRAY_SETOPS_ORACLE)
 register("agg_argmax", agg_argmax, AGG_ARGMAX_ORACLE)
 register("agg_percentiles", agg_percentiles, AGG_PERCENTILES_ORACLE)
 register("approx_distinct_words", approx_distinct_words)  # rows-only (HLL)
-register("sample_lineitem", sample_lineitem)  # rows-only (engine RNG)
+register(
+    "distinct_words_by_lang", distinct_words_by_lang, DISTINCT_WORDS_BY_LANG_ORACLE
+)
+register("sample_lineitem", sample_lineitem, SAMPLE_LINEITEM_ORACLE)
 register("sql_api_revenue", sql_api_revenue, SQL_API_REVENUE_ORACLE)
 register("bitwise_funcs", bitwise_funcs, BITWISE_FUNCS_ORACLE)
 
@@ -424,21 +486,45 @@ register("sql_subqueries", sql_subqueries, SQL_SUBQUERIES_ORACLE)
 
 
 def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified (per-stratum fraction) sampling via sampleBy on
-    event_type — the training-data rebalancing primitive (e.g.
-    downsample 'click', keep all 'purchase').  Seeded but
-    engine-RNG-dependent, so rows-only check; the test asserts
-    per-stratum proportions statistically.  Scale: sampleBy is a
-    per-row Bernoulli filter — no shuffle at all until the final
-    tiny summary agg."""
+    """Stratified (per-stratum fraction) sampling — the
+    training-data rebalancing primitive (e.g. downsample 'click',
+    keep all 'purchase') — via the portable key hash: each stratum
+    gets its own bucket threshold (click 10%, view 50%, purchase
+    100%).  Deterministic and engine-independent, so the stratified
+    sample is oracle-checkable (unlike RNG sampleBy).  Scale: a
+    per-row map-side filter — no shuffle until the tiny summary
+    agg."""
     e = load_table(spark, sf_dir, "events")
-    fractions = {"click": 0.1, "view": 0.5, "purchase": 1.0}
+    bucket = _keyhash_spark(F.col("event_id"), F.lit(0))
+    threshold = (
+        F.when(F.col("event_type") == "click", 100)
+        .when(F.col("event_type") == "view", 500)
+        .when(F.col("event_type") == "purchase", 1000)
+        .otherwise(0)  # unlisted strata are dropped entirely
+    )
     return (
-        e.sampleBy("event_type", fractions, seed=7)
+        e.where(bucket < threshold)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
 
 
-register("sample_stratified_events", sample_stratified_events)  # rows-only (engine RNG)
+SAMPLE_STRATIFIED_EVENTS_ORACLE = f"""
+SELECT event_type, count(*) AS n
+FROM events
+WHERE ((event_id % 1000000000) * {_KNUTH}) % 1000 <
+      CASE event_type WHEN 'click' THEN 100
+                      WHEN 'view' THEN 500
+                      WHEN 'purchase' THEN 1000
+                      ELSE 0 END
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+register(
+    "sample_stratified_events",
+    sample_stratified_events,
+    SAMPLE_STRATIFIED_EVENTS_ORACLE,
+)
