@@ -42,8 +42,10 @@ HEADLINE = [
     "text_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "ann_cosine_topk",
+    "ann_cosine_topk_bruteforce",
+    "ann_lsh_bucketed",
     "ann_ivf_topk",
+    "dedup_embedding_cosine_bruteforce",
     "multimodal_features",
     "q10_returned_items",
     "q7_volume_shipping",
@@ -72,14 +74,19 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads
     materialize(registry.QUERIES["wordcount"](spark, sf_dir))
 
+    n_iter = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: absorbs GC/AQE jitter
+        runs = []
+        for _ in range(n_iter):
             t0 = time.perf_counter()
             materialize(registry.QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        median = runs[len(runs) // 2]
+        timings[name] = round(median, 3)
+        spreads[name] = {"min": round(runs[0], 3), "max": round(runs[-1], 3)}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +96,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "n": n_iter,
                 "sf": sf,
             }
         )

@@ -315,10 +315,12 @@ ORDER BY doc_id
 """
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine >= 0.92 (brute-force
-    O(n^2) baseline — correct reference implementation; the LSH
-    variant in similarity.py is the 100 TB path)."""
+def dedup_embedding_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= 0.92.  BRUTE-FORCE
+    O(n^2) BASELINE — registered only as the exactness reference
+    (the `_bruteforce` suffix marks it as deliberately not the
+    scale path); the LSH variant in similarity.py is the 100 TB
+    path."""
     from ..functions.vectors import dot, l2
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -362,7 +364,11 @@ register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_ORACLE)
 register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
-register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE)
+register(
+    "dedup_embedding_cosine_bruteforce",
+    dedup_embedding_cosine_bruteforce,
+    DEDUP_EMBEDDING_COSINE_ORACLE,
+)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

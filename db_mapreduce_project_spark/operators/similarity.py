@@ -1,15 +1,17 @@
 """Similarity search over the embeddings table.
 
-- `ann_cosine_topk`: brute-force cosine top-k — the exactness
-  baseline.  Ranking key is ROUND(cos, 6) with vec_id tiebreak, and
-  both engines compute the identical double (see functions.vectors
+- `ann_cosine_topk_bruteforce`: brute-force cosine top-k — the
+  EXACTNESS BASELINE ONLY (O(n*q) cross join; the `_bruteforce`
+  suffix marks it as deliberately not the scale path).  Both
+  engines compute the identical double (see functions.vectors
   determinism contract), so ranks compare exactly.
 - `ann_lsh_bucketed`: random-hyperplane LSH (sign sketch) — the
-  scale path: each vector maps to one of 2^16 buckets; neighbor
-  search only scans the query's bucket.  Hyperplanes are a fixed
-  seeded +/-1 matrix baked into the plan as literals, so the result
-  is fully deterministic (rows-only driver check; brute-force
-  recall is asserted in tests).
+  scale path: N_PLANES=6 hyperplanes map each vector to one of 64
+  buckets; neighbor search only scans the query's bucket.
+  Hyperplanes are a fixed seeded +/-1 matrix baked into the plan
+  (and the oracle SQL) as literals, so the result is fully
+  deterministic and value-hash oracle-checked; brute-force recall
+  is asserted in tests/test_dedup_similarity.py.
 
 At 100 TB: top-k per query is a groupBy(query) of a bucket-join —
 never a global sort; the +/-1 projection is a fixed-size literal
@@ -30,6 +32,7 @@ from ..registry import register
 
 TOPK = 5
 QUERY_MOD = 50  # vec_id % 50 == 0 -> ~2% of vectors are queries
+MAX_QUERY_COLLECT = 100_000  # hard cap on driver-collected query rows
 
 # 6 planes -> 64 buckets: ~8 vectors/bucket at sf0.01 so every
 # query has in-bucket candidates; at larger corpora raise planes to
@@ -45,9 +48,12 @@ def _planes() -> list[list[int]]:
     return [[rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)]
 
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for every query vector
-    (vec_id % 50 == 0), excluding self.
+    (vec_id % 50 == 0), excluding self.  BRUTE-FORCE BASELINE:
+    O(n*q) cross join, registered only as the exactness reference
+    for the LSH/IVF scale paths — never run this shape on a full
+    corpus as queries.
 
     Norms are computed ONCE per vector before the cross join (n + q
     folds) instead of per pair (n*q folds) — same IEEE doubles as
@@ -119,9 +125,12 @@ def _bucket_expr(vec_col: str) -> F.Column:
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors: candidates limited to the
-    query's LSH bucket (16 random hyperplanes -> 2^16 buckets).
-    Rows-only driver check; recall vs brute force tested in
-    tests/test_similarity.py."""
+    query's LSH bucket (N_PLANES=6 random hyperplanes -> 64
+    buckets; planes must grow as log2(n/occupancy) with corpus
+    size).  The plane matrix is a plan-time literal mirrored into
+    the oracle SQL, so the bucketing — and therefore the full
+    result — is value-hash checked against DuckDB; recall vs brute
+    force is tested in tests/test_dedup_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -156,6 +165,48 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "cos", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB mirror of the full LSH pipeline: the same +/-1 plane
+    literals, the same left-to-right double fold for each
+    projection (functions.vectors determinism contract), so bucket
+    ids — and the bucket-limited top-k — are identical."""
+    from ..functions.vectors import duck_dot, duck_l2
+
+    planes = _planes()
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        proj = duck_dot("embedding", lit)
+        bucket_terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
+    bucket = "CAST(" + " + ".join(bucket_terms) + " AS BIGINT)"
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {bucket} AS bucket,
+         {duck_l2('embedding')} AS norm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         ({duck_dot('q.embedding', 'n.embedding')}
+          / nullif(q.norm * n.norm, 0.0)) AS cos
+  FROM base q JOIN base n ON q.bucket = n.bucket
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> n.vec_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_LSH_BUCKETED_ORACLE = _lsh_oracle_sql()
 
 
 N_CELLS = 16  # IVF coarse cells; scale as ~sqrt(n) on real corpora
@@ -245,6 +296,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle_sql() -> str:
+    """DuckDB mirror of the IVF pipeline: same deterministic
+    centroids (N_CELLS lowest vec_ids), same argmax cell assignment
+    (ccos DESC, cell ASC), same N_PROBE probe cells, same final
+    top-k — every float computed by the identical ordered fold."""
+    from ..functions.vectors import duck_dot, duck_l2
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, {duck_l2('embedding')} AS norm FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, embedding AS cv, norm AS c_norm
+  FROM e ORDER BY vec_id LIMIT {N_CELLS}
+),
+best AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             ({duck_dot('e.embedding', 'c.cv')}
+              / nullif(e.norm * c.c_norm, 0.0)) DESC, c.cell ASC) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, e.norm, b.cell
+  FROM e JOIN best b USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qv, norm AS q_norm
+  FROM e WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT q_id, qv, q_norm, cell FROM (
+    SELECT q.q_id, q.qv, q.q_norm, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             ({duck_dot('q.qv', 'c.cv')}
+              / nullif(q.q_norm * c.c_norm, 0.0)) DESC, c.cell ASC) AS prk
+    FROM q CROSS JOIN cents c
+  ) t WHERE prk <= {N_PROBE}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id AS n_id,
+         ({duck_dot('p.qv', 'a.embedding')}
+          / nullif(p.q_norm * a.norm, 0.0)) AS cos
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE p.q_id <> a.vec_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_IVF_TOPK_ORACLE = _ivf_oracle_sql()
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid stats — the IVF coarse-quantizer building
     block (grouping vectors into cells).  Element-wise mean of the
@@ -277,9 +390,11 @@ ORDER BY label
 """
 
 
-register("ann_cosine_topk", ann_cosine_topk, ANN_COSINE_TOPK_ORACLE)
-register("ann_lsh_bucketed", ann_lsh_bucketed)  # rows-only (seeded planes)
-register("ann_ivf_topk", ann_ivf_topk)  # rows-only (approx; recall in tests)
+register(
+    "ann_cosine_topk_bruteforce", ann_cosine_topk_bruteforce, ANN_COSINE_TOPK_ORACLE
+)
+register("ann_lsh_bucketed", ann_lsh_bucketed, ANN_LSH_BUCKETED_ORACLE)
+register("ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_ORACLE)
 register(
     "embedding_label_centroids",
     embedding_label_centroids,
@@ -296,20 +411,31 @@ def ann_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final global top-k aggregates #partitions * k * q rows —
     never the full n*q score matrix.
 
-    This is the Python-vectorized twin of ann_cosine_topk: ~64x
-    fewer interpreter transitions than per-pair expression eval,
-    at the cost of float-sum order differing from the HOF fold
-    (rows-only driver check; recall vs the exact query asserted in
-    tests)."""
+    This is the Python-vectorized twin of ann_cosine_topk_bruteforce:
+    ~64x fewer interpreter transitions than per-pair expression
+    eval, at the cost of float-sum order differing from the HOF
+    fold (rows-only driver check; recall vs the exact query
+    asserted in tests)."""
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the query set is driver-collected by design (it is the user's
+    # bounded input, broadcast as one numpy matrix) — but guard the
+    # collect so a misconfigured QUERY_MOD can never pull the whole
+    # corpus through the driver
     qrows = (
         e.where(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
+        .limit(MAX_QUERY_COLLECT + 1)
         .collect()
     )
+    if len(qrows) > MAX_QUERY_COLLECT:
+        raise ValueError(
+            f"ann_cosine_topk_matmul: query set exceeds "
+            f"MAX_QUERY_COLLECT={MAX_QUERY_COLLECT} rows; refusing to "
+            f"collect it to the driver — tighten the query predicate"
+        )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)

@@ -30,7 +30,7 @@ def test_simhash_deterministic(spark):
 
 
 def test_ann_lsh_subset_of_bruteforce_space(spark):
-    brute = registry.QUERIES["ann_cosine_topk"](spark, SF).collect()
+    brute = registry.QUERIES["ann_cosine_topk_bruteforce"](spark, SF).collect()
     lsh = registry.QUERIES["ann_lsh_bucketed"](spark, SF).collect()
     assert lsh, "LSH buckets produced no candidates"
     brute_best = {}
@@ -49,7 +49,7 @@ def test_exact_dedup_unique_corpus(spark):
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
-    brute = registry.QUERIES["ann_cosine_topk"](spark, SF).collect()
+    brute = registry.QUERIES["ann_cosine_topk_bruteforce"](spark, SF).collect()
     ivf = registry.QUERIES["ann_ivf_topk"](spark, SF).collect()
     assert ivf, "IVF probe produced no candidates"
     brute_top = {}
@@ -67,7 +67,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
 
 
 def test_ann_matmul_matches_exact_topk(spark):
-    exact = registry.QUERIES["ann_cosine_topk"](spark, SF).collect()
+    exact = registry.QUERIES["ann_cosine_topk_bruteforce"](spark, SF).collect()
     mat = registry.QUERIES["ann_cosine_topk_matmul"](spark, SF).collect()
     exact_top = {}
     for r in exact:
