@@ -94,38 +94,124 @@ ORDER BY n_regionkey
 
 
 # ---------------------------------------------------------------
-# Correlation / covariance / moments.  Each moment is rounded AFTER
-# aggregation at coarse enough scale that float noise cannot flip a
-# bit (values are O(1)); per the engine determinism contract,
-# money-style exact sums use stable.qsum instead.
+# Correlation / covariance / moments, DERIVED from exact integer
+# power sums instead of the engines' native corr/skewness/kurtosis:
+# l_quantity is integer-valued and prices/rates are 2dp-exact, so
+# quantizing to ints is lossless, the decimal(38,0)/HUGEINT sums are
+# bit-identical across engines, and the closing double arithmetic is
+# the same IEEE sequence on both sides — no summation-order noise,
+# no engine bias-convention mismatch, no quantize-boundary flips at
+# other scale factors.  Conventions: corr is Pearson; covar is
+# sample covariance; skew/kurt are population g1 / excess g2.
 # ---------------------------------------------------------------
 def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    r4 = lambda c: (F.floor(c * 10000.0 + 0.5) / 10000.0)  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    q = F.floor(F.col("l_quantity") + 0.5)
+    p = F.floor(F.col("l_extendedprice") * 100 + 0.5)
+    d = F.floor(F.col("l_discount") * 100 + 0.5)
+    t = F.floor(F.col("l_tax") * 100 + 0.5)
+    grouped = l.groupBy("l_returnflag").agg(
+        F.sum(dec(q)).alias("_sq"),
+        F.sum(dec(q) * q).alias("_sq2"),
+        F.sum(dec(q) * q * q).alias("_sq3"),
+        F.sum(dec(q) * q * q * q).alias("_sq4"),
+        F.sum(dec(p)).alias("_sp"),
+        F.sum(dec(p) * p).alias("_sp2"),
+        F.sum(dec(q) * p).alias("_sqp"),
+        F.sum(dec(d)).alias("_sd"),
+        F.sum(dec(t)).alias("_st"),
+        F.sum(dec(d) * t).alias("_sdt"),
+        F.count("*").alias("n"),
+    )
+    c = lambda name: F.col(name).cast("double")  # noqa: E731
+    nd = c("n")
+    sq, sq2, sq3, sq4 = c("_sq"), c("_sq2"), c("_sq3"), c("_sq4")
+    sp, sp2, sqp = c("_sp"), c("_sp2"), c("_sqp")
+    sd_, st, sdt = c("_sd"), c("_st"), c("_sdt")
+    corr_qp = (nd * sqp - sq * sp) / (
+        F.sqrt(nd * sq2 - sq * sq) * F.sqrt(nd * sp2 - sp * sp)
+    )
+    covar_dt = (sdt - sd_ * st / nd) / (nd - 1) / 10000.0
+    mean = sq / nd
+    m2 = sq2 / nd - mean * mean
+    m3 = sq3 / nd - 3 * mean * (sq2 / nd) + 2 * mean * mean * mean
+    m4 = (
+        sq4 / nd
+        - 4 * mean * (sq3 / nd)
+        + 6 * mean * mean * (sq2 / nd)
+        - 3 * mean * mean * mean * mean
+    )
+    skew_q = m3 / F.sqrt(m2 * m2 * m2)
+    kurt_q = m4 / (m2 * m2) - 3.0
+    r4 = lambda col: (F.floor(col * 10000.0 + 0.5) / 10000.0)  # noqa: E731
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
-            r4(F.covar_samp("l_discount", "l_tax")).alias("covar_dt"),
-            r4(F.skewness("l_quantity")).alias("skew_q"),
-            r4(F.kurtosis("l_quantity")).alias("kurt_q"),
-            F.count("*").alias("n"),
+        grouped.select(
+            "l_returnflag",
+            r4(corr_qp).alias("corr_qp"),
+            r4(covar_dt).alias("covar_dt"),
+            r4(skew_q).alias("skew_q"),
+            r4(kurt_q).alias("kurt_q"),
+            "n",
         )
         .orderBy("l_returnflag")
     )
 
 
 AGG_CORR_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS DOUBLE) AS sq,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+                  * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sq2,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+                  * CAST(floor(l_quantity + 0.5) AS BIGINT)
+                  * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sq3,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+                  * CAST(floor(l_quantity + 0.5) AS BIGINT)
+                  * CAST(floor(l_quantity + 0.5) AS BIGINT)
+                  * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sq4,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS DOUBLE) AS sp,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                  * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sp2,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+                  * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sqp,
+         CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS HUGEINT)) AS DOUBLE) AS sd_,
+         CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS HUGEINT)) AS DOUBLE) AS st,
+         CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS HUGEINT)
+                  * CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sdt,
+         count(*) AS n
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         (CAST(n AS DOUBLE) * sqp - sq * sp)
+           / (sqrt(CAST(n AS DOUBLE) * sq2 - sq * sq)
+              * sqrt(CAST(n AS DOUBLE) * sp2 - sp * sp)) AS corr_qp,
+         (sdt - sd_ * st / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1) / 10000.0 AS covar_dt,
+         sq / CAST(n AS DOUBLE) AS mean,
+         sq2 / CAST(n AS DOUBLE) AS r2,
+         sq3 / CAST(n AS DOUBLE) AS r3,
+         sq4 / CAST(n AS DOUBLE) AS r4_
+  FROM g
+),
+mm AS (
+  SELECT l_returnflag, n, corr_qp, covar_dt,
+         r2 - mean * mean AS m2,
+         r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+         r4_ - 4 * mean * r3 + 6 * mean * mean * r2
+             - 3 * mean * mean * mean * mean AS m4
+  FROM m
+)
 SELECT l_returnflag,
-       floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0
-           AS corr_qp,
-       floor(covar_samp(l_discount, l_tax) * 10000.0 + 0.5) / 10000.0
-           AS covar_dt,
-       floor(skewness(l_quantity) * 10000.0 + 0.5) / 10000.0 AS skew_q,
-       floor(kurtosis(l_quantity) * 10000.0 + 0.5) / 10000.0 AS kurt_q,
-       count(*) AS n
-FROM lineitem
-GROUP BY l_returnflag
+       floor(corr_qp * 10000.0 + 0.5) / 10000.0 AS corr_qp,
+       floor(covar_dt * 10000.0 + 0.5) / 10000.0 AS covar_dt,
+       floor((m3 / sqrt(m2 * m2 * m2)) * 10000.0 + 0.5) / 10000.0 AS skew_q,
+       floor((m4 / (m2 * m2) - 3.0) * 10000.0 + 0.5) / 10000.0 AS kurt_q,
+       n
+FROM mm
 ORDER BY l_returnflag
 """
 

@@ -449,35 +449,60 @@ ORDER BY l_returnflag
 
 # ---------------------------------------------------------------
 # Statistical aggregates (variance family).  min/max are exact;
-# mean via stable sums; stddev uses engine implementations whose
-# last-ulp noise is absorbed by a floor-quantize at 2dp.
+# mean via stable sums; stddev is DERIVED from exact integer power
+# sums (cents in decimal(38,0) / HUGEINT) instead of the engines'
+# native stddev_samp: prices are 2dp-exact, so the sums are
+# bit-identical across engines and the final double arithmetic is
+# the same IEEE sequence — no summation-order noise, no quantize-
+# boundary flakiness at any scale factor.
 # ---------------------------------------------------------------
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("decimal(38,0)")
+    grouped = o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        qavg("o_totalprice", 2).alias("avg_price"),
+        F.sum(cents).alias("_s1"),
+        F.sum(cents * cents).alias("_s2"),
+        F.count("*").alias("n"),
+    )
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    nd = F.col("n").cast("double")
+    sd_cents = F.sqrt((s2 - s1 * s1 / nd) / (nd - 1))
     return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
-            qavg("o_totalprice", 2).alias("avg_price"),
-            (F.floor(F.stddev_samp("o_totalprice") * 100 + 0.5) / 100.0).alias(
-                "sd_price"
-            ),
-            F.count("*").alias("n"),
+        grouped.select(
+            "o_orderstatus",
+            "min_price",
+            "max_price",
+            "avg_price",
+            (F.floor(sd_cents / 100.0 * 100 + 0.5) / 100.0).alias("sd_price"),
+            "n",
         )
         .orderBy("o_orderstatus")
     )
 
 
 AGG_STATS_ORACLE = f"""
-SELECT o_orderstatus,
-       min(o_totalprice) AS min_price,
-       max(o_totalprice) AS max_price,
-       {duck_qavg('o_totalprice', 2)} AS avg_price,
-       (floor(stddev_samp(o_totalprice) * 100 + 0.5) / 100.0) AS sd_price,
-       count(*) AS n
-FROM orders
-GROUP BY o_orderstatus
+WITH g AS (
+  SELECT o_orderstatus,
+         min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price,
+         {duck_qavg('o_totalprice', 2)} AS avg_price,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)
+                  * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s2,
+         count(*) AS n
+  FROM orders
+  GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, min_price, max_price, avg_price,
+       (floor(sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1)) / 100.0 * 100 + 0.5)
+        / 100.0) AS sd_price,
+       n
+FROM g
 ORDER BY o_orderstatus
 """
 

@@ -118,7 +118,7 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last+gap starts a new session).  Microsecond-exact via epoch_us.
 EVENTS_SESSION_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
               WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
               THEN 1 ELSE 0 END AS new_session
@@ -126,8 +126,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
+  -- event_id tiebreak matches flagged's total order: with duplicate
+  -- (user_id, ts) rows, an untied cumsum could otherwise assign
+  -- session ids nondeterministically
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )

@@ -59,6 +59,33 @@ def test_golden_wordcount(spark):
     assert len(out) == len(EXPECTED)
 
 
+def test_empty_input_emits_zero_rows(spark):
+    """DOCUMENTED DEVIATION from the reference: on empty input the
+    reference's reduce still emits one '"" 0' line
+    (maprdeuce.cpp:318 — the accumulator flushes its initial state).
+    The rebuild deliberately emits ZERO rows (an empty aggregation
+    has no groups).  This test pins that choice so it never changes
+    silently."""
+    empty = spark.createDataFrame([], "text string")
+    out = (
+        words(empty, "text")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert out == []
+    # whitespace-only input reduces to zero rows too (tokens
+    # normalize to '' and are filtered, not counted as a key)
+    blank = spark.createDataFrame([("",), ("   ",)], ["text"])
+    out2 = (
+        words(blank, "text")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert out2 == []
+
+
 def test_normalize_word_edge_cases(spark):
     cases = [
         ("Don't", "dont"),
