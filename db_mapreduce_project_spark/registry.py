@@ -43,6 +43,7 @@ def load_all_queries() -> None:
     import).  Idempotent."""
     from .functions import udfs  # noqa: F401
     from .operators import (  # noqa: F401
+        assembly,
         behavior,
         classic,
         classic2,

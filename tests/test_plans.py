@@ -168,3 +168,33 @@ def test_funnel_is_single_shuffle_per_level(spark):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert count_exchanges(df) <= 2
+
+
+def test_pack_sequences_reads_two_columns_one_partitioned_window(spark):
+    # packing must be a per-shard window (no global single-partition
+    # sort) and must not read the text column twice
+    df = registry.QUERIES["pack_sequences"](spark, SF)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    # partitioned window: the window exchange hashes on lang, it is
+    # never a SinglePartition exchange
+    assert "SinglePartition" not in plan.split("Sort")[0]
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"doc_id", "lang", "text"}
+
+
+def test_quality_quantile_filter_broadcasts_thresholds(spark):
+    # per-lang p5/p95 is a tiny aggregate: it must come back as a
+    # broadcast join, never a shuffle of the documents scan
+    df = registry.QUERIES["quality_quantile_filter"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_bigram_counts_partial_agg_before_topk(spark):
+    # count shuffle is keyed (lang, bigram) with map-side combine;
+    # the top-k window runs over the counts, not the exploded corpus
+    df = registry.QUERIES["text_bigram_counts"](spark, SF)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    assert "Window" in plan
