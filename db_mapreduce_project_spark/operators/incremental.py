@@ -1,0 +1,152 @@
+"""Incremental-maintenance operators: MERGE-style upsert,
+latest-per-key CDC compaction, and fixed-width histograms — the
+table-maintenance verbs a training-data warehouse needs between
+ingest batches.
+
+Scale notes:
+- the upsert is union + latest-wins window (ONE shuffle on the key,
+  merge-on-read shape); with a bucketed base table the shuffle
+  disappears entirely — this is how row-level MERGE engines compact;
+- latest-per-key is the same single-shuffle window, the standard
+  CDC snapshot compaction;
+- the histogram is a map-side bucket assignment + tiny groupBy —
+  no wide shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.stable import duck_qavg, qavg
+from ..io import load_table
+from ..registry import register
+
+
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE: apply an update batch to the customer table —
+    updates overwrite matching keys, new keys insert.  The batch is
+    derived deterministically from the table itself (every 7th
+    customer gets +100.00 balance; every 97th spawns a new key
+    +1e6) so the operation is oracle-checkable without extra
+    fixtures.
+
+    Implementation is the merge-on-read shape: union the batch over
+    the base with a source priority, then latest-wins row_number
+    per key — one shuffle; a bucketed base makes it shuffle-free.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    inserts = c.where(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    batch = updates.unionByName(inserts).withColumn("_src", F.lit(1))
+    merged = c.withColumn("_src", F.lit(0)).unionByName(batch)
+    w = Window.partitionBy("c_custkey").orderBy(F.col("_src").desc())
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+MERGE_UPSERT_CUSTOMERS_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal, 0 AS _src FROM customer
+),
+batch AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, 1 AS _src
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, concat('new-', c_name), 0.0, 1
+  FROM customer WHERE c_custkey % 97 = 0
+),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM batch
+)
+SELECT c_custkey, c_name, c_acctbal FROM (
+  SELECT c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY _src DESC) AS _rk
+  FROM merged
+) t
+WHERE _rk = 1
+ORDER BY c_custkey
+"""
+
+
+def cdc_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot compaction: the latest event per user (ts then
+    event_id as total order) — the dedup that turns an append-only
+    change log into current state.  Single shuffle on the key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+        .orderBy("user_id")
+    )
+
+
+CDC_LATEST_PER_USER_ORACLE = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS _rk
+  FROM events
+) t
+WHERE _rk = 1
+ORDER BY user_id
+"""
+
+
+HIST_WIDTH = 50_000.0  # price-band width
+HIST_MAX_BUCKET = 9
+
+
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (10 bands of 50k, last
+    band open-ended): bucket assignment is a map-side expression,
+    the aggregate is a 10-row groupBy — the profiling primitive for
+    choosing filter thresholds at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(HIST_MAX_BUCKET)
+    ).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            qavg("o_totalprice", 2).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_ORDER_PRICES_ORACLE = f"""
+SELECT CAST(least(floor(o_totalprice / {HIST_WIDTH}), {HIST_MAX_BUCKET})
+            AS INTEGER) AS bucket,
+       count(*) AS n_orders,
+       {duck_qavg('o_totalprice', 2)} AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+register(
+    "merge_upsert_customers", merge_upsert_customers, MERGE_UPSERT_CUSTOMERS_ORACLE
+)
+register("cdc_latest_per_user", cdc_latest_per_user, CDC_LATEST_PER_USER_ORACLE)
+register(
+    "histogram_order_prices", histogram_order_prices, HISTOGRAM_ORDER_PRICES_ORACLE
+)

@@ -50,6 +50,7 @@ def load_all_queries() -> None:
         dedup,
         extended,
         functions_sweep,
+        incremental,
         multimodal,
         profiling,
         relational,

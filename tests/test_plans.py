@@ -198,3 +198,19 @@ def test_bigram_counts_partial_agg_before_topk(spark):
     plan = physical_plan(df)
     assert "HashAggregate" in plan
     assert "Window" in plan
+
+
+def test_merge_upsert_is_single_shuffle(spark):
+    # union + latest-wins window: one exchange on the key, no join
+    df = registry.QUERIES["merge_upsert_customers"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_histogram_is_tiny_groupby(spark):
+    # bucket assignment is map-side; the only wide op is the 10-row agg
+    df = registry.QUERIES["histogram_order_prices"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert count_exchanges(df) <= 2  # partial->final agg + output sort
