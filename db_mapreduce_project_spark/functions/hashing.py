@@ -46,6 +46,25 @@ def spark_charhash(
     )
 
 
+def spark_charhash_pair(col: Column) -> Column:
+    """Both portable hashes — (base 31, mod 1e9+7) and (base 131,
+    mod 1e9+9) — in ONE fold over the characters, returned as a
+    struct<h1,h2>.  Halves the split/fold work vs calling
+    :func:`spark_charhash` twice; values are identical."""
+    chars = F.split(col, "")
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("h1"), F.lit(0).cast("bigint").alias("h2")
+    )
+    return F.aggregate(
+        chars,
+        init,
+        lambda acc, c: F.struct(
+            ((acc["h1"] * FP_CHAR_BASE + F.ascii(c)) % FP_MOD).alias("h1"),
+            ((acc["h2"] * FP_WORD_BASE + F.ascii(c)) % FP_MOD2).alias("h2"),
+        ),
+    )
+
+
 def duck_charhash(expr: str, base: int = FP_CHAR_BASE, mod: int = FP_MOD) -> str:
     """DuckDB SQL fragment computing :func:`spark_charhash` of a
     varchar expression."""
@@ -143,9 +162,13 @@ def minhash_signature_portable(
     1e9+7/1e9+9) that DuckDB reproduces exactly — so the whole
     LSH pipeline is oracle-checkable.  Max value of h1 + i*h2 for
     i<32 is ~3.3e10: no int64 overflow.  Still one shuffle."""
-    h1 = spark_charhash(F.col(shingle_col), FP_CHAR_BASE, FP_MOD)
-    h2 = spark_charhash(F.col(shingle_col), FP_WORD_BASE, FP_MOD2)
-    base = shingles.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
+    base = shingles.select(
+        F.col(id_col), spark_charhash_pair(F.col(shingle_col)).alias("_h")
+    ).select(
+        id_col,
+        F.col("_h.h1").alias("_h1"),
+        F.col("_h.h2").alias("_h2"),
+    )
     aggs = [
         F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -224,12 +247,16 @@ def simhash60_portable(
     xxhash64 but identical cross-engine, which is what makes the
     signature differentially testable).  Same one-shuffle plan as
     :func:`simhash63`."""
-    counted = tokens.groupBy(id_col, token_col).agg(F.count("*").alias("cnt"))
-    h = (
-        spark_charhash(F.col(token_col), FP_CHAR_BASE, FP_MOD)
-        + spark_charhash(F.col(token_col), FP_WORD_BASE, FP_MOD2)
-        * F.lit(1 << 30).cast("bigint")
+    counted = (
+        tokens.groupBy(id_col, token_col)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col(id_col),
+            F.col("cnt"),
+            spark_charhash_pair(F.col(token_col)).alias("_h"),
+        )
     )
+    h = F.col("_h.h1") + F.col("_h.h2") * F.lit(1 << 30).cast("bigint")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
