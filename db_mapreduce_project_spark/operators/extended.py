@@ -485,6 +485,85 @@ ORDER BY c_custkey
 register("sql_subqueries", sql_subqueries, SQL_SUBQUERIES_ORACLE)
 
 
+# ---------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): calendar densification —
+# a month spine left-joined to facts so empty months appear with
+# zero counts.  The recursion generates 84 rows on the driver-side
+# plan; the join is a broadcast of the spine — no fact shuffle.
+# ---------------------------------------------------------------
+def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST('1992-01-01' AS DATE)
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+          WHERE m < CAST('1998-12-01' AS DATE)
+        )
+        SELECT CAST(m AS TIMESTAMP) AS month_start,
+               count(o_orderkey) AS n_orders
+        FROM months
+        LEFT JOIN orders ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+        GROUP BY m
+        ORDER BY month_start
+        """
+    )
+
+
+SQL_RECURSIVE_MONTH_SERIES_ORACLE = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1992-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < CAST('1998-12-01' AS DATE)
+)
+SELECT CAST(m AS TIMESTAMP) AS month_start,
+       count(o_orderkey) AS n_orders
+FROM months
+LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+GROUP BY m
+ORDER BY month_start
+"""
+
+
+# ---------------------------------------------------------------
+# Correlated LATERAL subquery with ORDER BY + LIMIT: per-group
+# top-n through the SQL parser (Catalyst decorrelates to a ranked
+# join — same plan family as the window formulation).
+# ---------------------------------------------------------------
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.c_name, l.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+        ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey
+        """
+    )
+
+
+SQL_LATERAL_TOPN_ORACLE = """
+SELECT n.n_name, l.c_custkey, l.c_name, l.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey
+"""
+
+
+register(
+    "sql_recursive_month_series",
+    sql_recursive_month_series,
+    SQL_RECURSIVE_MONTH_SERIES_ORACLE,
+)
+register("sql_lateral_topn", sql_lateral_topn, SQL_LATERAL_TOPN_ORACLE)
+
+
 def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-stratum fraction) sampling — the
     training-data rebalancing primitive (e.g. downsample 'click',
