@@ -357,3 +357,54 @@ def stream_sliding_windows(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_latest_per_user(
+    spark: SparkSession, sf_dir: str, out_dir: str, ckpt_dir: str
+):
+    """foreachBatch MERGE-on-read sink: each micro-batch reduces to
+    its latest event per user and APPENDS those rows (no in-place
+    rewrite — append-only delta files, the scalable upsert shape);
+    :func:`read_latest_per_user` compacts with a latest-wins window
+    at read time.  The compacted view must equal the batch
+    cdc_latest_per_user query — asserted in tests.  At scale the
+    periodic compaction job is exactly merge_upsert's union +
+    latest-wins plan."""
+    from pyspark.sql import Window
+
+    ev = _stream_events(spark, sf_dir)
+
+    def emit_batch(batch_df, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("user_id", "event_id", "event_type", "ts")
+            .withColumn("_batch", F.lit(batch_id))
+        )
+        latest.write.mode("append").parquet(out_dir)
+
+    return (
+        ev.writeStream.foreachBatch(emit_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+
+
+def read_latest_per_user(spark: SparkSession, out_dir: str):
+    """Merge-on-read compaction of the upsert sink's append-only
+    delta files: latest-wins per user across all batches."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc(), F.col("_batch").desc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )

@@ -145,3 +145,23 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
         r["user_id"]: (r["n_events"], r["sum_value"]) for r in batch.collect()
     }
     assert final == expected
+
+
+def test_stream_upsert_equals_batch_cdc(spark, sf_dir, tmp_path):
+    """Streaming merge-on-read upsert == batch CDC compaction: the
+    foreachBatch sink's compacted view must produce exactly the
+    cdc_latest_per_user batch result."""
+    from db_mapreduce_project_spark.streaming.jobs import (
+        read_latest_per_user,
+        stream_upsert_latest_per_user,
+    )
+
+    out = str(tmp_path / "latest_sink")
+    q = stream_upsert_latest_per_user(
+        spark, sf_dir, out, str(tmp_path / "ckpt_upsert")
+    )
+    q.awaitTermination(120)
+    streamed = read_latest_per_user(spark, out)
+    batch = registry.QUERIES["cdc_latest_per_user"](spark, sf_dir)
+    cols = ["user_id", "event_id", "event_type", "ts"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
