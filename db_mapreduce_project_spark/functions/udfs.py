@@ -213,3 +213,43 @@ ORDER BY doc_id, sentence
 """
 
 register("udtf_sentences", udtf_sentences, UDTF_SENTENCES_ORACLE)
+
+
+def arrow_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: per-document whitespace token counts computed
+    with pyarrow.compute kernels directly on the Arrow batches —
+    the zero-copy sibling of mapInPandas (no pandas conversion at
+    all).  Integer outputs, so the result is exactly
+    oracle-checkable (no float-order concerns).  At scale this is
+    the cheapest Python-side escape hatch: one C++-vectorized pass
+    per Arrow batch, nothing row-at-a-time."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_batches(batches):
+        for batch in batches:
+            doc_id = batch.column(0)
+            txt = pc.utf8_trim_whitespace(batch.column(1))
+            toks = pc.split_pattern_regex(txt, r"\s+")
+            n = pc.list_value_length(toks).cast(pa.int64())
+            empty = pc.equal(pc.utf8_length(txt), 0)
+            n = pc.if_else(empty, pa.scalar(0, pa.int64()), n)
+            yield pa.RecordBatch.from_arrays([doc_id, n], ["doc_id", "n_tok"])
+
+    return d.mapInArrow(count_batches, "doc_id long, n_tok long").orderBy(
+        "doc_id"
+    )
+
+
+ARROW_TOKEN_COUNTS_ORACLE = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+       END AS n_tok
+FROM documents
+ORDER BY doc_id
+"""
+
+register("arrow_token_counts", arrow_token_counts, ARROW_TOKEN_COUNTS_ORACLE)
