@@ -487,9 +487,12 @@ register("sql_subqueries", sql_subqueries, SQL_SUBQUERIES_ORACLE)
 
 # ---------------------------------------------------------------
 # Recursive CTE (Spark 4 WITH RECURSIVE): calendar densification —
-# a month spine left-joined to facts so empty months appear with
-# zero counts.  The recursion generates 84 rows on the driver-side
-# plan; the join is a broadcast of the spine — no fact shuffle.
+# a month spine joined to PRE-AGGREGATED facts so empty months
+# appear with zero counts.  Aggregate-then-join is the scale shape:
+# the fact table reduces map-side to #months rows before any join
+# (a raw spine LEFT JOIN fact would force broadcasting the FACT
+# side, since an outer join can only broadcast its non-preserved
+# side).
 # ---------------------------------------------------------------
 def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir)
@@ -500,12 +503,16 @@ def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
           WHERE m < CAST('1998-12-01' AS DATE)
+        ),
+        per_month AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+                 count(*) AS n
+          FROM orders
+          GROUP BY 1
         )
         SELECT CAST(m AS TIMESTAMP) AS month_start,
-               count(o_orderkey) AS n_orders
-        FROM months
-        LEFT JOIN orders ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
-        GROUP BY m
+               CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN per_month USING (m)
         ORDER BY month_start
         """
     )
@@ -517,12 +524,16 @@ WITH RECURSIVE months(m) AS (
   UNION ALL
   SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
   WHERE m < CAST('1998-12-01' AS DATE)
+),
+per_month AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         count(*) AS n
+  FROM orders
+  GROUP BY 1
 )
 SELECT CAST(m AS TIMESTAMP) AS month_start,
-       count(o_orderkey) AS n_orders
-FROM months
-LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
-GROUP BY m
+       CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN per_month USING (m)
 ORDER BY month_start
 """
 
