@@ -575,6 +575,43 @@ register(
 register("sql_lateral_topn", sql_lateral_topn, SQL_LATERAL_TOPN_ORACLE)
 
 
+# ---------------------------------------------------------------
+# EXACT distinct counting via bitmap aggregation — the warehouse
+# scale pattern: each (group, bucket) partially aggregates into a
+# fixed-size bitmap map-side, so the shuffle carries bitmaps (one
+# per 32k-id bucket), never raw ids; bitmap_count + sum closes.
+# Exact (unlike HLL), so a plain count(DISTINCT) oracle applies.
+# ---------------------------------------------------------------
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_users FROM (
+          SELECT event_type, bitmap_bucket_number(user_id) AS bucket,
+                 bitmap_count(
+                   bitmap_construct_agg(bitmap_bit_position(user_id))
+                 ) AS cnt
+          FROM events GROUP BY 1, 2
+        ) t
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
+BITMAP_DISTINCT_USERS_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+register(
+    "bitmap_distinct_users", bitmap_distinct_users, BITMAP_DISTINCT_USERS_ORACLE
+)
+
+
 def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-stratum fraction) sampling — the
     training-data rebalancing primitive (e.g. downsample 'click',
