@@ -78,8 +78,11 @@ def salted_join_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    salts = spark.range(NUM_SALTS).select(F.col("id").alias("salt"))
-    c_rep = c.crossJoin(F.broadcast(salts))
+    # map-side replication: explode a salt array per row — no join
+    # operator at all (cleaner than crossJoin against a salts df)
+    c_rep = c.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(NUM_SALTS - 1)))
+    )
     e_salted = e.withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(NUM_SALTS))
     )

@@ -214,3 +214,36 @@ def test_histogram_is_tiny_groupby(spark):
     plan = physical_plan(df)
     assert "Join" not in plan and "Window" not in plan
     assert count_exchanges(df) <= 2  # partial->final agg + output sort
+
+
+# Queries that legitimately contain an unkeyed join: brute-force
+# exactness baselines (named so), and broadcast-centroid/plane scans
+# where the build side is a tiny fixed set.
+_UNKEYED_JOIN_OK = {
+    "ann_cosine_topk_bruteforce",
+    "dedup_embedding_cosine_bruteforce",
+    "ann_ivf_topk",          # broadcast NLJ against N_CELLS centroids
+    "fuzzy_levenshtein",     # edit-distance theta join (documented)
+    "join_range",            # theta join (documented range predicate)
+    "sql_subqueries",        # 1-row scalar subquery comparison
+    "q19_disjunctive_predicates",  # OR-of-ANDs join predicate
+    "sql_api_revenue",
+    "q22_idle_customers",    # 1-row scalar avg broadcast comparison
+    "text_tfidf_top_terms",  # 1-row total-docs scalar broadcast
+}
+
+# Queries whose construction triggers eager execution (iterative
+# loops / bounded driver collects) — skipped to keep the sweep fast.
+_EAGER = {"dedup_clusters", "ann_cosine_topk_matmul"}
+
+
+def test_no_accidental_cartesian_products(spark):
+    registry.load_all_queries()
+    offenders = []
+    for name, fn in sorted(registry.QUERIES.items()):
+        if name in _UNKEYED_JOIN_OK or name in _EAGER:
+            continue
+        plan = physical_plan(fn(spark, SF))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"unkeyed joins in: {offenders}"
