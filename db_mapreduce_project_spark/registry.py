@@ -47,6 +47,7 @@ def load_all_queries() -> None:
         behavior,
         classic,
         classic2,
+        classic3,
         dedup,
         extended,
         functions_sweep,

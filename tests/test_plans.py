@@ -230,6 +230,7 @@ _UNKEYED_JOIN_OK = {
     "sql_api_revenue",
     "q22_idle_customers",    # 1-row scalar avg broadcast comparison
     "text_tfidf_top_terms",  # 1-row total-docs scalar broadcast
+    "q11_important_stock",   # 1-row global-threshold scalar broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
