@@ -55,6 +55,7 @@ HEADLINE = [
     "join_asof",
     "sessionize_events",
     "q13_customer_distribution",
+    "q9_product_profit",
 ]
 
 

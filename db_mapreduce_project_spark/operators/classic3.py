@@ -343,3 +343,87 @@ register(
     Q16_ORACLE,
 )
 register("q20_excess_stock_suppliers", q20_excess_stock_suppliers, Q20_ORACLE)
+
+
+# ---------------------------------------------------------------
+# Q8 shape: national market share — the target nation's fraction of
+# regional import volume per year.  Two roles of nation (customer's
+# region scope, supplier's share target), conditional quantized sums,
+# one fact shuffle.
+# ---------------------------------------------------------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stable import qint
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            qint(volume, 2).alias("vq"),
+            (F.col("supp_nation") == "NATION_5").alias("is_target"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("is_target"), F.col("vq")).otherwise(0))
+                / F.sum("vq")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+              AS BIGINT) AS vq,
+         (n2.n_name = 'NATION_5') AS is_target
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE p_type = 'SMALL' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       (CAST(sum(CASE WHEN is_target THEN vq ELSE 0 END) AS BIGINT)
+        / CAST(sum(vq) AS DOUBLE)) AS mkt_share
+FROM base
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+register("q8_market_share", q8_market_share, Q8_ORACLE)
