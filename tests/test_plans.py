@@ -248,3 +248,25 @@ def test_no_accidental_cartesian_products(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, f"unkeyed joins in: {offenders}"
+
+
+def test_q9_dims_broadcast_single_fact_pass(spark):
+    # part/supplier/nation broadcast; only partsupp-derivation and
+    # orders join shuffle the wide side
+    df = registry.QUERIES["q9_product_profit"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_min_cost_join_is_broadcast(spark):
+    df = registry.QUERIES["q2_min_cost_supplier"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q8_all_dims_broadcast(spark):
+    # six dimension joins, all broadcast — the fact table shuffles
+    # only for the orders join and final agg
+    df = registry.QUERIES["q8_market_share"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5
