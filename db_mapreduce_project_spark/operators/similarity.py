@@ -209,6 +209,82 @@ ORDER BY q_id, rk
 ANN_LSH_BUCKETED_ORACLE = _lsh_oracle_sql()
 
 
+COSINE_DEDUP_THRESHOLD = 0.92
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.92) found via the LSH
+    buckets — the SCALE PATH twin of
+    dedup_embedding_cosine_bruteforce: candidate pairs are limited
+    to same-bucket vectors (equi-join on the 6-plane sign sketch),
+    so the pair search is linear in bucket occupancy, never O(n^2).
+    Same plane literals in the oracle, so the bucketed result is
+    value-hash checked; recall vs brute force is a property of the
+    plane count (documented in tests)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _bucket_expr("embedding").alias("bucket"),
+        l2("embedding").alias("norm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "bucket",
+        F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "bucket",
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            dot("va", "vb")
+            / F.nullif(F.col("norm_a") * F.col("norm_b"), F.lit(0.0)),
+        )
+        .where(F.col("cos") >= COSINE_DEDUP_THRESHOLD)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _dedup_lsh_oracle_sql() -> str:
+    from ..functions.vectors import duck_dot, duck_l2
+
+    planes = _planes()
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        proj = duck_dot("embedding", lit)
+        bucket_terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
+    bucket = "CAST(" + " + ".join(bucket_terms) + " AS BIGINT)"
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {bucket} AS bucket,
+         {duck_l2('embedding')} AS norm
+  FROM embeddings
+)
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ({duck_dot('a.embedding', 'b.embedding')}
+          / nullif(a.norm * b.norm, 0.0)) AS cos
+  FROM base a JOIN base b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+) t
+WHERE cos >= {COSINE_DEDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+DEDUP_EMBEDDING_LSH_ORACLE = _dedup_lsh_oracle_sql()
+
+
 N_CELLS = 16  # IVF coarse cells; scale as ~sqrt(n) on real corpora
 N_PROBE = 3  # cells searched per query
 
@@ -394,6 +470,7 @@ register(
     "ann_cosine_topk_bruteforce", ann_cosine_topk_bruteforce, ANN_COSINE_TOPK_ORACLE
 )
 register("ann_lsh_bucketed", ann_lsh_bucketed, ANN_LSH_BUCKETED_ORACLE)
+register("dedup_embedding_lsh", dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_ORACLE)
 register("ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_ORACLE)
 register(
     "embedding_label_centroids",
