@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "dedup_embedding_cosine_bruteforce",
+    "dedup_embedding_lsh",
     "multimodal_features",
     "q10_returned_items",
     "q7_volume_shipping",
