@@ -277,6 +277,41 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+# match each other instead of vanishing — the semantic needed when
+# joining on optional attributes.  Aggregate-then-join keeps the
+# null bucket a single row (no null-key fan-out at scale).
+# ---------------------------------------------------------------
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    ek = F.nullif(F.col("event_id") % 7, F.lit(0))
+    ok = F.nullif(F.col("o_orderkey") % 7, F.lit(0))
+    a = e.groupBy(ek.alias("k")).agg(F.count("*").alias("n_events"))
+    b = o.groupBy(ok.alias("k")).agg(F.count("*").alias("n_orders"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"].alias("k"), "n_events", "n_orders")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+JOIN_NULL_SAFE_ORACLE = """
+WITH a AS (
+  SELECT nullif(event_id % 7, 0) AS k, count(*) AS n_events
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT nullif(o_orderkey % 7, 0) AS k, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT a.k, n_events, n_orders
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY a.k ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------
 # Outer join with null-handling (parts never ordered get count 0).
 # ---------------------------------------------------------------
 def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,6 +706,7 @@ register("filter_project_math", filter_project_math, FILTER_PROJECT_MATH_ORACLE)
 register("join_broadcast_dims", join_broadcast_dims, JOIN_BROADCAST_DIMS_ORACLE)
 register("join_semi", join_semi, JOIN_SEMI_ORACLE)
 register("join_anti", join_anti, JOIN_ANTI_ORACLE)
+register("join_null_safe", join_null_safe, JOIN_NULL_SAFE_ORACLE)
 register("join_outer", join_outer, JOIN_OUTER_ORACLE)
 register("join_range", join_range, JOIN_RANGE_ORACLE)
 register("topk_orders", topk_orders, TOPK_ORDERS_ORACLE)
