@@ -81,3 +81,22 @@ def test_ann_matmul_matches_exact_topk(spark):
     hits = sum(len(mat_top[q] & exact_top[q]) for q in exact_top)
     total = sum(len(v) for v in exact_top.values())
     assert hits / total >= 0.95, f"matmul recall {hits}/{total}"
+
+
+def test_embedding_lsh_pairs_subset_of_bruteforce(spark):
+    # bucketed pairs are cosine-verified, so they can never contain a
+    # false positive; recall depends on plane count (near-identical
+    # vectors almost always share the sign sketch)
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in registry.QUERIES["dedup_embedding_cosine_bruteforce"](
+            spark, SF
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in registry.QUERIES["dedup_embedding_lsh"](spark, SF).collect()
+    }
+    assert lsh <= brute
+    if brute:
+        assert len(lsh) / len(brute) >= 0.5, (len(lsh), len(brute))
