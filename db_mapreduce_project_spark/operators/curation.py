@@ -1,0 +1,433 @@
+"""Corpus CURATION operators — the quality/governance passes a
+training-data pipeline runs between raw ingest and assembly:
+
+- `doc_ngram_repetition`: Gopher-style intra-document repetition
+  signal (fraction of word-bigram occurrences that are repeats;
+  Rae et al. 2021 "Scaling Language Models" App. A uses exactly
+  this family of duplicate-n-gram fractions as quality filters);
+- `boilerplate_ngrams`: cross-document boilerplate detection
+  (n-grams shared by many distinct documents — the CCNet/C4-style
+  pre-pass that finds headers/footers worth stripping);
+- `split_assignment`: deterministic train/valid/test assignment by
+  portable content-independent hash of the document id (stable
+  under corpus growth: a doc never changes split when new docs
+  arrive, unlike modulo-on-row-number schemes);
+- `timeseries_gapfill`: per-user hourly spine densification with
+  forward fill (LOCF) — the feature-engineering step that turns
+  irregular event streams into fixed-frequency model inputs;
+- `anonymize_customers`: pseudonymization pass — hash the direct
+  identifier, generalize the quasi-identifier (balance bucketed)
+  so rows stay joinable but not re-identifiable;
+- `embedding_quantize_int8`: per-dimension min/max int8
+  quantization of the embedding corpus (the compression step
+  before an ANN index ships to serving).
+
+Scale notes (100 TB):
+- repetition + boilerplate are two-level aggregations with map-side
+  partial combine; no joins, no distinct-shuffle (count-distinct is
+  the second level of the same groupBy cascade);
+- split assignment is a pure map (hash + comparison) feeding a tiny
+  aggregate — embarrassingly parallel;
+- gap-fill densifies AFTER aggregating to (user, hour) — the spine
+  explode runs on the aggregate (bounded: users x hours), never on
+  the raw event stream, and the forward fill is a partitioned
+  running window, no global sort;
+- quantization computes the 64-row dim-stats aggregate, folds it to
+  ONE broadcast row, and re-scans the corpus map-side — the corpus
+  itself is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    FP_MOD,
+    FP_WORD_BASE,
+    duck_charhash,
+    spark_charhash,
+)
+from ..functions.stable import duck_qint, qint
+from ..io import load_table
+from ..registry import register
+
+# repetition flag threshold: >20% duplicate bigram occurrences
+REPETITION_FLAG_BP = 2000
+# boilerplate: trigram must appear in >= this many distinct docs
+BOILERPLATE_MIN_DOCS = 5
+# split fractions (basis points of the 100-bucket hash ring)
+SPLIT_TRAIN_LT = 80
+SPLIT_VALID_LT = 90
+# gap-fill user subsample (keeps driver-side compare bounded)
+GAPFILL_USER_MOD = 10
+INT8_LEVELS = 255
+
+
+def _bigrams(text_col: str):
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+", -1)
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+
+
+def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language summary of the duplicate-bigram fraction.
+
+    Per doc: dup_bp = floor((total - distinct) * 10000 / total)
+    basis points of bigram occurrences that are repeats — pure
+    integer arithmetic, so cross-engine exact.  Language rollup:
+    doc count, integer-average dup_bp, max, and how many docs
+    exceed the Gopher-style flag threshold.
+
+    Two-level aggregate: (doc, bigram) counts with map-side combine,
+    then (doc), then (lang) — each level shrinks the data; the raw
+    corpus is shuffled once on doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_gram = (
+        d.select("doc_id", "lang", F.explode(_bigrams("text")).alias("bigram"))
+        .where(F.col("bigram") != "")
+        .groupBy("doc_id", "lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = per_gram.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_distinct")
+    )
+    dup_bp = ((F.col("total") - F.col("n_distinct")) * 10000).cast(
+        "bigint"
+    ) / F.col("total")
+    per_doc = per_doc.select(
+        "lang", F.floor(dup_bp).cast("bigint").alias("dup_bp")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dup_bp") / F.count("*")).alias("avg_dup_bp"),
+            F.max("dup_bp").alias("max_dup_bp"),
+            F.sum(
+                F.when(F.col("dup_bp") > REPETITION_FLAG_BP, 1).otherwise(0)
+            ).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_NGRAM_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> concat_ws(' ', w[i], w[i+1]))) AS bigram
+  FROM toks
+),
+per_gram AS (
+  SELECT doc_id, lang, bigram, count(*) AS cnt
+  FROM grams WHERE bigram <> '' GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT lang,
+         CAST(floor(CAST((sum(cnt) - count(*)) * 10000 AS BIGINT)
+              / CAST(sum(cnt) AS BIGINT)) AS BIGINT) AS dup_bp
+  FROM per_gram GROUP BY doc_id, lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(dup_bp) AS BIGINT) / count(*) AS avg_dup_bp,
+       max(dup_bp) AS max_dup_bp,
+       CAST(sum(CASE WHEN dup_bp > {REPETITION_FLAG_BP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word trigrams appearing in >= BOILERPLATE_MIN_DOCS distinct
+    documents, with document frequency and total occurrences — the
+    candidate boilerplate list a C4-style cleaner would strip.
+
+    The distinct-doc count is the second level of a two-level
+    groupBy cascade ((trigram, doc) then (trigram)) — map-side
+    combine at both levels, never a COUNT(DISTINCT) expansion over
+    the exploded corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+", -1)
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    per_doc = (
+        d.select("doc_id", F.explode(grams).alias("trigram"))
+        .where(F.col("trigram") != "")
+        .groupBy("trigram", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("trigram")
+        .agg(F.count("*").alias("n_docs"), F.sum("cnt").alias("n_occ"))
+        .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), F.col("trigram"))
+    )
+
+
+BOILERPLATE_NGRAMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS trigram
+  FROM toks
+),
+per_doc AS (
+  SELECT trigram, doc_id, count(*) AS cnt
+  FROM grams WHERE trigram <> '' GROUP BY 1, 2
+)
+SELECT trigram, count(*) AS n_docs, CAST(sum(cnt) AS BIGINT) AS n_occ
+FROM per_doc
+GROUP BY trigram
+HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, trigram
+"""
+
+
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split: bucket = portable
+    charhash of 'doc_id:split' mod 100; train < 80, valid < 90,
+    else test.  Content-independent and stable under corpus growth.
+    Pure map + tiny aggregate — embarrassingly parallel at any
+    scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        spark_charhash(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VALID_LT, "valid")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "split")
+    )
+
+
+_SPLIT_HASH = duck_charhash("(CAST(doc_id AS VARCHAR) || ':split')")
+SPLIT_ASSIGNMENT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN ({_SPLIT_HASH}) % 100 < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN ({_SPLIT_HASH}) % 100 < {SPLIT_VALID_LT} THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly spine densification with forward fill (LOCF) for a
+    deterministic user subsample (user_id % GAPFILL_USER_MOD == 0).
+
+    Events aggregate to (user, hour) exact quantized sums FIRST;
+    the hour spine (sequence from each user's first to last active
+    hour) explodes over that bounded aggregate, left-joins the
+    observations, and carries the last observation forward with a
+    partitioned running window.  The first spine hour is observed
+    by construction (it comes from min(hour)), so the fill is never
+    NULL.
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % GAPFILL_USER_MOD == 0
+    )
+    obs = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(qint("value", 3)).alias("hour_q"))
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(obs, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.col("hr").cast("timestamp").alias("hr"),
+            F.last("hour_q", ignorenulls=True).over(w).alias("filled_q"),
+            F.col("hour_q").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "hr")
+    )
+
+
+TIMESERIES_GAPFILL_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CAST(sum({duck_qint('value', 3)}) AS BIGINT) AS hour_q
+  FROM events
+  WHERE user_id % {GAPFILL_USER_MOD} = 0
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+  FROM obs
+  GROUP BY user_id
+)
+SELECT s.user_id,
+       CAST(s.hr AS TIMESTAMP) AS hr,
+       last_value(o.hour_q IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_q,
+       o.hour_q IS NULL AS is_gap
+FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.hr = o.hr
+ORDER BY s.user_id, s.hr
+"""
+
+
+def anonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization pass: direct identifier (name) replaced by a
+    portable keyed hash, quasi-identifier (account balance)
+    generalized to a 500-unit bucket; segment and nation survive
+    for analytics.  Pure map — no shuffle at all (the orderBy is
+    presentation-only; a production writer would drop it)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.pmod(
+            spark_charhash(F.concat(F.lit("pepper:"), F.col("c_name"))),
+            F.lit(FP_MOD),
+        ).alias("name_h"),
+        (F.floor(F.col("c_acctbal") / 500) * 500).cast("bigint").alias(
+            "acctbal_bucket"
+        ),
+        "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+    ).orderBy("c_custkey")
+
+
+_NAME_HASH = duck_charhash("('pepper:' || c_name)")
+ANONYMIZE_CUSTOMERS_ORACLE = f"""
+SELECT c_custkey,
+       ({_NAME_HASH}) % {FP_MOD} AS name_h,
+       CAST(floor(c_acctbal / 500) * 500 AS BIGINT) AS acctbal_bucket,
+       c_mktsegment,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max int8 quantization of the embedding
+    corpus: code_i = floor((v_i - min_i) / (max_i - min_i) * 255).
+
+    Plan shape: posexplode -> 64-row dim-stats aggregate -> folded
+    into ONE row of sorted (min, max) arrays -> broadcast cross
+    join back -> per-row transform with index.  The corpus is
+    scanned twice but shuffled zero times (the only exchange moves
+    the 64-row stats).  Output keeps the codes as a portable
+    polynomial fold (bigint) so the row stays hashable; `code_0`
+    is retained as a spot-checkable sample dimension.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    dims = flat.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    dm = dims.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mn", "mx"))
+        ).alias("dm")
+    )
+    code = lambda v, i: F.floor(  # noqa: E731
+        (v.cast("double") - F.element_at(F.col("dm"), i + 1)["mn"])
+        / F.nullif(
+            F.element_at(F.col("dm"), i + 1)["mx"]
+            - F.element_at(F.col("dm"), i + 1)["mn"],
+            F.lit(0.0),
+        )
+        * F.lit(float(INT8_LEVELS))
+    ).cast("bigint")
+    codes = F.transform(F.col("embedding"), code)
+    qhash = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * FP_WORD_BASE + F.coalesce(c, F.lit(0))) % FP_MOD,
+    )
+    return (
+        e.crossJoin(F.broadcast(dm))
+        .select(
+            "vec_id",
+            qhash.alias("codes_h"),
+            F.element_at(codes, 1).alias("code_0"),
+            F.size("embedding").alias("n_dims"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_QUANTIZE_INT8_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY dim
+),
+coded AS (
+  SELECT f.vec_id, f.dim,
+         CAST(floor((f.v - d.mn) / nullif(d.mx - d.mn, 0.0)
+              * {float(INT8_LEVELS)}) AS BIGINT) AS code
+  FROM flat f JOIN dims d USING (dim)
+)
+SELECT vec_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list(coalesce(code, 0) ORDER BY dim)),
+         (acc, c) -> (acc * {FP_WORD_BASE} + c) % {FP_MOD}) AS codes_h,
+       first(code ORDER BY dim) AS code_0,
+       CAST(count(*) AS INTEGER) AS n_dims
+FROM coded
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+register("doc_ngram_repetition", doc_ngram_repetition, DOC_NGRAM_REPETITION_ORACLE)
+register("boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_NGRAMS_ORACLE)
+register("split_assignment", split_assignment, SPLIT_ASSIGNMENT_ORACLE)
+register("timeseries_gapfill", timeseries_gapfill, TIMESERIES_GAPFILL_ORACLE)
+register("anonymize_customers", anonymize_customers, ANONYMIZE_CUSTOMERS_ORACLE)
+register(
+    "embedding_quantize_int8",
+    embedding_quantize_int8,
+    EMBEDDING_QUANTIZE_INT8_ORACLE,
+)

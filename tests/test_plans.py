@@ -231,6 +231,7 @@ _UNKEYED_JOIN_OK = {
     "q22_idle_customers",    # 1-row scalar avg broadcast comparison
     "text_tfidf_top_terms",  # 1-row total-docs scalar broadcast
     "q11_important_stock",   # 1-row global-threshold scalar broadcast
+    "embedding_quantize_int8",  # 1-row dim-stats array broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
@@ -248,6 +249,50 @@ def test_no_accidental_cartesian_products(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, f"unkeyed joins in: {offenders}"
+
+
+def test_repetition_is_agg_cascade_no_join(spark):
+    # Gopher repetition score: three groupBy levels, zero joins —
+    # the corpus shuffles once on doc_id, then data only shrinks
+    df = registry.QUERIES["doc_ngram_repetition"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 4  # gram->doc->lang aggs + output sort
+
+
+def test_boilerplate_no_count_distinct_expand(spark):
+    # distinct-doc counting via two-level cascade, not Expand
+    df = registry.QUERIES["boilerplate_ngrams"](spark, SF)
+    plan = physical_plan(df)
+    assert "Expand" not in plan and "Join" not in plan
+
+
+def test_split_assignment_is_map_plus_tiny_agg(spark):
+    df = registry.QUERIES["split_assignment"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"doc_id", "lang", "n_chars"}
+
+
+def test_gapfill_densifies_after_aggregation(spark):
+    # the spine explode must run over the (user, hour) aggregate,
+    # never the raw event stream: Generate appears above an
+    # Aggregate in the plan, and the fill window is partitioned
+    df = registry.QUERIES["timeseries_gapfill"](spark, SF)
+    plan = physical_plan(df)
+    assert "Generate" in plan and "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_broadcasts_dim_stats(spark):
+    # corpus never shuffles: the only exchanges feed the 64-row
+    # dim-stats aggregate; codes are computed map-side after a
+    # 1-row broadcast
+    df = registry.QUERIES["embedding_quantize_int8"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_q9_dims_broadcast_single_fact_pass(spark):
