@@ -427,3 +427,47 @@ ORDER BY o_year
 """
 
 register("q8_market_share", q8_market_share, Q8_ORACLE)
+
+
+# ---------------------------------------------------------------
+# Q12 shape: shipping-priority split (TPC-H Q12 without l_shipmode /
+# commit/receipt dates, which the fixtures lack — l_linestatus plays
+# the grouping role and the ship-date year plays the lateness
+# window).  The plan shape is the point: fact-fact equi-join with
+# the date filter pushed to the lineitem scan, conditional integer
+# counts, single agg shuffle on a 2-value key (AQE coalesces).
+# ---------------------------------------------------------------
+def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+register("q12_priority_split", q12_priority_split, Q12_ORACLE)

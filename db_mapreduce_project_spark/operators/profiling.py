@@ -80,4 +80,93 @@ def observed_write(df: DataFrame, name: str, metrics: dict[str, F.Column]):
     return obs.get
 
 
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (dbt-test / Deequ style): one
+    row per named constraint with its violation count.  Checks span
+    referential integrity (orphan FK anti-joins), domain ranges,
+    null contracts, and key uniqueness.
+
+    Scale shape: every check is a COUNT over a filter or anti-join —
+    each collapses to a 1-row partial per partition before the union
+    of single rows; the FK checks are equi-joins that AQE plans as
+    broadcast when the PK side is small.  Nothing here materializes
+    violating rows (a production audit would add a capped sample
+    sink per failed check)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    e = load_table(spark, sf_dir, "events")
+
+    def count1(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    checks = [
+        count1(
+            "lineitem_orphan_orderkey",
+            l.join(o, l.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        count1(
+            "orders_orphan_custkey",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        count1("lineitem_nonpositive_qty", l.where(F.col("l_quantity") <= 0)),
+        count1(
+            "lineitem_discount_range",
+            l.where((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)),
+        ),
+        count1("orders_null_priority", o.where(F.col("o_orderpriority").isNull())),
+        count1(
+            "part_duplicate_pkey",
+            p.groupBy("p_partkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1),
+        ),
+        count1(
+            "events_ts_out_of_range",
+            e.where(
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp"))
+            ),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out.orderBy("check_name")
+
+
+DQ_CONSTRAINT_CHECKS_ORACLE = """
+SELECT * FROM (
+  SELECT 'lineitem_orphan_orderkey' AS check_name, count(*) AS n_violations
+  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders_orphan_custkey', count(*)
+  FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem_nonpositive_qty', count(*)
+  FROM lineitem WHERE l_quantity <= 0
+  UNION ALL
+  SELECT 'lineitem_discount_range', count(*)
+  FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5
+  UNION ALL
+  SELECT 'orders_null_priority', count(*)
+  FROM orders WHERE o_orderpriority IS NULL
+  UNION ALL
+  SELECT 'part_duplicate_pkey', count(*) FROM (
+    SELECT p_partkey FROM part GROUP BY p_partkey HAVING count(*) > 1
+  ) t
+  UNION ALL
+  SELECT 'events_ts_out_of_range', count(*)
+  FROM events
+  WHERE ts < TIMESTAMP '2020-01-01' OR ts >= TIMESTAMP '2030-01-01'
+) checks
+ORDER BY check_name
+"""
+
+
 register("profile_documents", profile_documents, PROFILE_DOCUMENTS_ORACLE)
+register("dq_constraint_checks", dq_constraint_checks, DQ_CONSTRAINT_CHECKS_ORACLE)

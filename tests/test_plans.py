@@ -295,6 +295,20 @@ def test_quantize_broadcasts_dim_stats(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_q12_date_filter_pushed_to_scan(spark):
+    df = registry.QUERIES["q12_priority_split"](spark, SF)
+    assert "l_shipdate" in pushed_filters(df)
+    cols = read_schema_columns(df)
+    assert "l_extendedprice" not in cols  # pruned: only status+keys read
+
+
+def test_dq_checks_are_anti_joins_not_cartesian(spark):
+    df = registry.QUERIES["dq_constraint_checks"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q9_dims_broadcast_single_fact_pass(spark):
     # part/supplier/nation broadcast; only partsupp-derivation and
     # orders join shuffle the wide side
