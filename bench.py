@@ -57,6 +57,9 @@ HEADLINE = [
     "sessionize_events",
     "q13_customer_distribution",
     "q9_product_profit",
+    "doc_ngram_repetition",
+    "timeseries_gapfill",
+    "embedding_quantize_int8",
 ]
 
 

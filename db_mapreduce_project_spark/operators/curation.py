@@ -81,19 +81,27 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc count, integer-average dup_bp, max, and how many docs
     exceed the Gopher-style flag threshold.
 
-    Two-level aggregate: (doc, bigram) counts with map-side combine,
-    then (doc), then (lang) — each level shrinks the data; the raw
-    corpus is shuffled once on doc_id.
+    The repetition score is a PER-DOCUMENT property, so it never
+    leaves the row: size(grams) vs size(array_distinct(grams)) are
+    map-side array ops — the exploded corpus is never shuffled.
+    The only exchange feeds the 5-row language rollup.
+
+    The grams array is materialized ONCE per row through a
+    single-element explode: without that Generate barrier,
+    CollapseProject inlines the (expensive) array-construction
+    expression into every downstream reference — size, distinct,
+    and the filter would each rebuild it (measured 2.3x slower).
     """
     d = load_table(spark, sf_dir, "documents")
-    per_gram = (
-        d.select("doc_id", "lang", F.explode(_bigrams("text")).alias("bigram"))
-        .where(F.col("bigram") != "")
-        .groupBy("doc_id", "lang", "bigram")
-        .agg(F.count("*").alias("cnt"))
-    )
-    per_doc = per_gram.groupBy("doc_id", "lang").agg(
-        F.sum("cnt").alias("total"), F.count("*").alias("n_distinct")
+    grams = F.filter(_bigrams("text"), lambda g: g != "")
+    per_doc = (
+        d.select("lang", F.explode(F.array(grams)).alias("gs"))
+        .select(
+            "lang",
+            F.size("gs").alias("total"),
+            F.size(F.array_distinct("gs")).alias("n_distinct"),
+        )
+        .where(F.col("total") > 0)
     )
     dup_bp = ((F.col("total") - F.col("n_distinct")) * 10000).cast(
         "bigint"
@@ -122,19 +130,15 @@ WITH toks AS (
 ),
 grams AS (
   SELECT doc_id, lang,
-         unnest(list_transform(generate_series(1, len(w) - 1),
-                i -> concat_ws(' ', w[i], w[i+1]))) AS bigram
+         list_filter(list_transform(generate_series(1, len(w) - 1),
+                     i -> concat_ws(' ', w[i], w[i+1])), g -> g <> '') AS gs
   FROM toks
-),
-per_gram AS (
-  SELECT doc_id, lang, bigram, count(*) AS cnt
-  FROM grams WHERE bigram <> '' GROUP BY 1, 2, 3
 ),
 per_doc AS (
   SELECT lang,
-         CAST(floor(CAST((sum(cnt) - count(*)) * 10000 AS BIGINT)
-              / CAST(sum(cnt) AS BIGINT)) AS BIGINT) AS dup_bp
-  FROM per_gram GROUP BY doc_id, lang
+         CAST(floor(CAST((len(gs) - len(list_distinct(gs))) * 10000 AS BIGINT)
+              / CAST(len(gs) AS BIGINT)) AS BIGINT) AS dup_bp
+  FROM grams WHERE len(gs) > 0
 )
 SELECT lang,
        count(*) AS n_docs,

@@ -37,6 +37,10 @@ from ..registry import register
 
 JACCARD_THRESHOLD = 0.05  # synthetic word-soup docs share few shingles
 COSINE_THRESHOLD = 0.92
+# brute-force baseline pair-space cap: keep vectors whose Knuth hash
+# bucket (of 1000) falls below this — 250 => 25% of vectors, 1/16 of
+# pairs, deterministic and oracle-reproducible
+BRUTE_SUBSET_PERMILLE = 250
 
 # Document-frequency cap: shingles appearing in more than this many
 # documents are dropped before any self-join.  A shingle shared by k
@@ -319,12 +323,29 @@ def dedup_embedding_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataF
     """Embedding near-dup: pairs with cosine >= 0.92.  BRUTE-FORCE
     O(n^2) BASELINE — registered only as the exactness reference
     (the `_bruteforce` suffix marks it as deliberately not the
-    scale path); the LSH variant in similarity.py is the 100 TB
-    path."""
+    scale path); the LSH variant (`dedup_embedding_lsh`) is the
+    100 TB path.
+
+    The pair space is capped to a deterministic Knuth-hash 25%
+    vector subsample (1/16 of all pairs) so the baseline stays
+    runnable as fixtures grow — the subset is content-independent
+    and oracle-reproducible, so exactness ON THE SUBSET still
+    certifies the kernel.  Note the asymmetry the bench shows:
+    this query does 1/16 of the pair work of the full corpus yet
+    still costs ~ the LSH variant, which covers ALL pairs."""
     from ..functions.vectors import dot, l2
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2("embedding").alias("norm")
+    keep = (
+        F.pmod(
+            (F.col("vec_id") % 1_000_000_000) * F.lit(2654435761) + F.lit(7),
+            F.lit(1000),
+        )
+        < BRUTE_SUBSET_PERMILLE
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(keep)
+        .select("vec_id", "embedding", l2("embedding").alias("norm"))
     )
     a = e.select(
         F.col("vec_id").alias("id_a"),
@@ -350,10 +371,15 @@ def dedup_embedding_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+_BRUTE_KEEP = (
+    "((vec_id % 1000000000) * 2654435761 + 7) % 1000 "
+    f"< {BRUTE_SUBSET_PERMILLE}"
+)
 DEDUP_EMBEDDING_COSINE_ORACLE = f"""
+WITH sub AS (SELECT * FROM embeddings WHERE {_BRUTE_KEEP})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {duck_cosine('a.embedding', 'b.embedding')} AS cos
-FROM embeddings a, embeddings b
+FROM sub a, sub b
 WHERE a.vec_id < b.vec_id
   AND {duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
 ORDER BY id_a, id_b

@@ -86,16 +86,29 @@ def test_ann_matmul_matches_exact_topk(spark):
 def test_embedding_lsh_pairs_subset_of_bruteforce(spark):
     # bucketed pairs are cosine-verified, so they can never contain a
     # false positive; recall depends on plane count (near-identical
-    # vectors almost always share the sign sketch)
+    # vectors almost always share the sign sketch).  The brute force
+    # covers a deterministic 25% vector subsample, so the comparison
+    # restricts the LSH pairs to that same subset.
+    from db_mapreduce_project_spark.operators.dedup import (
+        BRUTE_SUBSET_PERMILLE,
+    )
+
+    def kept(vid: int) -> bool:
+        return ((vid % 1_000_000_000) * 2654435761 + 7) % 1000 < (
+            BRUTE_SUBSET_PERMILLE
+        )
+
     brute = {
         (r["id_a"], r["id_b"])
         for r in registry.QUERIES["dedup_embedding_cosine_bruteforce"](
             spark, SF
         ).collect()
     }
+    assert all(kept(a) and kept(b) for a, b in brute)
     lsh = {
         (r["id_a"], r["id_b"])
         for r in registry.QUERIES["dedup_embedding_lsh"](spark, SF).collect()
+        if kept(r["id_a"]) and kept(r["id_b"])
     }
     assert lsh <= brute
     if brute:

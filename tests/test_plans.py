@@ -251,13 +251,15 @@ def test_no_accidental_cartesian_products(spark):
     assert not offenders, f"unkeyed joins in: {offenders}"
 
 
-def test_repetition_is_agg_cascade_no_join(spark):
-    # Gopher repetition score: three groupBy levels, zero joins —
-    # the corpus shuffles once on doc_id, then data only shrinks
+def test_repetition_is_mapside_no_join(spark):
+    # Gopher repetition score is a per-row array computation: the
+    # gram stream never shuffles (the only Generate is the 1-element
+    # materialization barrier, not a corpus explode); the only
+    # exchanges feed the 5-row lang rollup and the output sort
     df = registry.QUERIES["doc_ngram_repetition"](spark, SF)
     plan = physical_plan(df)
     assert "Join" not in plan
-    assert count_exchanges(df) <= 4  # gram->doc->lang aggs + output sort
+    assert count_exchanges(df) <= 3  # partial->final lang agg + sort
 
 
 def test_boilerplate_no_count_distinct_expand(spark):
