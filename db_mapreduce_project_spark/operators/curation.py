@@ -64,12 +64,16 @@ GAPFILL_USER_MOD = 10
 INT8_LEVELS = 255
 
 
-def _bigrams(text_col: str):
+def _ngrams(text_col: str, n: int):
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+", -1)
     idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def _bigrams(text_col: str):
+    return _ngrams(text_col, 2)
 
 
 def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,7 +429,83 @@ ORDER BY vec_id
 """
 
 
+DECONTAM_NGRAM = 4
+DECONTAM_MIN_SHARED = 3
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    >= DECONTAM_MIN_SHARED distinct word 4-grams with the benchmark
+    partition (source = 'src0' plays the held-out benchmark role) —
+    the n-gram-overlap test-set-contamination check every serious
+    LLM data pipeline runs (cf. GPT-3 appendix C / PaLM app. C
+    13-gram decontamination; 4-gram here because the fixture docs
+    are short).
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus, so it aggregates once and BROADCASTS; the training
+    corpus explodes map-side into the broadcast hash join, and only
+    the matching (doc, shingle) hits — a vanishing fraction —
+    shuffle for the per-doc distinct count.  The corpus itself is
+    never exchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.explode(_ngrams("text", DECONTAM_NGRAM)).alias("shingle")
+    bench = (
+        d.where(F.col("source") == "src0")
+        .select(grams)
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    train = (
+        d.where(F.col("source") != "src0")
+        .select("doc_id", grams)
+        .where(F.col("shingle") != "")
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("shingle")).alias("n_shared"))
+        .where(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAM_GRAMS = (
+    "list_transform(generate_series(1, len(w) - "
+    f"{DECONTAM_NGRAM - 1}), i -> concat_ws(' '"
+    + "".join(f", w[i+{k}]" for k in range(DECONTAM_NGRAM)).replace(
+        "w[i+0]", "w[i]"
+    )
+    + "))"
+)
+DECONTAMINATE_OVERLAP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest({_DECONTAM_GRAMS}) AS shingle
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT shingle FROM grams WHERE source = 'src0' AND shingle <> ''
+),
+train AS (
+  SELECT doc_id, shingle FROM grams WHERE source <> 'src0' AND shingle <> ''
+)
+SELECT doc_id, count(DISTINCT t.shingle) AS n_shared
+FROM train t JOIN bench b ON t.shingle = b.shingle
+GROUP BY doc_id
+HAVING count(DISTINCT t.shingle) >= {DECONTAM_MIN_SHARED}
+ORDER BY doc_id
+"""
+
+
 register("doc_ngram_repetition", doc_ngram_repetition, DOC_NGRAM_REPETITION_ORACLE)
+register(
+    "decontaminate_overlap", decontaminate_overlap, DECONTAMINATE_OVERLAP_ORACLE
+)
 register("boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_NGRAMS_ORACLE)
 register("split_assignment", split_assignment, SPLIT_ASSIGNMENT_ORACLE)
 register("timeseries_gapfill", timeseries_gapfill, TIMESERIES_GAPFILL_ORACLE)

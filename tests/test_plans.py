@@ -287,6 +287,15 @@ def test_gapfill_densifies_after_aggregation(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_broadcasts_benchmark_set(spark):
+    # the corpus side must reach the contamination join WITHOUT an
+    # exchange: benchmark shingles broadcast, only the hits shuffle
+    df = registry.QUERIES["decontaminate_overlap"](spark, SF)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
 def test_quantize_broadcasts_dim_stats(spark):
     # corpus never shuffles: the only exchanges feed the 64-row
     # dim-stats aggregate; codes are computed map-side after a
