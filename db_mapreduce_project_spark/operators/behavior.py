@@ -105,5 +105,75 @@ ORDER BY cohort_day, day_n
 """
 
 
+WAU_WINDOW_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness for every active day.
+
+    The textbook formulation is a range join (events within 7 days
+    of each report day) + COUNT(DISTINCT) — a scale-killer, since
+    range joins don't hash-partition.  The scale-correct rewrite
+    used here: collapse events to distinct (user, day) FIRST, then
+    fan each user-day out to the <=7 report days it contributes to
+    (bounded map-side explode), dedup, and count — every step is an
+    equi-shuffle with map-side combine, and the fan-out factor is
+    the window length, not the data size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(d, d + interval {WAU_WINDOW_DAYS - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("report_day"),
+    ).distinct()
+    wau = fan.groupBy("report_day").agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    dau = ud.groupBy(F.col("d").alias("report_day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        dau.join(wau, "report_day")
+        .select(
+            F.col("report_day").cast("timestamp").alias("report_day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("report_day")
+    )
+
+
+ROLLING_ACTIVE_USERS_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+fan AS (
+  SELECT DISTINCT user_id,
+         d + k * INTERVAL 1 DAY AS report_day
+  FROM ud, unnest(generate_series(0, {WAU_WINDOW_DAYS - 1})) AS t(k)
+),
+wau AS (
+  SELECT report_day, count(*) AS wau FROM fan GROUP BY report_day
+),
+dau AS (
+  SELECT d AS report_day, count(*) AS dau FROM ud GROUP BY d
+)
+SELECT CAST(d.report_day AS TIMESTAMP) AS report_day,
+       d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w USING (report_day)
+ORDER BY report_day
+"""
+
+
 register("funnel_conversion", funnel_conversion, FUNNEL_ORACLE)
 register("cohort_retention", cohort_retention, COHORT_ORACLE)
+register("rolling_active_users", rolling_active_users, ROLLING_ACTIVE_USERS_ORACLE)

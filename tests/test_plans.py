@@ -287,6 +287,15 @@ def test_gapfill_densifies_after_aggregation(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_rolling_active_users_no_range_join(spark):
+    # WAU via bounded fan-out: every join/agg is an equi-shuffle;
+    # the naive range-join formulation would show BroadcastNestedLoop
+    df = registry.QUERIES["rolling_active_users"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_broadcasts_benchmark_set(spark):
     # the corpus side must reach the contamination join WITHOUT an
     # exchange: benchmark shingles broadcast, only the hits shuffle
