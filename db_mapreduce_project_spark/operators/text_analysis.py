@@ -281,3 +281,103 @@ ORDER BY doc_id, rk
 """
 
 register("text_tfidf_top_terms", text_tfidf_top_terms, TEXT_TFIDF_ORACLE)
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information over the
+    whole corpus: lift = p(w1 w2) / (p(w1) p(w2)) — ranked on the
+    raw lift ratio rather than its log (same ordering, and pure
+    IEEE division of exact integer counts is bit-reproducible
+    cross-engine, where libm log need not be).
+
+    Scale shape: bigram and unigram counts are two independent
+    partial-agg cascades over one corpus scan each; the unigram
+    vocabulary is broadcast onto the bigram counts twice (w1, w2
+    roles), scalar totals ride a 1-row broadcast; the final top-k
+    is a TakeOrdered over the vocabulary-sized counts relation,
+    never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+", -1)
+    words = d.select(F.explode(toks).alias("w")).where(F.col("w") != "")
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    big = (
+        d.select(F.explode(grams).alias("bigram"))
+        .where(F.col("bigram") != "")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    n_big = big.agg(F.sum("c_ab").alias("n_big"))
+
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    split_w = F.split(F.col("bigram"), " ")
+    lift = (
+        F.col("c_ab").cast("double")
+        * F.col("n_uni")
+        / F.col("c_a")
+        * F.col("n_uni")
+        / F.col("c_b")
+        / F.col("n_big")
+    )
+    return (
+        big.withColumn("w1", split_w[0])
+        .withColumn("w2", split_w[1])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select("bigram", "c_ab", "c_a", "c_b", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("bigram"))
+        .limit(PMI_TOP_K)
+    )
+
+
+TEXT_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+words AS (
+  SELECT unnest(w) AS w FROM toks
+),
+uni AS (
+  SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w
+),
+n_uni AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         i -> concat_ws(' ', w[i], w[i+1]))) AS bigram
+  FROM toks
+),
+big AS (
+  SELECT bigram, count(*) AS c_ab FROM grams WHERE bigram <> ''
+  GROUP BY bigram HAVING count(*) >= {PMI_MIN_COUNT}
+),
+n_big AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM big)
+SELECT bigram, c_ab, c_a, c_b,
+       CAST(c_ab AS DOUBLE) * n_uni / c_a * n_uni / c_b / n_big AS lift
+FROM (
+  SELECT b.bigram, b.c_ab,
+         string_split(b.bigram, ' ')[1] AS w1,
+         string_split(b.bigram, ' ')[2] AS w2
+  FROM big b
+) s
+JOIN uni ua ON s.w1 = ua.w
+JOIN uni ub ON s.w2 = ub.w
+CROSS JOIN n_uni CROSS JOIN n_big
+CROSS JOIN LATERAL (SELECT ua.c AS c_a, ub.c AS c_b) x
+ORDER BY lift DESC, bigram
+LIMIT {PMI_TOP_K}
+"""
+
+register("text_pmi_collocations", text_pmi_collocations, TEXT_PMI_ORACLE)

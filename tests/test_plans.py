@@ -232,6 +232,7 @@ _UNKEYED_JOIN_OK = {
     "text_tfidf_top_terms",  # 1-row total-docs scalar broadcast
     "q11_important_stock",   # 1-row global-threshold scalar broadcast
     "embedding_quantize_int8",  # 1-row dim-stats array broadcast
+    "text_pmi_collocations",    # 1-row corpus-total scalar broadcasts
 }
 
 # Queries whose construction triggers eager execution (iterative
@@ -285,6 +286,17 @@ def test_gapfill_densifies_after_aggregation(spark):
     plan = physical_plan(df)
     assert "Generate" in plan and "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pmi_vocabulary_joins_are_broadcast(spark):
+    # unigram vocab + scalar totals broadcast onto the bigram
+    # counts; the top-k is a TakeOrdered over counts, not a global
+    # sort of the corpus
+    df = registry.QUERIES["text_pmi_collocations"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert not has_sort_merge_join(df)
 
 
 def test_rolling_active_users_no_range_join(spark):
