@@ -53,6 +53,7 @@ def load_all_queries() -> None:
         extended,
         functions_sweep,
         incremental,
+        layout,
         multimodal,
         profiling,
         relational,

@@ -91,3 +91,76 @@ def write_range_clustered_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zvalue8(
+    a: F.Column,
+    b: F.Column,
+    a_lo,
+    a_hi,
+    b_lo,
+    b_hi,
+) -> F.Column:
+    """16-bit Morton z-value: each key is first normalized to an
+    8-bit rank over its [lo, hi] range with pure integer arithmetic
+    — ((x - lo) * 256) div (hi - lo + 1) — then the two ranks are
+    bit-interleaved (`a` on even bits, `b` on odd).
+
+    The normalization is the part naive z-ordering gets wrong: raw
+    interleaving lets the wider-ranged key's high bits dominate the
+    sort, so the narrow key never influences file boundaries and
+    gets zero pruning.  Equal-width ranks make every other z bit
+    belong to each key, which is the property that keeps per-file
+    min/max tight on BOTH columns.  Pure Catalyst bit ops, unrolled
+    at plan time, mirrored exactly by the DuckDB oracle
+    (operators/layout.py)."""
+    ac = a.cast("bigint")
+    bc = b.cast("bigint")
+    sa = F.floor(((ac - a_lo) * 256) / (a_hi - a_lo + F.lit(1))).cast("bigint")
+    sb = F.floor(((bc - b_lo) * 256) / (b_hi - b_lo + F.lit(1))).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(8):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(sa, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(sb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame, path: str, col_a: str, col_b: str, partitions: int = 8
+) -> None:
+    """Z-order clustered sink: range-partition + sort on the Morton
+    interleave of TWO normalized keys, so per-file parquet min/max
+    stats stay tight on BOTH columns — filtered scans on either key
+    prune files, which one-dimensional range clustering only
+    achieves for its single sort key.  The Delta/Iceberg OPTIMIZE
+    ZORDER pattern as plain DataFrame ops.
+
+    The 4-number bounds aggregate is a driver-side stats pass —
+    standard for layout jobs (they always scan stats first); the
+    data pass itself is one range exchange on the z-value, the same
+    cost as 1-D range clustering."""
+    bounds = df.agg(
+        F.min(col_a).alias("alo"),
+        F.max(col_a).alias("ahi"),
+        F.min(col_b).alias("blo"),
+        F.max(col_b).alias("bhi"),
+    ).collect()[0]
+    z = zvalue8(
+        F.col(col_a),
+        F.col(col_b),
+        F.lit(int(bounds["alo"])),
+        F.lit(int(bounds["ahi"])),
+        F.lit(int(bounds["blo"])),
+        F.lit(int(bounds["bhi"])),
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(partitions, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

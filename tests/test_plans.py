@@ -233,6 +233,7 @@ _UNKEYED_JOIN_OK = {
     "q11_important_stock",   # 1-row global-threshold scalar broadcast
     "embedding_quantize_int8",  # 1-row dim-stats array broadcast
     "text_pmi_collocations",    # 1-row corpus-total scalar broadcasts
+    "zorder_zvalues",           # 1-row key-bounds broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative

@@ -172,3 +172,54 @@ def test_range_clustered_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path)
         assert hi1 < lo2, f"overlapping file ranges {spans}"
     # and the clustered copy still holds all rows
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_zordered_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout property: per-file min/max spans stay tight on
+    BOTH interleaved keys, so point predicates on either column rule
+    out most files — 1-D range clustering only achieves this for its
+    single sort key."""
+    from db_mapreduce_project_spark.sources.writers import (
+        write_zordered_parquet,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "lineitem_z")
+    write_zordered_parquet(l, path, "l_partkey", "l_suppkey", partitions=8)
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("l_partkey").alias("plo"),
+                F.max("l_partkey").alias("phi"),
+                F.min("l_suppkey").alias("slo"),
+                F.max("l_suppkey").alias("shi"),
+            )
+            .collect()[0]
+        )
+        spans.append(row)
+
+    stats = l.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    ).collect()[0]
+
+    def admit_fraction(key_lo, key_hi, probes):
+        admits = sum(
+            1
+            for v in probes
+            for s in spans
+            if s[key_lo] <= v <= s[key_hi]
+        )
+        return admits / (len(probes) * len(spans))
+
+    p_probes = [1 + i * stats["pmax"] // 8 for i in range(8)]
+    s_probes = [1 + i * stats["smax"] // 8 for i in range(8)]
+    # each point predicate must rule out files on BOTH dimensions
+    assert admit_fraction("plo", "phi", p_probes) <= 0.7
+    assert admit_fraction("slo", "shi", s_probes) <= 0.7
+    # and the clustered copy still holds all rows
+    assert spark.read.parquet(path).count() == l.count()
