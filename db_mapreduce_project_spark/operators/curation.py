@@ -502,10 +502,155 @@ ORDER BY doc_id
 """
 
 
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composable DataFrame
+    expression — the flagship demonstration that every stage chains
+    declaratively and Catalyst optimizes across stage boundaries:
+
+      1. quality filter: keep docs inside the per-lang p5..p95
+         length band (broadcast thresholds);
+      2. exact dedup: keep the lowest doc_id per identical text
+         (latest-wins window);
+      3. decontamination: drop docs sharing >= 3 word 4-grams with
+         the benchmark partition (broadcast benchmark set,
+         left-anti join on the flagged list);
+      4. deterministic split assignment (portable hash);
+      5. shard summary: docs / whitespace tokens / chars per
+         (split, lang).
+
+    Scale: stages 1-4 are broadcasts, windows, and anti-joins over
+    progressively smaller data; no stage materializes an
+    intermediate — one job, Catalyst fuses adjacent maps and prunes
+    unused columns through all five stages.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("source") != "src0")
+
+    stats = train.groupBy("lang").agg(
+        F.percentile("n_chars", 0.05).alias("p5"),
+        F.percentile("n_chars", 0.95).alias("p95"),
+    )
+    banded = train.join(F.broadcast(stats), "lang").where(
+        (F.col("n_chars") >= F.col("p5")) & (F.col("n_chars") <= F.col("p95"))
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "p5", "p95")
+    )
+
+    grams = F.explode(_ngrams("text", DECONTAM_NGRAM)).alias("shingle")
+    bench = (
+        d.where(F.col("source") == "src0")
+        .select(grams)
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    flagged = (
+        deduped.select("doc_id", grams)
+        .where(F.col("shingle") != "")
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .where(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+        .select("doc_id")
+    )
+    clean = deduped.join(flagged, "doc_id", "left_anti")
+
+    bucket = F.pmod(
+        spark_charhash(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VALID_LT, "valid")
+        .otherwise("test")
+    )
+    toks = F.split(F.trim("text"), r"\s+", -1)
+    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(F.size(toks))
+    return (
+        clean.select(
+            "lang", split.alias("split"), n_tok.alias("n_tok"), "n_chars"
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+PIPELINE_END_TO_END_ORACLE = f"""
+WITH train AS (
+  SELECT * FROM documents WHERE source <> 'src0'
+),
+stats AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS p5,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM train GROUP BY lang
+),
+banded AS (
+  SELECT t.* FROM train t JOIN stats s ON t.lang = s.lang
+  WHERE t.n_chars >= s.p5 AND t.n_chars <= s.p95
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn = 1
+),
+bench AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest({_DECONTAM_GRAMS}) AS shingle
+    FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents WHERE source = 'src0')
+  ) WHERE shingle <> ''
+),
+flagged AS (
+  SELECT doc_id FROM (
+    SELECT g.doc_id, count(DISTINCT g.shingle) AS n_shared
+    FROM (
+      SELECT doc_id, unnest({_DECONTAM_GRAMS}) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM deduped)
+    ) g JOIN bench b ON g.shingle = b.shingle
+    WHERE g.shingle <> ''
+    GROUP BY g.doc_id
+  ) WHERE n_shared >= {DECONTAM_MIN_SHARED}
+),
+clean AS (
+  SELECT d.* FROM deduped d ANTI JOIN flagged f ON d.doc_id = f.doc_id
+),
+assigned AS (
+  SELECT lang,
+         CASE WHEN ({_SPLIT_HASH}) % 100 < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN ({_SPLIT_HASH}) % 100 < {SPLIT_VALID_LT} THEN 'valid'
+              ELSE 'test' END AS split,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         n_chars
+  FROM clean
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
 register("doc_ngram_repetition", doc_ngram_repetition, DOC_NGRAM_REPETITION_ORACLE)
 register(
     "decontaminate_overlap", decontaminate_overlap, DECONTAMINATE_OVERLAP_ORACLE
 )
+register("pipeline_end_to_end", pipeline_end_to_end, PIPELINE_END_TO_END_ORACLE)
 register("boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_NGRAMS_ORACLE)
 register("split_assignment", split_assignment, SPLIT_ASSIGNMENT_ORACLE)
 register("timeseries_gapfill", timeseries_gapfill, TIMESERIES_GAPFILL_ORACLE)

@@ -309,6 +309,18 @@ def test_rolling_active_users_no_range_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pipeline_end_to_end_stage_shapes(spark):
+    # five chained stages, one job: quality thresholds + benchmark
+    # set broadcast, dedup is a partitioned window, decontamination
+    # closes with a LeftAnti — and Catalyst fuses it all without a
+    # cartesian anywhere
+    df = registry.QUERIES["pipeline_end_to_end"](spark, SF)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "LeftAnti" in plan and "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_broadcasts_benchmark_set(spark):
     # the corpus side must reach the contamination join WITHOUT an
     # exchange: benchmark shingles broadcast, only the hits shuffle
