@@ -651,6 +651,75 @@ register(
     "decontaminate_overlap", decontaminate_overlap, DECONTAMINATE_OVERLAP_ORACLE
 )
 register("pipeline_end_to_end", pipeline_end_to_end, PIPELINE_END_TO_END_ORACLE)
+
+
+MAD_K = 3  # flag docs outside median +/- K * MAD
+
+
+def mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier detection: flag documents
+    outside median ± 3·MAD (median absolute deviation) — the
+    estimator quantile/stddev filters degrade into when the corpus
+    has heavy-tailed junk, since median and MAD have a 50%
+    breakdown point vs 0% for the mean.
+
+    Two grouped exact-median passes (lang cardinality is tiny, so
+    each is a cheap shuffle) with the 5-row threshold relation
+    broadcast back onto the scan; the corpus is read twice but
+    never shuffled.  Medians of bigint n_chars are exact in both
+    engines (the even-count midpoint average is a deterministic
+    double of two ints)."""
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(F.median("n_chars").alias("med"))
+    mad = (
+        d.join(F.broadcast(med), "lang")
+        .select("lang", F.abs(F.col("n_chars") - F.col("med")).alias("dev"))
+        .groupBy("lang")
+        .agg(F.median("dev").alias("mad"))
+    )
+    thr = med.join(mad, "lang")
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .select(
+            "lang",
+            (
+                F.abs(F.col("n_chars") - F.col("med"))
+                > F.lit(MAD_K) * F.col("mad")
+            ).alias("is_outlier"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+MAD_OUTLIER_FILTER_ORACLE = f"""
+WITH med AS (
+  SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang
+),
+mad AS (
+  SELECT d.lang, median(abs(d.n_chars - m.med)) AS mad
+  FROM documents d JOIN med m ON d.lang = m.lang
+  GROUP BY d.lang
+),
+thr AS (
+  SELECT m.lang, m.med, a.mad FROM med m JOIN mad a ON m.lang = a.lang
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN abs(d.n_chars - t.med) > {MAD_K} * t.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM documents d JOIN thr t ON d.lang = t.lang
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+register("mad_outlier_filter", mad_outlier_filter, MAD_OUTLIER_FILTER_ORACLE)
 register("boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_NGRAMS_ORACLE)
 register("split_assignment", split_assignment, SPLIT_ASSIGNMENT_ORACLE)
 register("timeseries_gapfill", timeseries_gapfill, TIMESERIES_GAPFILL_ORACLE)

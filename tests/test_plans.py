@@ -309,6 +309,12 @@ def test_rolling_active_users_no_range_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_mad_thresholds_broadcast_corpus_never_shuffles(spark):
+    df = registry.QUERIES["mad_outlier_filter"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
 def test_pipeline_end_to_end_stage_shapes(spark):
     # five chained stages, one job: quality thresholds + benchmark
     # set broadcast, dedup is a partitioned window, decontamination
