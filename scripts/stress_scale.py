@@ -140,6 +140,46 @@ def main() -> None:
     )
     bench("join_asof_10x", asof_join_events_orders(events, orders))
 
+    # decontamination over ~50k training docs: benchmark set stays
+    # fixture-sized (broadcast), corpus side scales 10x shuffle-free
+    from db_mapreduce_project_spark.operators.curation import (
+        DECONTAM_MIN_SHARED,
+        DECONTAM_NGRAM,
+        _ngrams,
+    )
+
+    grams = F.explode(_ngrams("text", DECONTAM_NGRAM)).alias("shingle")
+    bench_set = (
+        docs.where(F.col("source") == "src0")
+        .select(grams)
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    train = (
+        docs.where(F.col("source") != "src0")
+        .select("doc_id", grams)
+        .where(F.col("shingle") != "")
+    )
+    bench(
+        "decontaminate_10x",
+        train.join(F.broadcast(bench_set), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .where(F.col("n_shared") >= DECONTAM_MIN_SHARED),
+    )
+
+    # rolling WAU over ~1M events: bounded 7-day fan-out
+    ud = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, d + interval 6 days, interval 1 day)")
+        ).alias("rd"),
+    ).distinct()
+    bench("rolling_wau_10x", fan.groupBy("rd").agg(F.count(F.lit(1)).alias("wau")))
+
 
 if __name__ == "__main__":
     main()
