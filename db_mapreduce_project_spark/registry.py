@@ -51,6 +51,7 @@ def load_all_queries() -> None:
         curation,
         dedup,
         extended,
+        frequent,
         functions_sweep,
         incremental,
         layout,

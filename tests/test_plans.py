@@ -234,6 +234,8 @@ _UNKEYED_JOIN_OK = {
     "embedding_quantize_int8",  # 1-row dim-stats array broadcast
     "text_pmi_collocations",    # 1-row corpus-total scalar broadcasts
     "zorder_zvalues",           # 1-row key-bounds broadcast
+    "heavy_hitters_users",      # 1-row total-count scalar broadcast
+    "frequent_pairs_apriori",   # 1-row support-floor scalar broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
@@ -380,3 +382,24 @@ def test_q8_all_dims_broadcast(spark):
     df = registry.QUERIES["q8_market_share"](spark, SF)
     plan = physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_heavy_hitters_recount_is_broadcast_pruned(spark):
+    # the Misra-Gries candidate set broadcasts back onto events as a
+    # semi-join: the recount shuffles candidate rows only, and the
+    # 1-row total is a broadcast, never a shuffle-join
+    df = registry.QUERIES["heavy_hitters_users"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_frequent_pairs_prune_before_pair_join(spark):
+    # A-priori: the frequent-item broadcast semi-join must sit BELOW
+    # the basket self-join, so the quadratic pair space is built from
+    # pruned baskets only; the self-join itself is keyed (no NLJ on
+    # the big side)
+    df = registry.QUERIES["frequent_pairs_apriori"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # item prune (x2 sides)
+    assert "CartesianProduct" not in plan
