@@ -53,6 +53,7 @@ def load_all_queries() -> None:
         extended,
         frequent,
         functions_sweep,
+        graph,
         incremental,
         layout,
         multimodal,

@@ -236,11 +236,12 @@ _UNKEYED_JOIN_OK = {
     "zorder_zvalues",           # 1-row key-bounds broadcast
     "heavy_hitters_users",      # 1-row total-count scalar broadcast
     "frequent_pairs_apriori",   # 1-row support-floor scalar broadcast
+    "triangle_count_trade",     # 1-row edge-count x triangle-count join
 }
 
 # Queries whose construction triggers eager execution (iterative
 # loops / bounded driver collects) — skipped to keep the sweep fast.
-_EAGER = {"dedup_clusters", "ann_cosine_topk_matmul"}
+_EAGER = {"dedup_clusters", "ann_cosine_topk_matmul", "pagerank_trade"}
 
 
 def test_no_accidental_cartesian_products(spark):
@@ -403,3 +404,12 @@ def test_frequent_pairs_prune_before_pair_join(spark):
     plan = physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2  # item prune (x2 sides)
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_edge_joins_are_keyed(spark):
+    # both triangle-closing joins are equi-joins on node keys; the
+    # only unkeyed join is the final 1-row count x count combine
+    df = registry.QUERIES["triangle_count_trade"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
