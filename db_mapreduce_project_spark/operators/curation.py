@@ -729,3 +729,62 @@ register(
     embedding_quantize_int8,
     EMBEDDING_QUANTIZE_INT8_ORACLE,
 )
+
+
+MIX_RING = 1_000_000  # hash-ring resolution for mix downsampling
+
+
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing pass: deterministically downsample every language
+    to (approximately) the smallest language's document count, so
+    the corpus mix is balanced — the per-source/per-language
+    rebalancing step of training-data assembly.
+
+    keep(doc) iff  hash_ring(doc_id) * n_lang < min_lang * RING —
+    exact integer arithmetic on a content-independent hash ring, so
+    membership is stable under corpus growth and identical in both
+    engines.  Plan: tiny per-lang count aggregate broadcasts back
+    onto the scan (plus a 1-row global min) — the corpus itself is
+    never shuffled; the output is the per-lang audit (before/kept).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_before"))
+    min_n = counts.agg(F.min("n_before").alias("min_n"))
+    bucket = F.pmod(
+        spark_charhash(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+        F.lit(MIX_RING),
+    )
+    keep = bucket * F.col("n_before") < F.col("min_n") * MIX_RING
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(min_n))
+        .groupBy("lang")
+        .agg(
+            F.max("n_before").alias("n_before"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIX_HASH = duck_charhash("(CAST(doc_id AS VARCHAR) || ':mix')")
+CORPUS_MIX_REBALANCE_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+m AS (SELECT min(n_before) AS min_n FROM c),
+d AS (
+  SELECT doc.lang, doc.n_chars, c.n_before, m.min_n,
+         ({_MIX_HASH}) % {MIX_RING} AS bucket
+  FROM documents doc JOIN c ON doc.lang = c.lang, m
+)
+SELECT lang, max(n_before) AS n_before,
+       CAST(sum(CASE WHEN bucket * n_before < min_n * {MIX_RING} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN bucket * n_before < min_n * {MIX_RING} THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+register(
+    "corpus_mix_rebalance", corpus_mix_rebalance, CORPUS_MIX_REBALANCE_ORACLE
+)

@@ -522,3 +522,89 @@ ORDER BY cluster_id
 
 
 register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
+
+
+# Substring-span dedup: window length / stride (chars).  Stride > 1
+# trades recall for a bounded span stream (n_chars/STRIDE spans per
+# doc); length 40 ~= the 50-token threshold of Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better"),
+# scaled to this fixture's short documents.
+SPAN_LEN = 40
+SPAN_STRIDE = 10
+SPAN_TOPK = 100
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated character spans ACROSS documents — the
+    substring-level sibling of document-level exact dedup (suffix
+    arrays in Lee et al. 2022; here a strided rolling window whose
+    portable hash pair keys a count aggregation).
+
+    Every doc emits (n_chars - SPAN_LEN)/SPAN_STRIDE spans; a span
+    hash seen in >= 2 distinct docs is a cross-document duplicate.
+    Top SPAN_TOPK by document reach.  The span stream never joins —
+    one keyed shuffle (groupBy span hash) whose width is two bigints
+    per span, independent of document size.  At 100 TB: stride and
+    length set the stream volume; hot boilerplate spans land in one
+    reducer each (bounded by doc count, and cappable exactly like
+    SHINGLE_DF_CAP if ever needed).
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= SPAN_LEN
+    )
+    from ..functions.hashing import spark_charhash_pair
+
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.length("text") - SPAN_LEN,
+                F.lit(SPAN_STRIDE),
+            )
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        spark_charhash_pair(
+            F.expr(f"substring(text, pos + 1, {SPAN_LEN})")
+        ).alias("h"),
+    )
+    return (
+        spans.select(
+            "doc_id", F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2")
+        )
+        .groupBy("h1", "h2")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "h1", "h2")
+        .limit(SPAN_TOPK)
+    )
+
+
+_SPAN_H1 = duck_charhash(f"substr(text, pos + 1, {SPAN_LEN})", FP_CHAR_BASE, FP_MOD)
+_SPAN_H2 = duck_charhash(f"substr(text, pos + 1, {SPAN_LEN})", FP_WORD_BASE, FP_MOD2)
+DEDUP_SUBSTRING_SPANS_ORACLE = f"""
+WITH positions AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) - {SPAN_LEN}, {SPAN_STRIDE})) AS pos
+  FROM documents
+  WHERE length(text) >= {SPAN_LEN}
+),
+spans AS (
+  SELECT doc_id, {_SPAN_H1} AS h1, {_SPAN_H2} AS h2 FROM positions
+)
+SELECT h1, h2, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM spans
+GROUP BY h1, h2
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, h1, h2
+LIMIT {SPAN_TOPK}
+"""
+
+register(
+    "dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_SPANS_ORACLE
+)

@@ -150,3 +150,53 @@ register("cdc_latest_per_user", cdc_latest_per_user, CDC_LATEST_PER_USER_ORACLE)
 register(
     "histogram_order_prices", histogram_order_prices, HISTOGRAM_ORDER_PRICES_ORACLE
 )
+
+
+SCD2_USER_MOD = 25  # deterministic user subsample for bounded output
+
+
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: turn the append-only
+    event log into versioned rows with [valid_from, valid_to)
+    intervals and an is_current flag — the warehouse-standard
+    history table that point-in-time (as-of) joins read.
+
+    One shuffle on the dimension key; valid_to is the next change's
+    timestamp (lead), NULL while current.  At 100 TB the window
+    partitions by key — no global sort — and the history table
+    would be range-clustered on (key, valid_from) at write time so
+    point-in-time probes prune to one file per key."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % SCD2_USER_MOD == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            "value",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "value")
+    )
+
+
+SCD2_USER_VALUE_HISTORY_ORACLE = f"""
+SELECT user_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       value,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM events
+WHERE user_id % {SCD2_USER_MOD} = 0
+ORDER BY user_id, valid_from, value
+"""
+
+register(
+    "scd2_user_value_history",
+    scd2_user_value_history,
+    SCD2_USER_VALUE_HISTORY_ORACLE,
+)

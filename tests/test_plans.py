@@ -237,6 +237,7 @@ _UNKEYED_JOIN_OK = {
     "heavy_hitters_users",      # 1-row total-count scalar broadcast
     "frequent_pairs_apriori",   # 1-row support-floor scalar broadcast
     "triangle_count_trade",     # 1-row edge-count x triangle-count join
+    "corpus_mix_rebalance",     # 1-row global-min scalar broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
@@ -413,3 +414,29 @@ def test_triangle_edge_joins_are_keyed(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
+
+
+def test_substring_spans_no_join_single_keyed_shuffle(spark):
+    # the span stream groups by its hash pair — no join anywhere,
+    # and the shuffle carries two bigints per span, not the text
+    df = registry.QUERIES["dedup_substring_spans"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_scd2_is_single_partitioned_window(spark):
+    # SCD2 build: one hash exchange on the key feeding the window;
+    # no join, no single-partition sort
+    df = registry.QUERIES["scd2_user_value_history"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_mix_rebalance_corpus_never_shuffles(spark):
+    # the lang-count aggregate and 1-row min broadcast back onto the
+    # scan; the only exchanges feed the tiny per-lang audit agg
+    df = registry.QUERIES["corpus_mix_rebalance"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
