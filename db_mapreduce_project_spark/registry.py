@@ -55,6 +55,7 @@ def load_all_queries() -> None:
         functions_sweep,
         graph,
         incremental,
+        intervals,
         layout,
         multimodal,
         profiling,

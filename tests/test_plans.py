@@ -440,3 +440,22 @@ def test_mix_rebalance_corpus_never_shuffles(spark):
     df = registry.QUERIES["corpus_mix_rebalance"](spark, SF)
     assert has_broadcast_join(df)
     assert not has_sort_merge_join(df)
+
+
+def test_sweepline_no_single_partition_daily_window(spark):
+    # the prefix sum is two-phase: the daily-stream window partitions
+    # by month; only the months-cardinality offset table is global
+    df = registry.QUERIES["transit_inventory_sweepline"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" in plan  # broadcast offset join
+    assert has_broadcast_join(df)
+
+
+def test_bucketed_range_join_is_equi_join(spark):
+    # the unkeyed range predicate must compile to an equi-join on the
+    # month bucket with a residual filter — never NLJ/cartesian
+    df = registry.QUERIES["range_join_bucketed_transit"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
