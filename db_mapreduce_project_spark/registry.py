@@ -61,6 +61,7 @@ def load_all_queries() -> None:
         profiling,
         relational,
         rollups,
+        selection,
         skew,
         semistructured,
         similarity,

@@ -238,6 +238,7 @@ _UNKEYED_JOIN_OK = {
     "frequent_pairs_apriori",   # 1-row support-floor scalar broadcast
     "triangle_count_trade",     # 1-row edge-count x triangle-count join
     "corpus_mix_rebalance",     # 1-row global-min scalar broadcast
+    "exact_median_twopass",     # 1-row rank-target scalar broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
@@ -459,3 +460,13 @@ def test_bucketed_range_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_exact_median_never_globally_sorts_corpus(spark):
+    # histogram selection: no range-partitioned (global) sort of the
+    # price stream anywhere — the only window orders the bucket
+    # table and the one selected bucket's rows
+    df = registry.QUERIES["exact_median_twopass"](spark, SF)
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan
+    assert has_broadcast_join(df)
