@@ -60,6 +60,13 @@ HEADLINE = [
     "doc_ngram_repetition",
     "timeseries_gapfill",
     "embedding_quantize_int8",
+    "dedup_substring_spans",
+    "heavy_hitters_users",
+    "frequent_pairs_apriori",
+    "pagerank_trade",
+    "transit_inventory_sweepline",
+    "range_join_bucketed_transit",
+    "exact_median_twopass",
 ]
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.stable import duck_qavg, qavg
+from ..functions.stable import duck_qavg, duck_qint, qavg, qint
 from ..io import load_table
 from ..registry import register
 
@@ -170,3 +170,88 @@ ORDER BY check_name
 
 register("profile_documents", profile_documents, PROFILE_DOCUMENTS_ORACLE)
 register("dq_constraint_checks", dq_constraint_checks, DQ_CONSTRAINT_CHECKS_ORACLE)
+
+
+CHISQ_SCALE = 6  # quantize chi-square terms to 1e-6 before summing
+
+
+def drift_chisq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: Pearson chi-square statistic of each
+    source's word distribution against the whole-corpus distribution
+    — the per-shard drift monitor a pipeline runs to catch a
+    misbehaving ingest source (schema-on-read rot, language drift,
+    template spam).
+
+    term(w) = (obs_w - exp_w)^2 / exp_w with exp_w = corpus_w *
+    n_source / n_total.  Exact integer counts feed per-row IEEE
+    arithmetic (deterministic in both engines); each term quantizes
+    to 1e-6 BEFORE the per-source sum, so the statistic is
+    order-independent (stable.py discipline).  Plan: one token
+    count keyed by (source, word), a corpus count keyed by word
+    (broadcast back — vocabulary-sized), per-source totals broadcast
+    as a second tiny dim; the corpus scans once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ", -1)).alias("raw")
+    ).select(
+        "source",
+        F.lower(F.regexp_replace("raw", "[^a-zA-Z]", "")).alias("word"),
+    ).where(F.col("word") != "")
+    obs = toks.groupBy("source", "word").agg(F.count("*").alias("obs"))
+    corpus = obs.groupBy("word").agg(F.sum("obs").alias("corpus_w"))
+    src_tot = obs.groupBy("source").agg(F.sum("obs").alias("n_source"))
+    total = corpus.agg(F.sum("corpus_w").alias("n_total"))
+    exp = (
+        obs.join(F.broadcast(corpus), "word")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "exp",
+            F.col("corpus_w") * F.col("n_source") / F.col("n_total"),
+        )
+    )
+    term = (F.col("obs") - F.col("exp")) ** 2 / F.col("exp")
+    return (
+        exp.select("source", qint(term, CHISQ_SCALE).alias("qterm"))
+        .groupBy("source")
+        .agg(
+            (F.sum("qterm") / F.lit(float(10**CHISQ_SCALE))).alias("chisq"),
+            F.count("*").alias("n_words"),
+        )
+        .orderBy("source")
+    )
+
+
+_CHISQ_TERM = "power(obs - exp, 2) / exp"
+DRIFT_CHISQ_BY_SOURCE_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         lower(regexp_replace(unnest(string_split(text, ' ')),
+                              '[^a-zA-Z]', '', 'g')) AS word
+  FROM documents
+),
+obs AS (
+  SELECT source, word, count(*) AS obs FROM toks WHERE word <> ''
+  GROUP BY source, word
+),
+corpus AS (SELECT word, CAST(sum(obs) AS BIGINT) AS corpus_w FROM obs GROUP BY word),
+src_tot AS (SELECT source, CAST(sum(obs) AS BIGINT) AS n_source FROM obs GROUP BY source),
+total AS (SELECT CAST(sum(corpus_w) AS BIGINT) AS n_total FROM corpus),
+terms AS (
+  SELECT o.source,
+         {duck_qint("power(o.obs - (c.corpus_w * s.n_source / CAST(t.n_total AS DOUBLE)), 2) / (c.corpus_w * s.n_source / CAST(t.n_total AS DOUBLE))", 6)} AS qterm
+  FROM obs o
+  JOIN corpus c ON o.word = c.word
+  JOIN src_tot s ON o.source = s.source, total t
+)
+SELECT source,
+       (CAST(sum(qterm) AS BIGINT) / 1000000.0) AS chisq,
+       count(*) AS n_words
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+register(
+    "drift_chisq_by_source", drift_chisq_by_source, DRIFT_CHISQ_BY_SOURCE_ORACLE
+)

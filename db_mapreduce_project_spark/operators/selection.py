@@ -85,3 +85,72 @@ WHERE r.rn = k.k
 """
 
 register("exact_median_twopass", exact_median_twopass, EXACT_MEDIAN_TWOPASS_ORACLE)
+
+
+PCTL_BUCKET_WIDTH = 2000.0
+
+
+def exact_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower median of o_totalprice PER ORDER PRIORITY via the
+    same histogram selection, fully partitioned: every window in the
+    plan partitions by the group key, so the per-group selection
+    parallelizes across groups — the grouped generalization that a
+    1000-executor cluster actually runs (no SinglePartition stage
+    anywhere, unlike the global variant's bucket-table window)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bucketed = o.withColumn(
+        "bucket", F.floor(F.col("price") / PCTL_BUCKET_WIDTH)
+    )
+    hist = bucketed.groupBy("grp", "bucket").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = hist.withColumn("cum", F.sum("cnt").over(w_cum))
+    ks = hist.groupBy("grp").agg(F.max("cum").alias("n_rows")).select(
+        "grp", "n_rows", F.expr("(n_rows + 1) DIV 2").alias("k")
+    )
+    w_first = Window.partitionBy("grp").orderBy("bucket")
+    sel = (
+        hist.join(F.broadcast(ks), "grp")
+        .where(F.col("cum") >= F.col("k"))
+        .withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select(
+            "grp",
+            "bucket",
+            (F.col("k") - (F.col("cum") - F.col("cnt"))).alias("k_in_bucket"),
+            "n_rows",
+        )
+    )
+    w_pick = Window.partitionBy("grp").orderBy("price")
+    return (
+        bucketed.join(F.broadcast(sel), ["grp", "bucket"])
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == F.col("k_in_bucket"))
+        .select(F.col("grp").alias("o_orderpriority"), F.col("price").alias("median_price"), "n_rows")
+        .orderBy("o_orderpriority")
+    )
+
+
+EXACT_MEDIAN_PER_GROUP_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n_rows
+  FROM orders
+)
+SELECT o_orderpriority, o_totalprice AS median_price, n_rows
+FROM ranked
+WHERE rn = (n_rows + 1) // 2
+ORDER BY o_orderpriority
+"""
+
+register(
+    "exact_median_per_group", exact_median_per_group, EXACT_MEDIAN_PER_GROUP_ORACLE
+)

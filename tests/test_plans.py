@@ -239,6 +239,7 @@ _UNKEYED_JOIN_OK = {
     "triangle_count_trade",     # 1-row edge-count x triangle-count join
     "corpus_mix_rebalance",     # 1-row global-min scalar broadcast
     "exact_median_twopass",     # 1-row rank-target scalar broadcast
+    "drift_chisq_by_source",    # 1-row corpus-total scalar broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
@@ -470,3 +471,22 @@ def test_exact_median_never_globally_sorts_corpus(spark):
     plan = physical_plan(df)
     assert "rangepartitioning" not in plan
     assert has_broadcast_join(df)
+
+
+def test_per_group_median_fully_partitioned(spark):
+    # the grouped selection must never build a SinglePartition
+    # window: every Sort/Window partitions by the group key
+    df = registry.QUERIES["exact_median_per_group"](spark, SF)
+    plan = physical_plan(df)
+    # no single-partition exchange feeding a Window
+    import re
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan)
+    assert has_broadcast_join(df)
+
+
+def test_drift_chisq_broadcast_dims(spark):
+    # vocabulary and per-source totals broadcast back; the token
+    # stream shuffles once for the (source, word) count
+    df = registry.QUERIES["drift_chisq_by_source"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
