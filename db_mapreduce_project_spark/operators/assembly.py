@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duck_charhash, spark_charhash
 from ..functions.text import token_count_ws
 from ..io import load_table
 from ..registry import register
@@ -193,3 +194,65 @@ register(
     QUALITY_QUANTILE_FILTER_ORACLE,
 )
 register("text_bigram_counts", text_bigram_counts, TEXT_BIGRAM_COUNTS_ORACLE)
+
+
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150  # 50-char overlap between neighboring chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG / embedding prep):
+    each document splits into CHUNK_LEN-char chunks every
+    CHUNK_STRIDE chars (50-char overlap so no boundary-straddling
+    passage is lost).  Output is the chunk MANIFEST — (doc_id,
+    chunk_id, start, chunk_chars, chunk_fp) with the portable
+    fingerprint standing in for the chunk text — so the shuffled/
+    compared rows stay fixed-width; the embedding stage would read
+    the text by (doc_id, start, len) locality.  Pure map + bounded
+    explode (fan-out = n_chars/stride), embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = d.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_id", "start")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.expr(f"substring(text, start + 1, {CHUNK_LEN})").alias("chunk"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            "start",
+            F.length("chunk").alias("chunk_chars"),
+            spark_charhash(F.col("chunk")).alias("chunk_fp"),
+        )
+        .where(F.col("chunk_chars") > 0)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_CHUNK_HASH = duck_charhash(f"substr(text, start + 1, {CHUNK_LEN})")
+CHUNK_DOCUMENTS_ORACLE = f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), {CHUNK_STRIDE})) AS start,
+         generate_subscripts(generate_series(0, greatest(length(text) - 1, 0), {CHUNK_STRIDE}), 1) - 1 AS chunk_id
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(start AS INTEGER) AS start,
+       CAST(length(substr(text, start + 1, {CHUNK_LEN})) AS INTEGER)
+         AS chunk_chars,
+       {_CHUNK_HASH} AS chunk_fp
+FROM starts
+WHERE length(substr(text, start + 1, {CHUNK_LEN})) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+register("chunk_documents", chunk_documents, CHUNK_DOCUMENTS_ORACLE)

@@ -655,3 +655,33 @@ register(
     sample_stratified_events,
     SAMPLE_STRATIFIED_EVENTS_ORACLE,
 )
+
+
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + HAVING surface (Spark 3.4+/DuckDB shared
+    dialect): grouping keys inferred from the non-aggregate select
+    list — the ergonomic form analysts actually write; compiles to
+    the identical partial+final hash aggregate."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY ALL
+        HAVING count(*) > 3
+        ORDER BY lang, source
+        """
+    )
+
+
+SQL_GROUP_BY_ALL_ORACLE = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ALL
+HAVING count(*) > 3
+ORDER BY lang, source
+"""
+
+register("sql_group_by_all", sql_group_by_all, SQL_GROUP_BY_ALL_ORACLE)
