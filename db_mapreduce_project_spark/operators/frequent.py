@@ -123,12 +123,17 @@ def frequent_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets on orderkey with p1 < p2 and keeps pairs with support
     >= PAIR_MIN_SUPPORT.
     """
+    # cache the deduped baskets: the frequency count and the pruned
+    # self-join both read them; at bench scale the cache is a few MB
+    # of bigint pairs (at 100 TB you would persist to DISK_ONLY or
+    # recompute — the plan shape is unchanged either way)
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
         )
         .distinct()
+        .cache()
     )
     item_counts = li.groupBy("pkey").agg(F.count("*").alias("item_n"))
     # data-adaptive floor: avg basket count x 1.2, exact integer compare

@@ -178,6 +178,9 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted exactly once via two equi-joins on the ordered edge
     list.  Returns one row (n_edges, n_triangles).
     """
+    # cache the (<= nations^2 rows) pair aggregate: e1/e2/e3 and the
+    # threshold scalar all read it — without the cache each reference
+    # re-runs the full lineitem join
     cents = _trade_cents(spark, sf_dir)
     und = (
         cents.select(
@@ -188,6 +191,7 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("cents").alias("cents"))
+        .cache()
     )
     floor_ = und.agg(
         F.sum("cents").alias("sum_c"), F.count("*").alias("n_pairs")
