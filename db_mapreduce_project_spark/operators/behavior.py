@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -177,3 +177,139 @@ ORDER BY report_day
 register("funnel_conversion", funnel_conversion, FUNNEL_ORACLE)
 register("cohort_retention", cohort_retention, COHORT_ORACLE)
 register("rolling_active_users", rolling_active_users, ROLLING_ACTIVE_USERS_ORACLE)
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    counts and probabilities of event_type -> next event_type within
+    each user's timeline (ts, event_id total order).
+
+    One shuffle: the lag window partitions by user_id; the
+    transition count aggregates the (from, to) pairs (25 keys) with
+    map-side combine.  The probability is a ratio of exact integer
+    counts — the row-count denominator comes from a window over the
+    25-row count table, not a re-scan."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        trans.withColumn("n_from", F.sum("n").over(w_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n") / F.col("n_from")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITION_MATRIX_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+FROM trans
+ORDER BY from_type, to_type
+"""
+
+
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> first-purchase conversion delay, summarized per
+    signup cohort month: converted-user count and the exact integer
+    median delay in hours (histogram-free here: the per-cohort
+    groups are small after the first-touch aggregate, so a
+    partitioned window ranks them — the per-group selection pattern
+    from operators/selection.py is the escalation when cohorts stay
+    corpus-sized).
+
+    ONE shuffle computes both first touches (conditional MIN in the
+    same groupBy); the cohort summary aggregates the users-sized
+    result."""
+    e = load_table(spark, sf_dir, "events")
+    first_touch = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchase_ts"
+        ),
+    )
+    conv = first_touch.where(
+        F.col("signup_ts").isNotNull()
+        & (F.col("purchase_ts") > F.col("signup_ts"))
+    ).select(
+        F.date_trunc("MONTH", F.col("signup_ts")).alias("cohort_month"),
+        (
+            (
+                F.col("purchase_ts").cast("long")
+                - F.col("signup_ts").cast("long")
+            )
+            / 3600
+        ).cast("bigint").alias("delay_hours"),
+    )
+    w = Window.partitionBy("cohort_month").orderBy("delay_hours")
+    ranked = conv.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_conv", F.count("*").over(Window.partitionBy("cohort_month"))
+    )
+    return (
+        ranked.where(F.col("rn") == F.expr("(n_conv + 1) DIV 2"))
+        .select("cohort_month", "n_conv", F.col("delay_hours").alias("median_delay_hours"))
+        .orderBy("cohort_month")
+    )
+
+
+TIME_TO_CONVERT_ORACLE = """
+WITH first_touch AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT date_trunc('month', signup_ts) AS cohort_month,
+         CAST((CAST(floor(epoch(purchase_ts)) AS BIGINT)
+               - CAST(floor(epoch(signup_ts)) AS BIGINT)) // 3600
+              AS BIGINT) AS delay_hours
+  FROM first_touch
+  WHERE signup_ts IS NOT NULL AND purchase_ts > signup_ts
+),
+ranked AS (
+  SELECT cohort_month, delay_hours,
+         row_number() OVER (PARTITION BY cohort_month
+                            ORDER BY delay_hours) AS rn,
+         count(*) OVER (PARTITION BY cohort_month) AS n_conv
+  FROM conv
+)
+SELECT cohort_month, n_conv, delay_hours AS median_delay_hours
+FROM ranked
+WHERE rn = (n_conv + 1) // 2
+ORDER BY cohort_month
+"""
+
+register(
+    "event_transition_matrix",
+    event_transition_matrix,
+    EVENT_TRANSITION_MATRIX_ORACLE,
+)
+register("time_to_convert", time_to_convert, TIME_TO_CONVERT_ORACLE)
