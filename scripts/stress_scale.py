@@ -180,6 +180,100 @@ def main() -> None:
     ).distinct()
     bench("rolling_wau_10x", fan.groupBy("rd").agg(F.count(F.lit(1)).alias("wau")))
 
+    # cross-doc duplicated spans over ~50k docs: strided rolling
+    # windows, join-free hash-pair groupBy
+    from db_mapreduce_project_spark.functions.hashing import (
+        spark_charhash_pair,
+    )
+    from db_mapreduce_project_spark.operators.dedup import (
+        SPAN_LEN,
+        SPAN_STRIDE,
+        SPAN_TOPK,
+    )
+
+    spans = (
+        docs.where(F.length("text") >= SPAN_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.length("text") - SPAN_LEN, F.lit(SPAN_STRIDE)
+                )
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            spark_charhash_pair(
+                F.expr(f"substring(text, pos + 1, {SPAN_LEN})")
+            ).alias("h"),
+        )
+        .select("doc_id", F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2"))
+    )
+    bench(
+        "substring_spans_10x",
+        spans.groupBy("h1", "h2")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "h1", "h2")
+        .limit(SPAN_TOPK),
+    )
+
+    # sweep-line in-transit balance over ~6M intervals: distributed
+    # two-phase prefix sum (partitioned window + tiny offset table)
+    recv = F.expr("l_shipdate + INTERVAL '1' DAY * (l_orderkey % 30 + 1)")
+    deltas = (
+        lineitem.select(
+            F.col("l_shipdate").alias("day"), F.lit(1).alias("net")
+        )
+        .unionByName(lineitem.select(recv.alias("day"), F.lit(-1).alias("net")))
+        .groupBy("day")
+        .agg(F.sum("net").alias("net"))
+        .withColumn("month", F.date_trunc("MONTH", F.col("day")))
+    )
+    from pyspark.sql import Window
+
+    w_m = (
+        Window.partitionBy("month")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    daily = deltas.withColumn("cum", F.sum("net").over(w_m))
+    mt = deltas.groupBy("month").agg(F.sum("net").alias("mnet"))
+    w_all = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = mt.withColumn("off", F.sum("mnet").over(w_all) - F.col("mnet"))
+    bench(
+        "sweepline_10x",
+        daily.join(F.broadcast(offs.select("month", "off")), "month").select(
+            "day", (F.col("cum") + F.col("off")).alias("in_transit")
+        ),
+    )
+
+    # fixed-point PageRank over the trade graph, edges aggregated
+    # from ~6M duplicated lineitems (graph stays nations-sized; the
+    # stress is the cents aggregation + 8 checkpointed iterations)
+    from db_mapreduce_project_spark.operators.graph import pagerank_trade
+
+    t0 = time.perf_counter()
+    pagerank_trade(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    print(
+        json.dumps(
+            {
+                "query": "pagerank_trade_full",
+                "sec": round(time.perf_counter() - t0, 2),
+                "copies": 1,
+            }
+        ),
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
