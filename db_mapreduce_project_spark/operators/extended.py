@@ -685,3 +685,67 @@ ORDER BY lang, source
 """
 
 register("sql_group_by_all", sql_group_by_all, SQL_GROUP_BY_ALL_ORACLE)
+
+
+def sample_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: P(keep row) =
+    quantity / max_quantity — size-biased sampling (the PPS pattern
+    behind weighted corpus subsampling and sketch-based joins),
+    with the keyed hash ring standing in for randomness so both
+    engines agree row-for-row.
+
+    keep iff bucket(key) * max_q < qty * 1000 — exact integers
+    (quantities are integral; bucket < 1000).  The 1-row max
+    broadcasts; the scan is never shuffled.  The audit output
+    reports the realized size bias: kept rows' mean quantity should
+    exceed the population mean."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    bucket = _keyhash_spark(F.col("l_orderkey"), F.col("l_linenumber"))
+    mx = l.agg(F.max(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")).alias("max_q"))
+    return (
+        l.crossJoin(F.broadcast(mx))
+        .select(
+            qty.alias("qty"),
+            bucket.alias("bucket"),
+            F.col("max_q"),
+        )
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(F.col("bucket") * F.col("max_q") < F.col("qty") * 1000, 1)
+                .otherwise(0)
+            ).alias("n_kept"),
+            F.sum("qty").alias("qty_total"),
+            F.sum(
+                F.when(
+                    F.col("bucket") * F.col("max_q") < F.col("qty") * 1000,
+                    F.col("qty"),
+                ).otherwise(0)
+            ).alias("qty_kept"),
+        )
+    )
+
+
+SAMPLE_WEIGHTED_LINEITEM_ORACLE = f"""
+WITH mx AS (
+  SELECT max(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS max_q FROM lineitem
+),
+t AS (
+  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         ((l_orderkey % 1000000000) * {_KNUTH} + l_linenumber) % 1000 AS bucket,
+         max_q
+  FROM lineitem, mx
+)
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN bucket * max_q < qty * 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(qty) AS BIGINT) AS qty_total,
+       CAST(sum(CASE WHEN bucket * max_q < qty * 1000 THEN qty ELSE 0 END) AS BIGINT) AS qty_kept
+FROM t
+"""
+
+register(
+    "sample_weighted_lineitem",
+    sample_weighted_lineitem,
+    SAMPLE_WEIGHTED_LINEITEM_ORACLE,
+)

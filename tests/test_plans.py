@@ -240,6 +240,7 @@ _UNKEYED_JOIN_OK = {
     "corpus_mix_rebalance",     # 1-row global-min scalar broadcast
     "exact_median_twopass",     # 1-row rank-target scalar broadcast
     "drift_chisq_by_source",    # 1-row corpus-total scalar broadcast
+    "sample_weighted_lineitem", # 1-row max-weight scalar broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
