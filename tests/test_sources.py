@@ -223,3 +223,44 @@ def test_zordered_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
     assert admit_fraction("slo", "shi", s_probes) <= 0.7
     # and the clustered copy still holds all rows
     assert spark.read.parquet(path).count() == l.count()
+
+
+def test_wordfile_custom_datasource_roundtrip(spark, sf_dir, tmp_path):
+    # the reference's text sink read back through the Spark-4 Python
+    # DataSource connector: same rows, declared schema, one input
+    # partition per file
+    from db_mapreduce_project_spark.registry import QUERIES
+    from db_mapreduce_project_spark.sources.wordfile_source import (
+        register_wordfile_source,
+    )
+
+    wc = QUERIES["wordcount"](spark, sf_dir)
+    path = str(tmp_path / "wordfile_out")
+    write_wordcount_text(wc, path)
+
+    register_wordfile_source(spark)
+    back = spark.read.format("wordfile").option("path", path).load()
+    assert back.schema.simpleString() == "struct<word:string,cnt:bigint>"
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, wc.collect())
+    )
+
+
+def test_wordfile_datasource_partitions_per_file(spark, tmp_path):
+    from db_mapreduce_project_spark.sources.wordfile_source import (
+        register_wordfile_source,
+    )
+
+    d = tmp_path / "many"
+    d.mkdir()
+    (d / "part-00000.txt").write_text("alpha 3\nbeta 2\n")
+    (d / "part-00001.txt").write_text("gamma 7\n")
+
+    register_wordfile_source(spark)
+    back = spark.read.format("wordfile").option("path", str(d)).load()
+    assert back.rdd.getNumPartitions() == 2
+    assert sorted(map(tuple, back.collect())) == [
+        ("alpha", 3),
+        ("beta", 2),
+        ("gamma", 7),
+    ]
