@@ -408,3 +408,43 @@ def read_latest_per_user(spark: SparkSession, out_dir: str):
         .where(F.col("_rk") == 1)
         .select("user_id", "event_id", "event_type", "ts")
     )
+
+
+def stream_wordcount(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_wordcount"
+):
+    """THE reference program as a structured stream: word count over
+    documents arriving file-by-file (maxFilesPerTrigger=1), complete-
+    mode aggregation, memory sink.  The batch flagship and this
+    stream share the identical tokenizer contract, so availableNow
+    replay must reproduce the batch result row-for-row — proving the
+    unified batch/stream semantics Spark gives the rebuilt engine
+    (the reference would need a separate incremental implementation).
+    State size = vocabulary, bounded regardless of stream length."""
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    toks = docs.select(
+        F.explode(F.split("text", " ", -1)).alias("raw")
+    ).select(F.lower(F.regexp_replace("raw", "[^a-zA-Z]", "")).alias("word"))
+    agg = (
+        toks.where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

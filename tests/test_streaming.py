@@ -165,3 +165,16 @@ def test_stream_upsert_equals_batch_cdc(spark, sf_dir, tmp_path):
     batch = registry.QUERIES["cdc_latest_per_user"](spark, sf_dir)
     cols = ["user_id", "event_id", "event_type", "ts"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_wordcount_equals_batch_flagship(spark, sf_dir):
+    # the reference program as a stream: complete-mode word count
+    # over file-triggered document arrivals equals the batch flagship
+    from db_mapreduce_project_spark.streaming.jobs import stream_wordcount
+
+    q = stream_wordcount(spark, sf_dir, query_name="t_wc")
+    q.awaitTermination(120)
+    streamed = spark.table("t_wc")
+    batch = registry.QUERIES["wordcount"](spark, sf_dir)
+    cols = ["word", "cnt"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
