@@ -313,3 +313,66 @@ register(
     EVENT_TRANSITION_MATRIX_ORACLE,
 )
 register("time_to_convert", time_to_convert, TIME_TO_CONVERT_ORACLE)
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive
+    active days.  island_id = day_number - dense_rank (constant
+    within a consecutive run — the classic integer trick), so runs
+    fall out of a plain groupBy with no self-join or recursive pass.
+
+    Two keyed shuffles (distinct user-days; the rank window), both
+    partitioned by user_id — nothing global.  Output: per-streak-
+    length user counts plus the longest streak (bounded rows)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01").cast("date")
+        ).alias("dayn"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayn")
+    islands = ud.withColumn(
+        "island", F.col("dayn") - F.dense_rank().over(w)
+    )
+    streaks = (
+        islands.groupBy("user_id", "island")
+        .agg(F.count("*").alias("streak_days"))
+        .groupBy("user_id")
+        .agg(F.max("streak_days").alias("longest_streak"))
+    )
+    return (
+        streaks.groupBy("longest_streak")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("longest_streak")
+    )
+
+
+ACTIVITY_STREAKS_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS dayn
+  FROM events
+),
+islands AS (
+  SELECT user_id, dayn,
+         dayn - dense_rank() OVER (PARTITION BY user_id ORDER BY dayn)
+           AS island
+  FROM ud
+),
+streaks AS (
+  SELECT user_id, max(cnt) AS longest_streak
+  FROM (
+    SELECT user_id, island, count(*) AS cnt
+    FROM islands GROUP BY user_id, island
+  ) s
+  GROUP BY user_id
+)
+SELECT CAST(longest_streak AS BIGINT) AS longest_streak,
+       count(*) AS n_users
+FROM streaks
+GROUP BY longest_streak
+ORDER BY longest_streak
+"""
+
+register("activity_streaks", activity_streaks, ACTIVITY_STREAKS_ORACLE)
