@@ -48,6 +48,7 @@ def load_all_queries() -> None:
         classic,
         classic2,
         classic3,
+        clustering,
         curation,
         dedup,
         extended,

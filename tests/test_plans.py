@@ -245,7 +245,7 @@ _UNKEYED_JOIN_OK = {
 
 # Queries whose construction triggers eager execution (iterative
 # loops / bounded driver collects) — skipped to keep the sweep fast.
-_EAGER = {"dedup_clusters", "ann_cosine_topk_matmul", "pagerank_trade"}
+_EAGER = {"dedup_clusters", "ann_cosine_topk_matmul", "pagerank_trade", "kmeans_embeddings"}
 
 
 def test_no_accidental_cartesian_products(spark):
