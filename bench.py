@@ -67,6 +67,7 @@ HEADLINE = [
     "transit_inventory_sweepline",
     "range_join_bucketed_transit",
     "exact_median_twopass",
+    "kmeans_embeddings",
 ]
 
 
