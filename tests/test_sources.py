@@ -264,3 +264,26 @@ def test_wordfile_datasource_partitions_per_file(spark, tmp_path):
         ("beta", 2),
         ("gamma", 7),
     ]
+
+
+def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    # hive-partitioned sink + dimension filter => Catalyst injects a
+    # dynamicpruningexpression into the fact scan's PartitionFilters:
+    # at 100 TB the fact side reads ONLY the partitions the filtered
+    # dim selects, decided at runtime from the broadcast result
+    fact_path = str(tmp_path / "orders_by_year")
+    dim_path = str(tmp_path / "year_dim")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "oyear", F.year("o_orderdate")
+    )
+    o.write.partitionBy("oyear").mode("overwrite").parquet(fact_path)
+    spark.range(1990, 2010).select(
+        F.col("id").cast("int").alias("oyear"),
+        F.concat(F.lit("t"), F.col("id")).alias("tag"),
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "t1995")
+    j = fact.join(dim, "oyear").groupBy("tag").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
