@@ -491,3 +491,37 @@ def test_drift_chisq_broadcast_dims(spark):
     df = registry.QUERIES["drift_chisq_by_source"](spark, SF)
     assert has_broadcast_join(df)
     assert not has_sort_merge_join(df)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    # Spark's runtime row-level filtering: a selective filter on the
+    # build side injects a bloom-filter semi-filter into the probe
+    # scan (BloomFilterMightContain). The fixture is far below the
+    # 10GB application-side default, so the thresholds are lowered
+    # to demonstrate the mechanism — at 100 TB the defaults fire on
+    # their own and prune shuffle input before the join.
+    from db_mapreduce_project_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = physical_plan(j)
+        assert "might_contain" in plan.lower() or "bloom" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
