@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -549,32 +549,59 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     length set the stream volume; hot boilerplate spans land in one
     reducer each (bounded by doc count, and cappable exactly like
     SHINGLE_DF_CAP if ever needed).
+
+    Because SPAN_STRIDE divides SPAN_LEN, every span is exactly
+    SPAN_LEN/SPAN_STRIDE aligned stride-width blocks: each block's
+    hash pair folds ONCE, and span hashes compose with the constant
+    power B^stride — total fold work is one pass over the text
+    instead of SPAN_LEN/SPAN_STRIDE passes (the same composition
+    trick as token_shingle_hash_pairs; hashes are value-identical,
+    the oracle keeps hashing span strings).
     """
+    assert SPAN_LEN % SPAN_STRIDE == 0
+    nb_per_span = SPAN_LEN // SPAN_STRIDE
+    p10_1 = pow(FP_CHAR_BASE, SPAN_STRIDE, FP_MOD)
+    p10_2 = pow(FP_WORD_BASE, SPAN_STRIDE, FP_MOD2)
+    from ..functions.hashing import spark_charhash_pair
+
     d = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= SPAN_LEN
     )
-    from ..functions.hashing import spark_charhash_pair
-
-    spans = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.length("text") - SPAN_LEN,
-                F.lit(SPAN_STRIDE),
+    n_full = F.floor(F.length("text") / SPAN_STRIDE).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda j: spark_charhash_pair(
+            F.substring(
+                F.col("text"), j * SPAN_STRIDE + 1, SPAN_STRIDE
             )
-        ).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        spark_charhash_pair(
-            F.expr(f"substring(text, pos + 1, {SPAN_LEN})")
-        ).alias("h"),
+        ),
     )
-    return (
-        spans.select(
+
+    def compose(i: Column) -> Column:
+        b0 = F.element_at(F.col("_b"), i)
+        s1, s2 = b0["h1"], b0["h2"]
+        for k in range(1, nb_per_span):
+            bk = F.element_at(F.col("_b"), i + k)
+            s1 = (s1 * p10_1 + bk["h1"]) % FP_MOD
+            s2 = (s2 * p10_2 + bk["h2"]) % FP_MOD2
+        return F.struct(s1.alias("h1"), s2.alias("h2"))
+
+    spans = (
+        d.select(
+            "doc_id",
+            F.explode(F.array(blocks)).alias("_b"),
+            F.sequence(F.lit(1), n_full - (nb_per_span - 1)).alias("_idx"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.transform(F.col("_idx"), compose)).alias("h"),
+        )
+        .select(
             "doc_id", F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2")
         )
+    )
+    return (
+        spans
         .groupBy("h1", "h2")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
