@@ -200,3 +200,56 @@ register(
     scd2_user_value_history,
     SCD2_USER_VALUE_HISTORY_ORACLE,
 )
+
+
+def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of o_totalprice — the optimizer-
+    statistics companion of the fixed-width `histogram_order_prices`:
+    bucket boundaries are the exact interpolated deciles (computed in
+    ONE tiny aggregate and broadcast back), bucket assignment is a
+    map-side sum of nine comparisons, and the final count is a 10-row
+    groupBy.  The corpus is scanned twice and shuffled never."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    th = o.agg(
+        *[F.percentile("price", q).alias(f"t{i}") for i, q in enumerate(qs, 1)]
+    )
+    bucket = sum(
+        (F.col("price") > F.col(f"t{i}")).cast("int") for i in range(1, 10)
+    )
+    return (
+        o.crossJoin(F.broadcast(th))
+        .select(bucket.alias("bucket"), "price")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EQD_TH = ", ".join(
+    f"quantile_cont(price, {i / 10}) AS t{i}" for i in range(1, 10)
+)
+_EQD_BUCKET = " + ".join(
+    f"CASE WHEN price > t{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+)
+EQUIDEPTH_HISTOGRAM_PRICES_ORACLE = f"""
+WITH o AS (SELECT o_totalprice AS price FROM orders),
+th AS (SELECT {_EQD_TH} FROM o)
+SELECT CAST(({_EQD_BUCKET}) AS INTEGER) AS bucket,
+       count(*) AS n, min(price) AS lo, max(price) AS hi
+FROM o, th
+GROUP BY 1
+ORDER BY bucket
+"""
+
+register(
+    "equidepth_histogram_prices",
+    equidepth_histogram_prices,
+    EQUIDEPTH_HISTOGRAM_PRICES_ORACLE,
+)

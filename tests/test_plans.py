@@ -241,6 +241,7 @@ _UNKEYED_JOIN_OK = {
     "exact_median_twopass",     # 1-row rank-target scalar broadcast
     "drift_chisq_by_source",    # 1-row corpus-total scalar broadcast
     "sample_weighted_lineitem", # 1-row max-weight scalar broadcast
+    "equidepth_histogram_prices",  # 1-row decile-thresholds broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
