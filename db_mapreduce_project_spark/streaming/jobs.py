@@ -448,3 +448,38 @@ def stream_wordcount(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (driver-visible) twin of the stream-stream interval
+    join: purchases attributed to same-user clicks in the preceding
+    30 minutes.  The join is EQUI on user_id with the interval as a
+    residual predicate — co-partitioned shuffle, bounded stream
+    state (watermarks) in the streaming form."""
+    return (
+        batch_purchase_attribution(spark, sf_dir)
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+PURCHASE_ATTRIBUTION_ORACLE = """
+WITH clicks AS (
+  SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id,
+         value AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT purchase_id, click_id, p_user, amount
+FROM purchases JOIN clicks
+  ON p_user = c_user
+ AND c_ts >= p_ts - INTERVAL 30 MINUTE
+ AND c_ts <= p_ts
+ORDER BY purchase_id, click_id
+"""
+
+register(
+    "purchase_attribution", purchase_attribution, PURCHASE_ATTRIBUTION_ORACLE
+)
