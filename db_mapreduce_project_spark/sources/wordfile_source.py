@@ -29,7 +29,23 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+# filter classes the reader evaluates natively during the scan
+_PUSHABLE = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
 )
 
 
@@ -43,6 +59,41 @@ class WordFileReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("wordfile source requires a path")
+        self.filters: list = []
+
+    def pushFilters(self, filters):
+        """Accept single-column comparison filters on word/cnt —
+        they evaluate inline during the file scan, so filtered reads
+        never materialize non-matching rows (Spark 4.1 Python
+        DataSource filter-pushdown API).  Everything else is yielded
+        back for Spark to evaluate."""
+        for f in filters:
+            if isinstance(f, _PUSHABLE) and f.attribute in (
+                ("word",),
+                ("cnt",),
+            ):
+                self.filters.append(f)
+            else:
+                yield f
+
+    def _matches(self, word: str, cnt: int) -> bool:
+        for f in self.filters:
+            v = word if f.attribute == ("word",) else cnt
+            if isinstance(f, EqualTo):
+                ok = v == f.value
+            elif isinstance(f, GreaterThan):
+                ok = v > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                ok = v >= f.value
+            elif isinstance(f, LessThan):
+                ok = v < f.value
+            elif isinstance(f, LessThanOrEqual):
+                ok = v <= f.value
+            else:  # StringStartsWith
+                ok = isinstance(v, str) and v.startswith(f.value)
+            if not ok:
+                return False
+        return True
 
     def partitions(self):
         files = sorted(
@@ -64,7 +115,8 @@ class WordFileReader(DataSourceReader):
                 if not line:
                     continue
                 word, _, cnt = line.rpartition(" ")
-                yield (word, int(cnt))
+                if self._matches(word, int(cnt)):
+                    yield (word, int(cnt))
 
 
 class WordFileDataSource(DataSource):
@@ -83,5 +135,7 @@ class WordFileDataSource(DataSource):
 
 
 def register_wordfile_source(spark) -> None:
-    """Idempotent registration of the custom source."""
+    """Idempotent registration of the custom source (enables the
+    Python-data-source filter-pushdown path, off by default)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WordFileDataSource)

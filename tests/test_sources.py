@@ -287,3 +287,40 @@ def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path)
     j = fact.join(dim, "oyear").groupBy("tag").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_wordfile_datasource_filter_pushdown(spark, tmp_path):
+    # comparison filters on word/cnt evaluate inside the reader
+    # (pushFilters keeps them); results match post-scan filtering
+    from db_mapreduce_project_spark.sources.wordfile_source import (
+        WordFileReader,
+        register_wordfile_source,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringStartsWith
+
+    d = tmp_path / "wf"
+    d.mkdir()
+    (d / "part-00000.txt").write_text("alpha 3\nbeta 2\ngamma 7\nalpine 9\n")
+
+    register_wordfile_source(spark)
+    base = spark.read.format("wordfile").option("path", str(d)).load()
+    got = sorted(
+        map(tuple, base.where("cnt > 2 AND word LIKE 'al%'").collect())
+    )
+    assert got == [("alpha", 3), ("alpine", 9)]
+
+    # unit-level: the reader keeps supported filters, returns the rest
+    r = WordFileReader({"path": str(d)})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThan(("cnt",), 2),
+                StringStartsWith(("word",), "al"),
+                EqualTo(("other_col",), 1),
+            ]
+        )
+    )
+    assert len(r.filters) == 2
+    assert len(leftover) == 1
+    rows = list(r.read(next(iter(r.partitions()))))
+    assert sorted(rows) == [("alpha", 3), ("alpine", 9)]
