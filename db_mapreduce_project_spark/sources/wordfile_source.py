@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
 )
 
@@ -119,9 +120,58 @@ class WordFileReader(DataSourceReader):
                     yield (word, int(cnt))
 
 
+class WordFileStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: each microbatch picks up files that
+    appeared since the last offset.  The offset is the sorted list
+    of files already consumed — replayable (readBetweenOffsets
+    re-reads exactly the files in (start, end]), so the source is
+    exactly-once under Structured Streaming's offset log."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wordfile source requires a path")
+
+    def _files(self):
+        return sorted(
+            {
+                p
+                for pat in ("part-*", "*.txt")
+                for p in glob.glob(os.path.join(self.path, pat))
+                if os.path.getsize(p) > 0
+            }
+        )
+
+    def _rows(self, files):
+        for path in files:
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    word, _, cnt = line.rpartition(" ")
+                    yield (word, int(cnt))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def read(self, start: dict):
+        # materialized list, not a generator: the simple-reader
+        # prefetch pickles the batch into the offset cache
+        seen = set(start["files"])
+        now = self._files()
+        new = [p for p in now if p not in seen]
+        return list(self._rows(new)), {"files": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start["files"])
+        return list(self._rows([p for p in end["files"] if p not in seen]))
+
+
 class WordFileDataSource(DataSource):
     """`spark.read.format("wordfile").load(dir)` over reference-
-    format word-count text output."""
+    format word-count text output; `spark.readStream` streams new
+    files as they arrive."""
 
     @classmethod
     def name(cls) -> str:
@@ -132,6 +182,9 @@ class WordFileDataSource(DataSource):
 
     def reader(self, schema) -> WordFileReader:
         return WordFileReader(self.options)
+
+    def simpleStreamReader(self, schema) -> WordFileStreamReader:
+        return WordFileStreamReader(self.options)
 
 
 def register_wordfile_source(spark) -> None:

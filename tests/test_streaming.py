@@ -178,3 +178,36 @@ def test_stream_wordcount_equals_batch_flagship(spark, sf_dir):
     batch = registry.QUERIES["wordcount"](spark, sf_dir)
     cols = ["word", "cnt"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_wordfile_custom_stream_source(spark, tmp_path):
+    # the custom connector's streaming flavor: two files arrive, the
+    # availableNow replay drains both through the offset log and the
+    # complete-mode aggregation equals reading them in batch
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.sources.wordfile_source import (
+        register_wordfile_source,
+    )
+
+    d = tmp_path / "wf_stream"
+    d.mkdir()
+    (d / "part-00000.txt").write_text("alpha 3\nbeta 2\n")
+    (d / "part-00001.txt").write_text("alpha 4\ngamma 7\n")
+
+    register_wordfile_source(spark)
+    stream = (
+        spark.readStream.format("wordfile").option("path", str(d)).load()
+    )
+    agg = stream.groupBy("word").agg(F.sum("cnt").alias("total"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_wordfile_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("t_wordfile_stream").collect()))
+    assert got == [("alpha", 7), ("beta", 2), ("gamma", 7)]
