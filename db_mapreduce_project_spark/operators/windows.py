@@ -20,9 +20,11 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import (
     duck_qavg_over,
+    duck_qint,
     duck_qsum,
     duck_qsum_over,
     qavg_window,
+    qint,
     qsum,
     qsum_window,
 )
@@ -392,3 +394,62 @@ ORDER BY user_id, session_id
 
 
 register("sessionize_events", sessionize_events, SESSIONIZE_ORACLE)
+
+
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based RANGE frame: each event's trailing 1-hour activity
+    for the same user (event count + quantized value sum) — the
+    frame boundary is a time distance, not a row count, so sparse
+    and dense periods window correctly.  Portable form: both engines
+    order by whole epoch seconds and use an inclusive 3600-second
+    RANGE; the sum quantizes before aggregating (stable.py).  One
+    keyed shuffle (user_id partition); bounded user subsample keeps
+    the compared output small."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 20 == 0
+    )
+    sec = F.col("ts").cast("long")
+    base = e.select(
+        "user_id",
+        "event_id",
+        sec.alias("sec"),
+        qint("value", 4).alias("qv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).alias("n_1h"),
+            (F.sum("qv").over(w) / F.lit(10000.0)).alias("sum_value_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_TIME_RANGE_ROLLING_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         {duck_qint("value", 4)} AS qv
+  FROM events
+  WHERE user_id % 20 = 0
+)
+SELECT user_id, event_id,
+       count(*) OVER w AS n_1h,
+       (CAST(sum(qv) OVER w AS BIGINT) / 10000.0) AS sum_value_1h
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+register(
+    "window_time_range_rolling",
+    window_time_range_rolling,
+    WINDOW_TIME_RANGE_ROLLING_ORACLE,
+)
