@@ -38,21 +38,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.  Sets UTC timezone on the session for
     deterministic timestamp handling (idempotent).
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    does not read natively: read it as raw nanos
-    (spark.sql.legacy.parquet.nanosAsLong) and truncate to
-    microseconds — the same truncation DuckDB applies on read, so
-    both engines see identical values."""
+    `events.ts` has shipped under several parquet encodings across
+    fixture generations; normalize ALL of them to a session-tz
+    TIMESTAMP (session tz is pinned UTC) so every downstream
+    operator — epoch arithmetic, `withWatermark`, window RANGE
+    frames — sees one type with values identical to the DuckDB
+    oracle's naive timestamps:
+
+    - TIMESTAMP(NANOS): Spark cannot read it natively; read as raw
+      nanos (spark.sql.legacy.parquet.nanosAsLong) and truncate to
+      microseconds — the same truncation DuckDB applies on read.
+    - timestamp[us] no-tz → Spark 4 TIMESTAMP_NTZ: cast to
+      TIMESTAMP under the UTC session tz (a no-op on the stored
+      micros, but unlocks `withWatermark` and epoch casts, which
+      both reject NTZ)."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             # integer div keeps full precision (ns values exceed
             # double's 2^53 mantissa — never divide as float)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

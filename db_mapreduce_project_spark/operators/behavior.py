@@ -262,8 +262,8 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("MONTH", F.col("signup_ts")).alias("cohort_month"),
         (
             (
-                F.col("purchase_ts").cast("long")
-                - F.col("signup_ts").cast("long")
+                F.unix_timestamp("purchase_ts")
+                - F.unix_timestamp("signup_ts")
             )
             / 3600
         ).cast("bigint").alias("delay_hours"),

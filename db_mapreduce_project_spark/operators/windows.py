@@ -339,10 +339,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(e: DataFrame, gap_s: int = 1800) -> DataFrame:
     """DataFrame-level sessionization (see sessionize_events)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
     gap_marker = (
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            > gap_s,
+            sec - F.lag(sec).over(w) > gap_s,
             1,
         )
         .otherwise(0)
@@ -408,7 +408,7 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(
         F.col("user_id") % 20 == 0
     )
-    sec = F.col("ts").cast("long")
+    sec = F.unix_timestamp("ts")
     base = e.select(
         "user_id",
         "event_id",
