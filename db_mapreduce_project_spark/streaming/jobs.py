@@ -18,6 +18,8 @@ Scale/streaming notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -153,10 +155,10 @@ register("events_session", events_session, EVENTS_SESSION_ORACLE)
 # ----------------- true streaming runners (tests) -----------------
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet.  The file stores
-    TIMESTAMP(NANOS), so the stream reads the RAW schema (ts as
-    nanos bigint via nanosAsLong) and applies the same micros
-    truncation as io.load_table."""
+    """readStream over the events parquet.  The stream reads the
+    RAW schema and applies the same `ts` normalization as
+    io.load_table (nanos-as-long truncation for TIMESTAMP(NANOS)
+    fixtures, UTC cast for TIMESTAMP_NTZ fixtures)."""
     import os
 
     import tempfile
@@ -174,10 +176,16 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    if isinstance(stream.schema["ts"].dataType, T.LongType):
+    ts_type = stream.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # timestamp[us] no-tz fixtures → TIMESTAMP_NTZ, which
+        # withWatermark rejects; cast under the UTC session tz
+        # (no-op on stored micros), mirroring io.load_table
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -482,4 +490,52 @@ ORDER BY purchase_id, click_id
 
 register(
     "purchase_attribution", purchase_attribution, PURCHASE_ATTRIBUTION_ORACLE
+)
+
+
+def stream_sink_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming-SINK query: actually RUNS the
+    watermarked file stream end-to-end (readStream -> foreachBatch
+    parquet upsert sink -> availableNow termination), then returns
+    the merge-on-read compaction of what the sink wrote.  The
+    result is deterministic regardless of micro-batch boundaries —
+    latest event per user under the (ts, event_id) total order —
+    so it oracle-checks against the same SQL as the batch
+    cdc_latest_per_user query.  This puts the streaming write path
+    itself (offset log, batch epochs, append-only delta files)
+    under the differential correctness gate rather than only under
+    pytest."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_sink_q_")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    q = stream_upsert_latest_per_user(spark, sf_dir, out, ckpt)
+    q.awaitTermination(300)
+    result = (
+        read_latest_per_user(spark, out)
+        .orderBy("user_id")
+        # materialize eagerly so the sink's temp files can be removed
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+STREAM_SINK_LATEST_PER_USER_ORACLE = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS _rk
+  FROM events
+) t
+WHERE _rk = 1
+ORDER BY user_id
+"""
+
+register(
+    "stream_sink_latest_per_user",
+    stream_sink_latest_per_user,
+    STREAM_SINK_LATEST_PER_USER_ORACLE,
 )
