@@ -26,9 +26,13 @@ from __future__ import annotations
 import glob
 import os
 
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -37,6 +41,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
     StringStartsWith,
+    WriterCommitMessage,
 )
 
 # filter classes the reader evaluates natively during the scan
@@ -168,10 +173,84 @@ class WordFileStreamReader(SimpleDataSourceStreamReader):
         return list(self._rows([p for p in end["files"] if p not in seen]))
 
 
+@dataclass
+class WordFileCommitMessage(WriterCommitMessage):
+    """Per-task commit record: the staged temp file and row count.
+    Must be picklable — it travels executor -> driver."""
+
+    tmp: str
+    pid: int
+    n: int
+
+
+class WordFileWriter(DataSourceWriter):
+    """Parallel writer for the reference's `"word count"` sink
+    format (maprdeuce.cpp:322-329) — one output file PER PARTITION
+    (no `coalesce(1)` single-writer bottleneck: N tasks write N
+    files concurrently, the same parallelism contract as the
+    built-in file sinks; `write_wordcount_text` remains the
+    single-golden-file helper for tiny vocabularies).
+
+    Two-phase commit: each task streams rows into a dot-prefixed
+    temp file (invisible to the reader's `part-*` glob), then the
+    driver's `commit()` renames every staged temp into place only
+    after ALL tasks succeeded — task retries/speculation never leave
+    partial output visible, mirroring the Hadoop output-committer
+    contract."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wordfile sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp"
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(f"{row[0]} {row[1]}\n")
+                n += 1
+        return WordFileCommitMessage(tmp=tmp, pid=pid, n=n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for stale in glob.glob(os.path.join(self.path, "part-*")):
+                os.remove(stale)
+        staged = {m.tmp for m in messages if m is not None}
+        for m in messages:
+            if m is None:
+                continue
+            # uuid suffix keeps append-mode files from colliding
+            # with part files of earlier jobs at the same pid
+            final = os.path.join(
+                self.path,
+                os.path.basename(m.tmp)[1:].removesuffix(".tmp") + ".txt",
+            )
+            os.replace(m.tmp, final)
+        # drop temps of speculative duplicates that lost the race
+        for orphan in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+            if orphan not in staged:
+                os.remove(orphan)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
 class WordFileDataSource(DataSource):
     """`spark.read.format("wordfile").load(dir)` over reference-
     format word-count text output; `spark.readStream` streams new
-    files as they arrive."""
+    files as they arrive; `df.write.format("wordfile")` writes it
+    back with one file per partition."""
 
     @classmethod
     def name(cls) -> str:
@@ -185,6 +264,14 @@ class WordFileDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> WordFileStreamReader:
         return WordFileStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> WordFileWriter:
+        names = [f.name for f in schema.fields]
+        if names != ["word", "cnt"]:
+            raise ValueError(
+                f"wordfile sink expects columns (word, cnt); got {names}"
+            )
+        return WordFileWriter(self.options, overwrite)
 
 
 def register_wordfile_source(spark) -> None:

@@ -266,6 +266,62 @@ def test_wordfile_datasource_partitions_per_file(spark, tmp_path):
     ]
 
 
+def test_wordfile_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
+    # df.write.format("wordfile") — parallel per-partition writer,
+    # no coalesce(1): N partitions -> N part files, rename-on-commit.
+    # Read-after-write must reproduce the frame exactly and agree
+    # with the single-file write_wordcount_text golden sink.
+    import glob as _glob
+
+    from db_mapreduce_project_spark.registry import QUERIES
+    from db_mapreduce_project_spark.sources.wordfile_source import (
+        register_wordfile_source,
+    )
+
+    register_wordfile_source(spark)
+    wc = QUERIES["wordcount"](spark, sf_dir)
+    path = str(tmp_path / "wf_writer")
+    wc.repartition(4).write.format("wordfile").mode("overwrite").save(path)
+
+    parts = _glob.glob(path + "/part-*")
+    assert len(parts) == 4  # one file per partition, no single-writer
+    assert not _glob.glob(path + "/.part-*")  # temps all committed
+
+    back = spark.read.format("wordfile").option("path", path).load()
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, wc.collect())
+    )
+
+    # matches the golden single-file sink line-for-line once sorted
+    golden = str(tmp_path / "wf_golden")
+    write_wordcount_text(wc, golden)
+    golden_lines = sorted(
+        line
+        for p in _glob.glob(golden + "/part-*")
+        for line in open(p, encoding="utf-8").read().splitlines()
+        if line
+    )
+    written_lines = sorted(
+        line
+        for p in parts
+        for line in open(p, encoding="utf-8").read().splitlines()
+        if line
+    )
+    assert written_lines == golden_lines
+
+    # overwrite truncates: a second write leaves exactly one job's files
+    wc.repartition(2).write.format("wordfile").mode("overwrite").save(path)
+    assert len(_glob.glob(path + "/part-*")) == 2
+    back2 = spark.read.format("wordfile").option("path", path).load()
+    assert back2.count() == wc.count()
+
+    # append adds files without clobbering (uuid-suffixed names)
+    wc.repartition(1).write.format("wordfile").mode("append").save(path)
+    assert len(_glob.glob(path + "/part-*")) == 3
+    back3 = spark.read.format("wordfile").option("path", path).load()
+    assert back3.count() == 2 * wc.count()
+
+
 def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     # hive-partitioned sink + dimension filter => Catalyst injects a
     # dynamicpruningexpression into the fact scan's PartitionFilters:
