@@ -58,6 +58,7 @@ HEADLINE = [
     "q13_customer_distribution",
     "q9_product_profit",
     "doc_ngram_repetition",
+    "doc_ngram_repetition_arrow",
     "timeseries_gapfill",
     "embedding_quantize_int8",
     "dedup_substring_spans",

@@ -132,6 +132,13 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = per_doc.select(
         "lang", F.floor(dup_bp).cast("bigint").alias("dup_bp")
     )
+    return _repetition_rollup(per_doc)
+
+
+def _repetition_rollup(per_doc: DataFrame) -> DataFrame:
+    """Language rollup over per-doc (lang, dup_bp) rows — shared by
+    the Catalyst and Arrow repetition kernels so both certify
+    against the same oracle."""
     return (
         per_doc.groupBy("lang")
         .agg(
@@ -144,6 +151,60 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def doc_ngram_repetition_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-kernel twin of doc_ngram_repetition: the per-document
+    dup-bigram score runs as a mapInPandas batch kernel (hash-set
+    distinct per doc in Python) instead of Catalyst HOF expression
+    eval (arrays_zip + array_distinct per row).
+
+    Same oracle, same rollup — this is the designed escalation path
+    when a per-row kernel's interpreted-expression constant
+    dominates: the score is still computed map-side with ZERO
+    corpus shuffle (the kernel emits one (lang, dup_bp) row per doc
+    and only the 5-row language rollup exchanges), and the Python
+    boundary is Arrow-batched, never row-at-a-time.  Kept alongside
+    the Catalyst version deliberately: at 100 TB you pick whichever
+    constant wins on your hardware; differential identity between
+    the two is itself a correctness check (both registered against
+    the identical DuckDB SQL).
+
+    Tokenization contract replicated exactly: trim = ASCII-space
+    strip (Spark/DuckDB `trim` removes 0x20 only), split on Java
+    `\\s`-class runs, bigram pairs dropped only when BOTH halves are
+    empty, integer basis-point floor division."""
+    import re
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def score(batches):
+        for pdf in batches:
+            langs: list = []
+            bps: list = []
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.split(text.strip(" ").lower())
+                if len(toks) < 2:
+                    continue
+                pairs = [
+                    (toks[i], toks[i + 1])
+                    for i in range(len(toks) - 1)
+                    if toks[i] != "" or toks[i + 1] != ""
+                ]
+                total = len(pairs)
+                if total == 0:
+                    continue
+                langs.append(lang)
+                bps.append((total - len(set(pairs))) * 10000 // total)
+            yield pd.DataFrame({"lang": langs, "dup_bp": bps})
+
+    per_doc = d.mapInPandas(score, "lang string, dup_bp bigint")
+    return _repetition_rollup(per_doc)
 
 
 DOC_NGRAM_REPETITION_ORACLE = f"""
@@ -374,12 +435,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: code_i = floor((v_i - min_i) / (max_i - min_i) * 255).
 
     Plan shape: posexplode -> 64-row dim-stats aggregate -> folded
-    into ONE row of sorted (min, max) arrays -> broadcast cross
+    into ONE row of two flat double arrays (per-dim mins and
+    nullif'd ranges — the struct array is flattened broadcast-side
+    so the per-row lambda does two plain-array element_at lookups
+    instead of three array-of-struct probes, and the nullif runs
+    once per dim instead of once per row*dim) -> broadcast cross
     join back -> per-row transform with index.  The corpus is
     scanned twice but shuffled zero times (the only exchange moves
-    the 64-row stats).  Output keeps the codes as a portable
-    polynomial fold (bigint) so the row stays hashable; `code_0`
-    is retained as a spot-checkable sample dimension.
+    the 64-row stats).  IEEE evaluation order (v - mn) / rng * 255
+    is preserved exactly, so the DuckDB oracle is unchanged.
+    Output keeps the codes as a portable polynomial fold (bigint)
+    so the row stays hashable; `code_0` is retained as a
+    spot-checkable sample dimension.
     """
     e = load_table(spark, sf_dir, "embeddings")
     flat = e.select(
@@ -392,14 +459,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(
             F.collect_list(F.struct("dim", "mn", "mx"))
         ).alias("dm")
+    ).select(
+        F.transform("dm", lambda s: s["mn"]).alias("mins"),
+        F.transform(
+            "dm", lambda s: F.nullif(s["mx"] - s["mn"], F.lit(0.0))
+        ).alias("rngs"),
     )
     code = lambda v, i: F.floor(  # noqa: E731
-        (v.cast("double") - F.element_at(F.col("dm"), i + 1)["mn"])
-        / F.nullif(
-            F.element_at(F.col("dm"), i + 1)["mx"]
-            - F.element_at(F.col("dm"), i + 1)["mn"],
-            F.lit(0.0),
-        )
+        (v.cast("double") - F.element_at(F.col("mins"), i + 1))
+        / F.element_at(F.col("rngs"), i + 1)
         * F.lit(float(INT8_LEVELS))
     ).cast("bigint")
     codes = F.transform(F.col("embedding"), code)
@@ -666,6 +734,11 @@ ORDER BY split, lang
 
 
 register("doc_ngram_repetition", doc_ngram_repetition, DOC_NGRAM_REPETITION_ORACLE)
+register(
+    "doc_ngram_repetition_arrow",
+    doc_ngram_repetition_arrow,
+    DOC_NGRAM_REPETITION_ORACLE,
+)
 register(
     "decontaminate_overlap", decontaminate_overlap, DECONTAMINATE_OVERLAP_ORACLE
 )
