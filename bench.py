@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_cosine_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
+    "ann_sq8_adc",
     "dedup_embedding_cosine_bruteforce",
     "dedup_embedding_lsh",
     "multimodal_features",

@@ -554,3 +554,165 @@ def ann_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_cosine_topk_matmul", ann_cosine_topk_matmul)  # rows-only
+
+
+SQ_LEVELS = 255  # int8 scalar-quantization levels (matches curation)
+
+
+def ann_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-index ANN: LSH-bucketed candidate generation
+    scored by ASYMMETRIC DISTANCE over an int8 scalar-quantized
+    corpus — the memory-bound serving shape (a 64-dim float32
+    vector becomes 64 one-byte codes, a 4x smaller index; FAISS's
+    SQ8 flat index, after the scalar-quantizer stage of Jégou et
+    al., "Product quantization for nearest neighbor search", TPAMI
+    2011).
+
+    Index build (corpus side, one pass, zero corpus shuffle):
+    per-dim (min, range) stats aggregate to ONE broadcast row of
+    two flat arrays; each vector stores its LSH bucket plus the
+    int8 code array.  The scoring side reconstructs
+    `mn_i + (code_i + 0.5) * rng_i / 255` FROM THE CODES ONLY —
+    the original embedding is never read after encoding, which is
+    the point: at 100 TB the float corpus stays in cold storage
+    and the scan touches only the quantized index.
+
+    Query side keeps full precision (asymmetric: only the corpus
+    is quantized), probes its LSH bucket, ranks by the ADC inner
+    product.  Every float is an ordered left-to-right double fold
+    and the codes are exact integers, so the whole pipeline —
+    stats, codes, reconstruction, scores, ranks — value-hash
+    matches the DuckDB oracle; recall vs the exact scan is
+    asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    flat = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    stats = (
+        flat.groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mn", "mx"))
+            ).alias("dm")
+        )
+        .select(
+            F.transform("dm", lambda s: s["mn"]).alias("mins"),
+            F.transform(
+                "dm", lambda s: F.nullif(s["mx"] - s["mn"], F.lit(0.0))
+            ).alias("rngs"),
+        )
+    )
+    codes = F.transform(
+        F.col("embedding"),
+        lambda v, i: F.floor(
+            (v.cast("double") - F.element_at(F.col("mins"), i + 1))
+            / F.element_at(F.col("rngs"), i + 1)
+            * F.lit(float(SQ_LEVELS))
+        ).cast("bigint"),
+    )
+    index = (
+        e.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("vec_id").alias("n_id"),
+            _bucket_expr("embedding").alias("bucket"),
+            codes.alias("codes"),
+            "mins",
+            "rngs",
+        )
+        # reconstruction reads ONLY (codes, mins, rngs); constant
+        # dims (null range) decode exactly to their min
+        .select(
+            "n_id",
+            "bucket",
+            F.transform(
+                "codes",
+                lambda c, i: F.coalesce(
+                    F.element_at(F.col("mins"), i + 1)
+                    + (c + F.lit(0.5))
+                    * F.element_at(F.col("rngs"), i + 1)
+                    / F.lit(float(SQ_LEVELS)),
+                    F.element_at(F.col("mins"), i + 1),
+                ),
+            ).alias("recon"),
+        )
+    )
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _bucket_expr("embedding").alias("bucket"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    return (
+        q.join(index, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc", dot("qv", "recon"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "adc", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def _sq8_adc_oracle_sql() -> str:
+    """DuckDB mirror: same plane literals for the bucket, same dim
+    stats, same integer codes, same codes-only reconstruction, same
+    ordered ADC fold."""
+    from ..functions.vectors import duck_dot
+
+    planes = _planes()
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        proj = duck_dot("embedding", lit)
+        bucket_terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
+    bucket = "CAST(" + " + ".join(bucket_terms) + " AS BIGINT)"
+    lv = float(SQ_LEVELS)
+    return f"""
+WITH flat AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dims AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY dim),
+stats AS (
+  SELECT list(mn ORDER BY dim) AS mins,
+         list(nullif(mx - mn, 0.0) ORDER BY dim) AS rngs
+  FROM dims
+),
+base AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+index_side AS (
+  SELECT b.vec_id AS n_id, b.bucket,
+         list_transform(generate_series(1, len(b.embedding)), i ->
+           coalesce(
+             s.mins[i]
+             + (CAST(floor((CAST(b.embedding[i] AS DOUBLE) - s.mins[i])
+                           / s.rngs[i] * {lv}) AS BIGINT) + 0.5)
+               * s.rngs[i] / {lv},
+             s.mins[i])) AS recon
+  FROM base b, stats s
+),
+scored AS (
+  SELECT q.vec_id AS q_id, n.n_id,
+         {duck_dot('q.embedding', 'n.recon')} AS adc
+  FROM base q JOIN index_side n ON q.bucket = n.bucket
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> n.n_id
+)
+SELECT q_id, n_id, adc, rk FROM (
+  SELECT q_id, n_id, adc,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY adc DESC, n_id ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_SQ8_ADC_ORACLE = _sq8_adc_oracle_sql()
+
+register("ann_sq8_adc", ann_sq8_adc, ANN_SQ8_ADC_ORACLE)

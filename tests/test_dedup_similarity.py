@@ -113,3 +113,58 @@ def test_embedding_lsh_pairs_subset_of_bruteforce(spark):
     assert lsh <= brute
     if brute:
         assert len(lsh) / len(brute) >= 0.5, (len(lsh), len(brute))
+
+
+def test_ann_sq8_adc_fidelity_vs_exact_ip(spark):
+    """The int8-quantized ADC scan must track the full-precision
+    inner-product ranking over the SAME candidate set (the LSH
+    bucket): top-1 agreement for the large majority of queries, and
+    every ADC score within a small relative error of the exact IP
+    of the same pair (scalar quantization error is bounded by
+    0.5/255 of the per-dim range)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.operators.similarity import (
+        QUERY_MOD,
+        TOPK,
+        _bucket_expr,
+    )
+    from db_mapreduce_project_spark.functions.vectors import dot
+
+    adc = registry.QUERIES["ann_sq8_adc"](spark, SF).collect()
+    assert adc, "SQ8-ADC produced no candidates"
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
+    )
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "bucket"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("ip").desc(), F.col("n_id"))
+    exact = (
+        q.join(c, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("ip", dot("qv", "nv"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .collect()
+    )
+    exact_ip = {(r["q_id"], r["n_id"]): r["ip"] for r in exact}
+    exact_top1 = {r["q_id"]: r["n_id"] for r in exact if r["rk"] == 1}
+    adc_top1 = {r["q_id"]: r["n_id"] for r in adc if r["rk"] == 1}
+    assert set(adc_top1) == set(exact_top1)
+    agree = sum(
+        1 for qid, nid in adc_top1.items() if exact_top1[qid] == nid
+    )
+    assert agree / len(adc_top1) >= 0.7, (agree, len(adc_top1))
+
+    # per-pair fidelity where the pair is in both top-k sets
+    for r in adc:
+        ip = exact_ip.get((r["q_id"], r["n_id"]))
+        if ip is not None and abs(ip) > 1e-6:
+            assert abs(r["adc"] - ip) / abs(ip) < 0.15, (r, ip)
