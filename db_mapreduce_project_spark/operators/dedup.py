@@ -465,6 +465,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in 20 rounds (pair-graph diameter > 20); raise the bound "
             "or switch to a doubling/large-star scheme"
         )
+    return _cluster_rollup(labels)
+
+
+def _cluster_rollup(labels: DataFrame) -> DataFrame:
+    """(doc_id, label) -> dup-group summary rows; shared by both CC
+    algorithms so they certify against the same oracle."""
     return (
         labels.groupBy("label")
         .agg(
@@ -482,6 +488,92 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components over the same
+    near-dup pair graph — the ESCALATION PATH for when min-label
+    propagation's O(diameter) rounds are too many (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014:
+    alternating star operations converge in O(log^2 n) rounds
+    regardless of diameter, so a 10^9-node chain costs ~30 rounds
+    instead of 10^9).
+
+    Edge set is kept CANONICAL (hi > lo) between rounds:
+    - large-star groups the symmetrized adjacency by u and hangs
+      every LARGER neighbor off min(N(u) + u);
+    - small-star groups canonical edges by their high endpoint and
+      hangs the smaller neighbors + itself off the minimum.
+    Both are groupBy+join rounds keyed by vertex — per-round
+    shuffle is edge-cardinality, never quadratic; localCheckpoint
+    cuts the per-round lineage exactly as the label-prop loop does.
+    On convergence the edge set IS the star assignment
+    (member -> component min).  Same rollup, same recursive-CTE
+    oracle as dedup_clusters; cross-algorithm equality is asserted
+    in tests."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(15):  # O(log^2 n) bound; fixtures converge in ~3
+        # ---- large-star: symmetric adjacency, larger neighbors
+        # re-hang off m = min(neighborhood + self)
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mv")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: canonical edges grouped by high endpoint;
+        # smaller neighbors + self re-hang off the minimum
+        smins = ls.groupBy("u").agg(F.min("v").alias("mv"))
+        ss_members = (
+            ls.join(smins, "u")
+            .where(F.col("v") != F.col("mv"))
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+        )
+        ss_self = smins.select("u", F.col("mv").alias("v"))
+        new_edges = (
+            ss_members.union(ss_self)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(new_edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            "dedup_clusters_largestar: star rounds did not converge "
+            "in 15 iterations"
+        )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = d.join(
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("mlabel")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("mlabel", F.col("doc_id")).alias("label")
+    )
+    return _cluster_rollup(labels)
 
 
 DEDUP_CLUSTERS_ORACLE = f"""
@@ -523,6 +615,9 @@ ORDER BY cluster_id
 
 
 register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
+register(
+    "dedup_clusters_largestar", dedup_clusters_largestar, DEDUP_CLUSTERS_ORACLE
+)
 
 
 # Substring-span dedup: window length / stride (chars).  Stride > 1

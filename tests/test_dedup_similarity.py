@@ -168,3 +168,12 @@ def test_ann_sq8_adc_fidelity_vs_exact_ip(spark):
         ip = exact_ip.get((r["q_id"], r["n_id"]))
         if ip is not None and abs(ip) > 1e-6:
             assert abs(r["adc"] - ip) / abs(ip) < 0.15, (r, ip)
+
+
+def test_cc_largestar_equals_labelprop(spark):
+    """Large-star/small-star CC must produce exactly the same dup
+    groups as min-label propagation — same labels (component min),
+    same members, same sizes."""
+    a = registry.QUERIES["dedup_clusters"](spark, SF).collect()
+    b = registry.QUERIES["dedup_clusters_largestar"](spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
