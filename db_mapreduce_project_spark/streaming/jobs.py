@@ -418,6 +418,39 @@ def read_latest_per_user(spark: SparkSession, out_dir: str):
     )
 
 
+def stream_static_enrichment(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_enrich"
+):
+    """Stream-static BROADCAST enrichment: the event stream joins
+    the (bounded) customer dimension per micro-batch, aggregated by
+    market segment.  The static side is broadcast — the canonical
+    dimension-enrichment shape: no stream state for the join (only
+    the aggregation holds state), no shuffle of the stream on the
+    join key, and the dimension is re-resolvable per batch (a
+    slowly-changing dim picks up updates between batches).  The
+    batch twin (same join + agg on the batch events frame) must
+    produce identical rows — asserted in tests."""
+    ev = _stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            qsum("value", 4).alias("sum_value"),
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_wordcount(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_wordcount"
 ):

@@ -211,3 +211,30 @@ def test_wordfile_custom_stream_source(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.table("t_wordfile_stream").collect()))
     assert got == [("alpha", 7), ("beta", 2), ("gamma", 7)]
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment: per-batch dimension join
+    + complete-mode agg must equal the batch join + agg."""
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.functions.stable import qsum
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.streaming.jobs import (
+        stream_static_enrichment,
+    )
+
+    q = stream_static_enrichment(spark, sf_dir, query_name="t_enrich")
+    q.awaitTermination(120)
+    streamed = spark.table("t_enrich")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), qsum("value", 4).alias("sum_value"))
+    )
+    cols = ["c_mktsegment", "n", "sum_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
