@@ -242,11 +242,19 @@ _UNKEYED_JOIN_OK = {
     "drift_chisq_by_source",    # 1-row corpus-total scalar broadcast
     "sample_weighted_lineitem", # 1-row max-weight scalar broadcast
     "equidepth_histogram_prices",  # 1-row decile-thresholds broadcast
+    "ann_sq8_adc",              # 1-row dim-stats array broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
 # loops / bounded driver collects) — skipped to keep the sweep fast.
-_EAGER = {"dedup_clusters", "ann_cosine_topk_matmul", "pagerank_trade", "kmeans_embeddings"}
+_EAGER = {
+    "dedup_clusters",
+    "dedup_clusters_largestar",
+    "ann_cosine_topk_matmul",
+    "pagerank_trade",
+    "kmeans_embeddings",
+    "stream_sink_latest_per_user",  # runs a streaming job eagerly
+}
 
 
 def test_no_accidental_cartesian_products(spark):
