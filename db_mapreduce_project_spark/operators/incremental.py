@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.stable import duck_qavg, qavg
+from ..functions.stable import duck_qavg, duck_qsum, qavg, qint
 from ..io import load_table
 from ..registry import register
 
@@ -143,8 +143,64 @@ ORDER BY bucket
 """
 
 
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate MAINTENANCE: per-user event totals
+    kept up to date by merging the stored base aggregate with the
+    aggregate of an ingest delta — never rescanning the base fact.
+
+    The fixture split is deterministic (event_id % 10: 80% base /
+    20% delta) so the query is self-contained; in production the
+    base partial rows ARE the materialized view and only the delta
+    aggregates per batch.  Mergeability is exactly why the engine
+    aggregates quantized INTEGERS (functions/stable.py): integer
+    partial sums are associative, so base+delta merge equals the
+    direct aggregate bit-for-bit under any split, partitioning, or
+    AQE re-plan.  The oracle deliberately does NOT mirror the
+    split — it runs the direct full aggregate — so the driver
+    certifies the merge identity itself, not a reimplementation.
+
+    Scale shape: both partials are map-side-combined groupBys keyed
+    by user; the merge is a groupBy over (base + delta) PARTIAL
+    rows — users-cardinality, not events-cardinality.  At 100 TB
+    the delta batch is the only thing scanned per refresh."""
+    e = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(qint("value", 4)).alias("qv"),
+        )
+
+    base = partial(e.where(F.col("event_id") % 10 < 8))
+    delta = partial(e.where(F.col("event_id") % 10 >= 8))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"), F.sum("qv").alias("qv"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("qv") / F.lit(10000.0)).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INCREMENTAL_AGG_MERGE_ORACLE = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       {duck_qsum('value', 4)} AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 register(
     "merge_upsert_customers", merge_upsert_customers, MERGE_UPSERT_CUSTOMERS_ORACLE
+)
+register(
+    "incremental_agg_merge", incremental_agg_merge, INCREMENTAL_AGG_MERGE_ORACLE
 )
 register("cdc_latest_per_user", cdc_latest_per_user, CDC_LATEST_PER_USER_ORACLE)
 register(

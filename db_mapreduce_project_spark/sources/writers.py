@@ -164,3 +164,41 @@ def write_zordered_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a directory of parquet files
+    into ceil(total_bytes / target_bytes) outputs.
+
+    The small-files problem is the classic accumulation failure of
+    incremental sinks (streaming foreachBatch epochs, frequent
+    MERGE batches): thousands of KB-sized files turn a scan into a
+    task-scheduling and footer-read exercise.  The maintenance verb
+    is a stats pass (file listing only — no data read) to pick the
+    output count, then ONE round-robin repartition write.
+    Round-robin (`repartition(n)` with no key) is deliberate:
+    compaction must balance bytes, not cluster keys — use
+    write_range_clustered_parquet / write_zordered_parquet when the
+    goal is pruning, not file count.  Returns the output file count.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        for fn in files:
+            if fn.endswith(".parquet") or fn.startswith("part-"):
+                total += os.path.getsize(os.path.join(root, fn))
+    n_out = max(1, math.ceil(total / target_bytes))
+    (
+        spark.read.parquet(in_path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_out

@@ -380,3 +380,22 @@ def test_wordfile_datasource_filter_pushdown(spark, tmp_path):
     assert len(leftover) == 1
     rows = list(r.read(next(iter(r.partitions()))))
     assert sorted(rows) == [("alpha", 3), ("alpine", 9)]
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    # 64 tiny files -> compaction rewrites into the computed count,
+    # preserving every row; target sized so multiple outputs remain
+    import glob as _glob
+
+    from db_mapreduce_project_spark.sources.writers import compact_parquet
+
+    e = load_table(spark, sf_dir, "events")
+    small = str(tmp_path / "small")
+    e.repartition(64).write.parquet(small)
+    assert len(_glob.glob(small + "/part-*.parquet")) == 64
+
+    compacted = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, small, compacted, target_bytes=256 * 1024)
+    files = _glob.glob(compacted + "/part-*.parquet")
+    assert len(files) == n_out < 64
+    assert spark.read.parquet(compacted).count() == e.count()
