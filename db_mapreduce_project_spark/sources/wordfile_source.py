@@ -12,8 +12,9 @@ connector, not a parse-after-textfile helper:
   the same parallelism contract as the built-in file sources);
 - schema declared up front (`word string, cnt bigint`), so
   downstream pruning/filters work like any other source;
-- the per-partition generator yields tuples straight from the file,
-  Arrow-batched by the executor.
+- the per-partition reader yields pyarrow RecordBatches (the
+  Spark-4 fast path: one Arrow buffer crosses the Python->JVM
+  boundary per 16k rows, not one pickled tuple per row).
 
 At 100 TB you would never funnel bytes through Python row loops —
 this demonstrates the CONNECTOR layer (how a proprietary in-house
@@ -114,15 +115,43 @@ class WordFileReader(DataSourceReader):
             files = [self.path]
         return [WordFilePartition(p) for p in files]
 
+    # rows per emitted Arrow batch: bounds reader memory while
+    # keeping per-batch overhead negligible
+    BATCH_ROWS = 16_384
+
     def read(self, partition: WordFilePartition):
+        """Yields pyarrow RecordBatches (the Spark-4 Python
+        DataSource fast path: one Arrow buffer crosses the
+        Python->JVM boundary per batch instead of one pickled tuple
+        per row).  Filters still evaluate inline during the scan."""
+        import pyarrow as pa
+
+        words: list[str] = []
+        cnts: list[int] = []
         with open(partition.path, encoding="utf-8") as f:
             for line in f:
                 line = line.rstrip("\n")
                 if not line:
                     continue
                 word, _, cnt = line.rpartition(" ")
-                if self._matches(word, int(cnt)):
-                    yield (word, int(cnt))
+                n = int(cnt)
+                if self._matches(word, n):
+                    words.append(word)
+                    cnts.append(n)
+                    if len(words) >= self.BATCH_ROWS:
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(words, pa.string()),
+                                pa.array(cnts, pa.int64()),
+                            ],
+                            names=["word", "cnt"],
+                        )
+                        words, cnts = [], []
+        if words:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(words, pa.string()), pa.array(cnts, pa.int64())],
+                names=["word", "cnt"],
+            )
 
 
 class WordFileStreamReader(SimpleDataSourceStreamReader):

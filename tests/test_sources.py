@@ -378,7 +378,13 @@ def test_wordfile_datasource_filter_pushdown(spark, tmp_path):
     )
     assert len(r.filters) == 2
     assert len(leftover) == 1
-    rows = list(r.read(next(iter(r.partitions()))))
+    rows = [
+        (w, c)
+        for batch in r.read(next(iter(r.partitions())))
+        for w, c in zip(
+            batch.column("word").to_pylist(), batch.column("cnt").to_pylist()
+        )
+    ]
     assert sorted(rows) == [("alpha", 3), ("alpine", 9)]
 
 
