@@ -96,3 +96,26 @@ def test_stratified_sample_proportions(spark, sf_dir):
     assert got["purchase"] == base["purchase"]  # fraction 1.0 keeps all
     for k, frac in {"click": 0.1, "view": 0.5}.items():
         assert abs(got[k] / base[k] - frac) < 0.15, (k, got[k], base[k])
+
+
+def test_sq8_adc_shuffle_partition_invariant(spark, sf_dir):
+    """The quantized ANN pipeline (stats agg -> codes -> bucket join
+    -> windowed top-k) is pure deterministic arithmetic with total-
+    order tie-breaks, so the result must be identical under any
+    shuffle-partition setting — the property that makes the index
+    reproducible across cluster sizes."""
+    from db_mapreduce_project_spark import registry
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in registry.QUERIES["ann_sq8_adc"](spark, sf_dir).collect()
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    base = run()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert run() == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
