@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.stable import qint
 from ..io import load_table
 from ..registry import register
 
@@ -376,3 +377,73 @@ ORDER BY longest_streak
 """
 
 register("activity_streaks", activity_streaks, ACTIVITY_STREAKS_ORACLE)
+
+
+# EWMA smoothing factor alpha = EWMA_NUM / EWMA_DEN = 0.3
+EWMA_NUM = 3
+EWMA_DEN = 10
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values — the inherently SEQUENTIAL
+    per-key fold (each state depends on the previous), which no
+    window frame or aggregate expresses: the designed escalation is
+    applyInPandas, one Arrow-batched Python fold per user group.
+
+    All arithmetic is integer: values quantize to 1e-4 ints
+    (functions/stable.py) and the update is
+    s_t = ((DEN-NUM)*s + NUM*q) DIV DEN with every term
+    non-negative (events.value >= 0), so floor/truncate division
+    agree and DuckDB's ordered list_reduce reproduces the fold
+    bit-for-bit — a full value-hash oracle for a stateful Python
+    operator.
+
+    Scale shape: ONE shuffle on user_id; per-group state is a
+    single integer; group sizes are per-user event counts (bounded;
+    a hot user is AQE-skew territory, not a memory risk).  The
+    streaming twin is applyInPandasWithState / transformWithState
+    (streaming/stateful.py) with the same update rule."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", qint("value", 4).alias("q")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = None
+        for q in pdf["q"]:
+            q = int(q)
+            s = (
+                q
+                if s is None
+                else ((EWMA_DEN - EWMA_NUM) * s + EWMA_NUM * q) // EWMA_DEN
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma": [s / 10000.0],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(fold, "user_id bigint, n_events bigint, ewma double")
+        .orderBy("user_id")
+    )
+
+
+USER_VALUE_EWMA_ORACLE = f"""
+SELECT user_id, count(*) AS n_events,
+       CAST(list_reduce(
+         list(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+              ORDER BY ts, event_id),
+         (acc, q) -> ({EWMA_DEN - EWMA_NUM} * acc + {EWMA_NUM} * q)
+                     // {EWMA_DEN}) AS BIGINT) / 10000.0 AS ewma
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+register("user_value_ewma", user_value_ewma, USER_VALUE_EWMA_ORACLE)
