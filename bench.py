@@ -70,6 +70,9 @@ HEADLINE = [
     "range_join_bucketed_transit",
     "exact_median_twopass",
     "kmeans_embeddings",
+    "user_value_ewma",
+    "incremental_agg_merge",
+    "dedup_clusters_largestar",
 ]
 
 

@@ -398,38 +398,56 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit — a full value-hash oracle for a stateful Python
     operator.
 
-    Scale shape: ONE shuffle on user_id; per-group state is a
-    single integer; group sizes are per-user event counts (bounded;
-    a hot user is AQE-skew territory, not a memory risk).  The
-    streaming twin is applyInPandasWithState / transformWithState
-    (streaming/stateful.py) with the same update rule."""
+    Scale shape: ONE shuffle (repartition on user_id) + an in-
+    partition sort, then a mapInPandas STREAM per partition that
+    carries the running (user, state, count) across Arrow batch
+    boundaries — 32 partition streams instead of one pandas frame
+    per user (measured ~2x vs applyInPandas per-group at sf0.1:
+    per-group frame construction dominates when groups are small).
+    Per-stream state is O(1); a hot user is AQE-skew territory, not
+    a memory risk.  The streaming twin is applyInPandasWithState /
+    transformWithState (streaming/stateful.py) with the same
+    update rule."""
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", qint("value", 4).alias("q")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", qint("value", 4).alias("q"))
+        .repartition(F.col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        s = None
-        for q in pdf["q"]:
-            q = int(q)
-            s = (
-                q
-                if s is None
-                else ((EWMA_DEN - EWMA_NUM) * s + EWMA_NUM * q) // EWMA_DEN
-            )
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "ewma": [s / 10000.0],
-            }
+    def fold_stream(batches):
+        cur = None
+        s = 0
+        n = 0
+        out_u: list[int] = []
+        out_n: list[int] = []
+        out_e: list[float] = []
+        for pdf in batches:
+            # tolist(): folding native Python ints beats iterating
+            # boxed numpy scalars, and Python ints cannot overflow
+            # the (DEN-NUM)*s intermediate
+            for u, q in zip(pdf["user_id"].tolist(), pdf["q"].tolist()):
+                if u != cur:
+                    if cur is not None:
+                        out_u.append(cur)
+                        out_n.append(n)
+                        out_e.append(s / 10000.0)
+                    cur, s, n = u, q, 1
+                else:
+                    s = ((EWMA_DEN - EWMA_NUM) * s + EWMA_NUM * q) // EWMA_DEN
+                    n += 1
+        if cur is not None:
+            out_u.append(cur)
+            out_n.append(n)
+            out_e.append(s / 10000.0)
+        yield pd.DataFrame(
+            {"user_id": out_u, "n_events": out_n, "ewma": out_e}
         )
 
     return (
-        e.groupBy("user_id")
-        .applyInPandas(fold, "user_id bigint, n_events bigint, ewma double")
+        e.mapInPandas(fold_stream, "user_id bigint, n_events bigint, ewma double")
         .orderBy("user_id")
     )
 
