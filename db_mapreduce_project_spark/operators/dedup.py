@@ -521,6 +521,7 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_count = edges.count()
     for _ in range(15):  # O(log^2 n) bound; fixtures converge in ~3
         # ---- large-star: symmetric adjacency, larger neighbors
         # re-hang off m = min(neighborhood + self)
@@ -553,11 +554,17 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # exact set-equality in one except job: both sides are
+        # distinct sets, so equal cardinality + empty one-direction
+        # difference implies equality (counts on checkpointed
+        # frames are cheap)
+        new_count = new_edges.count()
         converged = (
-            new_edges.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(new_edges).limit(1).count() == 0
+            new_count == prev_count
+            and new_edges.exceptAll(edges).limit(1).count() == 0
         )
         edges = new_edges
+        prev_count = new_count
         if converged:
             break
     else:
