@@ -119,3 +119,29 @@ def test_sq8_adc_shuffle_partition_invariant(spark, sf_dir):
         assert run() == base
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "q9_product_profit", "transit_inventory_sweepline"],
+)
+def test_aqe_off_equivalence(spark, sf_dir, name):
+    """AQE runtime re-planning (partition coalescing, join-strategy
+    switches, skew splits) must never change answers — the same
+    invariant that lets one static config survive a 100x scale-up.
+    Holds because every compared aggregate is quantized-integer
+    (associative) and every tie-break is a total order."""
+    from db_mapreduce_project_spark import registry
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in registry.QUERIES[name](spark, sf_dir).collect()
+        )
+
+    base = run()
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert run() == base
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
