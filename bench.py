@@ -53,6 +53,7 @@ HEADLINE = [
     "q7_volume_shipping",
     "q18_large_orders",
     "text_tfidf_top_terms",
+    "doc_lm_quality_score",
     "events_user_totals",
     "join_asof",
     "sessionize_events",

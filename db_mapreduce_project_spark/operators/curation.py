@@ -236,6 +236,122 @@ ORDER BY lang
 """
 
 
+LM_PPM = 1_000_000  # fixed-point scale for conditional probabilities
+LM_WORST_K = 5  # lowest-scoring docs reported per language
+
+
+def doc_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring WITHOUT an external model: the
+    corpus's own per-language bigram counts are the LM, and each
+    document's score is the mean fixed-point conditional probability
+    of its bigrams, score = mean_ppm(p(b|a)) with
+    p(b|a) = (c(lang,a,b) * 1e6) DIV c(lang,a).  Documents whose
+    word transitions are unusual for their language score low — the
+    perplexity-style quality filter of CCNet (Wenzek et al. 2020)
+    with the n-gram LM trained in-corpus, in one job, and (because
+    every probability is an integer ratio of exact counts) fully
+    value-hash oracle-checkable, which a float log-perplexity would
+    not be (libm log differs across engines).  Output: the
+    LM_WORST_K lowest-scoring docs per language — the drop list.
+
+    Scale shape: the bigram stream aggregates twice with map-side
+    combine ((lang,a,b) model and (lang,a) contexts — vocab^2- and
+    vocab-bounded); scoring joins the stream to both count tables
+    on their natural keys (equi-joins, AQE handles hot function
+    words) and folds per doc in ONE groupBy.  The corpus text is
+    scanned twice (model pass + scoring pass), never shuffled as
+    text — only (doc_id, a, b) rows move."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+", -1)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.filter(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("a"),
+                F.slice(toks, 2, n - 1).alias("b"),
+            ),
+            lambda p: ~((p["a"] == "") & (p["b"] == "")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    doc_bigrams = d.select(
+        "doc_id", "lang", F.explode(pairs).alias("p")
+    ).select("doc_id", "lang", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    model = doc_bigrams.groupBy("lang", "a", "b").agg(
+        F.count("*").alias("cnt_ab")
+    )
+    contexts = doc_bigrams.groupBy("lang", "a").agg(
+        F.count("*").alias("cnt_a")
+    )
+    scored = (
+        doc_bigrams.join(model, ["lang", "a", "b"])
+        .join(contexts, ["lang", "a"])
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"(cnt_ab * {LM_PPM}) DIV cnt_a").alias("p_ppm"),
+        )
+        .groupBy("lang", "doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("CAST(sum(p_ppm) DIV count(*) AS BIGINT)").alias(
+                "score_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_ppm").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= LM_WORST_K)
+        .select("lang", "doc_id", "n_bigrams", "score_ppm", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+DOC_LM_QUALITY_SCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+doc_bigrams AS (
+  SELECT doc_id, lang, a, b FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> struct_pack(a := w[i], b := w[i+1]))) AS p
+    FROM toks
+  ) t
+  CROSS JOIN LATERAL (SELECT p.a AS a, p.b AS b) s
+  WHERE NOT (a = '' AND b = '')
+),
+model AS (
+  SELECT lang, a, b, count(*) AS cnt_ab FROM doc_bigrams GROUP BY 1, 2, 3
+),
+contexts AS (
+  SELECT lang, a, count(*) AS cnt_a FROM doc_bigrams GROUP BY 1, 2
+),
+scored AS (
+  SELECT g.lang, g.doc_id,
+         count(*) AS n_bigrams,
+         CAST(CAST(sum((m.cnt_ab * {LM_PPM}) // c.cnt_a) AS BIGINT)
+              // count(*) AS BIGINT) AS score_ppm
+  FROM doc_bigrams g
+  JOIN model m USING (lang, a, b)
+  JOIN contexts c USING (lang, a)
+  GROUP BY g.lang, g.doc_id
+)
+SELECT lang, doc_id, n_bigrams, score_ppm, rk FROM (
+  SELECT lang, doc_id, n_bigrams, score_ppm,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY score_ppm ASC, doc_id ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= {LM_WORST_K}
+ORDER BY lang, rk
+"""
+
+
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word trigrams appearing in >= BOILERPLATE_MIN_DOCS distinct
     documents, with document frequency and total occurrences — the
@@ -812,6 +928,9 @@ ORDER BY d.lang
 """
 
 register("mad_outlier_filter", mad_outlier_filter, MAD_OUTLIER_FILTER_ORACLE)
+register(
+    "doc_lm_quality_score", doc_lm_quality_score, DOC_LM_QUALITY_SCORE_ORACLE
+)
 register("boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_NGRAMS_ORACLE)
 register("split_assignment", split_assignment, SPLIT_ASSIGNMENT_ORACLE)
 register("timeseries_gapfill", timeseries_gapfill, TIMESERIES_GAPFILL_ORACLE)
