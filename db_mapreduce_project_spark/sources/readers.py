@@ -49,3 +49,36 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     reference's input model (maprdeuce.cpp:134-179); input splits
     replace its 100k-line block files."""
     return spark.read.text(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: mergeSchema unions the schemas of all
+    footers under `path`, so directories written by successive
+    pipeline versions (new columns appended over time) read as one
+    frame — older files yield NULL for columns they predate.  At
+    scale the footer merge is a metadata operation; leave
+    mergeSchema OFF (Spark's default) for single-version datasets
+    to skip it."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_json_permissive(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """JSON-lines read that CAPTURES malformed records instead of
+    silently nulling them (default PERMISSIVE drops the evidence):
+    rows that fail the schema land in `_corrupt_record` with every
+    data column NULL, so the load job can split good rows from a
+    quarantine stream in one pass — the ingest-hygiene shape for
+    feeds you don't control.  (DROPMALFORMED silently loses data
+    and FAILFAST kills the job on one bad row; both are wrong
+    defaults for a 100 TB feed.)"""
+    s = schema if isinstance(schema, str) else schema.simpleString()
+    if isinstance(schema, str) and "_corrupt_record" not in schema:
+        s = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(s)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -405,3 +405,45 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     files = _glob.glob(compacted + "/part-*.parquet")
     assert len(files) == n_out < 64
     assert spark.read.parquet(compacted).count() == e.count()
+
+
+def test_parquet_merge_schema_evolution(spark, sf_dir, tmp_path):
+    # v1 files lack a column added in v2: mergeSchema unions the
+    # footers; v1 rows read NULL for the new column
+    from db_mapreduce_project_spark.sources.readers import (
+        read_parquet_merged,
+    )
+
+    path = str(tmp_path / "evolving")
+    r = load_table(spark, sf_dir, "region")
+    r.select("r_regionkey", "r_name").write.parquet(path)
+    r.select(
+        "r_regionkey", "r_name", F.lit(7).alias("r_version")
+    ).write.mode("append").parquet(path)
+
+    merged = read_parquet_merged(spark, path)
+    assert set(merged.columns) == {"r_regionkey", "r_name", "r_version"}
+    assert merged.count() == 2 * r.count()
+    assert merged.where(F.col("r_version").isNull()).count() == r.count()
+
+
+def test_json_permissive_captures_corrupt_records(spark, tmp_path):
+    from db_mapreduce_project_spark.sources.readers import (
+        read_json_permissive,
+    )
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "wrong-type"}\n'
+    )
+    df = read_json_permissive(spark, str(p), "id bigint, v string")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 2}
+    assert len(bad) == 2  # the raw payloads are preserved for quarantine
+    assert any("not json" in r["_corrupt_record"] for r in bad)
