@@ -237,3 +237,87 @@ register("pagerank_trade", pagerank_trade, _pagerank_oracle())
 register(
     "triangle_count_trade", triangle_count_trade, TRIANGLE_COUNT_TRADE_ORACLE
 )
+
+
+BFS_SOURCE = 0  # start nation (n_nationkey = 0)
+BFS_MAX_HOPS = 30
+
+
+def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the directed trade graph: minimum hop
+    count from nation BFS_SOURCE to every reachable nation — the
+    frontier-expansion primitive under shortest paths, reachability,
+    and influence radii.
+
+    Distributed shape: distances live in a (vertex-cardinality)
+    table; each round joins the settled frontier to the edge list
+    (both keyed by node), takes the per-destination MIN, and merges
+    with `least` — hop counts only ever decrease, so the loop
+    terminates in diameter rounds; `localCheckpoint` per round
+    keeps the plan O(1) in iterations like the other iterative
+    operators.  Unreachable nations are excluded (no sentinel
+    distances).  The oracle is a bounded recursive CTE taking
+    min(h) per node — exact integer hops, so value-hash checkable.
+    """
+    edges = (
+        _trade_cents(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    dist = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_nationkey") == BFS_SOURCE, 0)
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("hops"),
+    )
+    n_settled = 1
+    for _ in range(BFS_MAX_HOPS):
+        cand = (
+            dist.where(F.col("hops").isNotNull())
+            .join(edges, dist.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("hops") + 1).alias("cand"))
+        )
+        dist = (
+            dist.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("hops", F.col("cand")),
+                    F.coalesce("cand", F.col("hops")),
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        settled = dist.where(F.col("hops").isNotNull()).count()
+        if settled == n_settled:
+            break  # frontier exhausted: no new node settled
+        n_settled = settled
+    return (
+        dist.where(F.col("hops").isNotNull())
+        .join(F.broadcast(nation), dist.node == nation.n_nationkey)
+        .select("n_name", "hops")
+        .orderBy("hops", "n_name")
+    )
+
+
+BFS_HOPS_TRADE_ORACLE = f"""
+WITH RECURSIVE cents AS ({_TRADE_CENTS_SQL}),
+edges AS (SELECT DISTINCT src, dst FROM cents),
+walk AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT) AS node, 0 AS h
+  UNION
+  SELECT e.dst AS node, w.h + 1 AS h
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.h < {BFS_MAX_HOPS}
+)
+SELECT n.n_name, CAST(min(w.h) AS INTEGER) AS hops
+FROM walk w JOIN nation n ON n.n_nationkey = w.node
+GROUP BY n.n_name
+ORDER BY hops, n_name
+"""
+
+register("bfs_hops_trade", bfs_hops_trade, BFS_HOPS_TRADE_ORACLE)
