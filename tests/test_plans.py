@@ -254,6 +254,7 @@ _EAGER = {
     "pagerank_trade",
     "kmeans_embeddings",
     "stream_sink_latest_per_user",  # runs a streaming job eagerly
+    "bfs_hops_trade",  # frontier loop counts per round
 }
 
 
