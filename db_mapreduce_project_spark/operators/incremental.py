@@ -309,3 +309,84 @@ register(
     equidepth_histogram_prices,
     EQUIDEPTH_HISTOGRAM_PRICES_ORACLE,
 )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table DIFF between two snapshots — the audit verb behind CDC
+    validation, backfill verification, and "what did this batch
+    change": classify every key as insert / update (with old and
+    new values) across the base customer table and its upserted
+    snapshot (the same deterministic batch merge_upsert_customers
+    applies, so the query is self-contained and oracle-checkable).
+
+    Shape: ONE full-outer equi-join on the key, row-local
+    classification, unchanged rows dropped — at 100 TB both sides
+    shuffle once on the key (or zero times if both snapshots are
+    bucketed on it), and the diff output is change-cardinality,
+    not table-cardinality."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    updated = merge_upsert_customers(spark, sf_dir).select(
+        "c_custkey", "c_acctbal"
+    )
+    b = base.select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("old_bal")
+    )
+    u = updated.select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("new_bal")
+    )
+    joined = b.join(u, "key", "full_outer")
+    change = (
+        F.when(F.col("old_bal").isNull(), F.lit("insert"))
+        .when(F.col("new_bal").isNull(), F.lit("delete"))
+        .when(F.col("old_bal") != F.col("new_bal"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type") != "unchanged")
+        .select("change_type", "key", "old_bal", "new_bal")
+        .orderBy("change_type", "key")
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS key, c_acctbal AS old_bal FROM customer
+),
+batch AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, 1 AS _src
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, concat('new-', c_name), 0.0, 1
+  FROM customer WHERE c_custkey % 97 = 0
+),
+merged AS (
+  SELECT c_custkey, c_acctbal, 0 AS _src FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal, _src FROM batch
+),
+updated AS (
+  SELECT c_custkey AS key, c_acctbal AS new_bal FROM (
+    SELECT c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_custkey ORDER BY _src DESC)
+               AS _rk
+    FROM merged
+  ) t WHERE _rk = 1
+),
+joined AS (
+  SELECT coalesce(b.key, u.key) AS key, b.old_bal, u.new_bal,
+         CASE WHEN b.old_bal IS NULL THEN 'insert'
+              WHEN u.new_bal IS NULL THEN 'delete'
+              WHEN b.old_bal <> u.new_bal THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM base b FULL OUTER JOIN updated u ON b.key = u.key
+)
+SELECT change_type, key, old_bal, new_bal
+FROM joined
+WHERE change_type <> 'unchanged'
+ORDER BY change_type, key
+"""
+
+register("snapshot_diff", snapshot_diff, SNAPSHOT_DIFF_ORACLE)
