@@ -6,7 +6,7 @@ push into the scan (verify with plans.inspect.pushed_filters).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -73,9 +73,20 @@ def read_json_permissive(
     feeds you don't control.  (DROPMALFORMED silently loses data
     and FAILFAST kills the job on one bad row; both are wrong
     defaults for a 100 TB feed.)"""
-    s = schema if isinstance(schema, str) else schema.simpleString()
-    if isinstance(schema, str) and "_corrupt_record" not in schema:
-        s = schema + ", _corrupt_record string"
+    if isinstance(schema, str):
+        s: StructType | str = schema
+        if "_corrupt_record" not in schema:
+            s = schema + ", _corrupt_record string"
+    else:
+        # Build a NEW StructType (StructType.add mutates in place —
+        # don't surprise the caller) with the capture column appended
+        # unless the caller already declared it.
+        if any(f.name == "_corrupt_record" for f in schema.fields):
+            s = schema
+        else:
+            s = StructType(
+                schema.fields + [StructField("_corrupt_record", StringType())]
+            )
     return (
         spark.read.schema(s)
         .option("mode", "PERMISSIVE")

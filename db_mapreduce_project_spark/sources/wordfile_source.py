@@ -232,6 +232,12 @@ class WordFileWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("wordfile sink requires a path")
         self.overwrite = overwrite
+        # Per-JOB id, chosen once on the driver and pickled to every
+        # task: temp files carry it so commit()'s orphan sweep only
+        # removes THIS job's losing speculative attempts — a
+        # concurrent append job staging into the same directory
+        # keeps its in-flight temps.
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -240,7 +246,8 @@ class WordFileWriter(DataSourceWriter):
         pid = ctx.partitionId() if ctx is not None else 0
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(
-            self.path, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp"
+            self.path,
+            f".part-{pid:05d}-{self.job_id}-{uuid.uuid4().hex}.tmp",
         )
         n = 0
         with open(tmp, "w", encoding="utf-8") as f:
@@ -264,8 +271,12 @@ class WordFileWriter(DataSourceWriter):
                 os.path.basename(m.tmp)[1:].removesuffix(".tmp") + ".txt",
             )
             os.replace(m.tmp, final)
-        # drop temps of speculative duplicates that lost the race
-        for orphan in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+        # drop temps of THIS job's speculative duplicates that lost
+        # the race — scoped by job_id so a concurrent writer's
+        # in-flight temps are never touched
+        for orphan in glob.glob(
+            os.path.join(self.path, f".part-*-{self.job_id}-*.tmp")
+        ):
             if orphan not in staged:
                 os.remove(orphan)
 

@@ -189,6 +189,13 @@ def compact_parquet(
     import math
     import os
 
+    if os.path.abspath(in_path) == os.path.abspath(out_path):
+        # mode('overwrite') deletes the target before the lazy read
+        # runs — compacting in place would destroy the input.
+        raise ValueError(
+            "compact_parquet: in_path and out_path must differ "
+            f"(both resolve to {os.path.abspath(in_path)})"
+        )
     total = 0
     for root, _dirs, files in os.walk(in_path):
         for fn in files:

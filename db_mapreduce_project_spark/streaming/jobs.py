@@ -545,7 +545,17 @@ def stream_sink_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     q = stream_upsert_latest_per_user(spark, sf_dir, out, ckpt)
-    q.awaitTermination(300)
+    # availableNow streams terminate on their own; a False return
+    # means the 300 s budget expired with the query still running —
+    # reading the sink then would see partial output and the rmtree
+    # below would yank dirs from under a live query.  Fail loudly.
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        raise TimeoutError(
+            "stream_sink_latest_per_user: stream did not terminate "
+            "within 300 s"
+        )
     result = (
         read_latest_per_user(spark, out)
         .orderBy("user_id")

@@ -140,8 +140,9 @@ def test_aqe_off_equivalence(spark, sf_dir, name):
         )
 
     base = run()
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         assert run() == base
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -447,3 +447,50 @@ def test_json_permissive_captures_corrupt_records(spark, tmp_path):
     assert {r["id"] for r in good} == {1, 2}
     assert len(bad) == 2  # the raw payloads are preserved for quarantine
     assert any("not json" in r["_corrupt_record"] for r in bad)
+
+
+def test_json_permissive_structtype_schema(spark, tmp_path):
+    # ADVICE r3: the StructType branch must also capture corrupt
+    # rows (it used to silently null them), and must not mutate
+    # the caller's schema object
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from db_mapreduce_project_spark.sources.readers import (
+        read_json_permissive,
+    )
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "garbage line\n"
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    df = read_json_permissive(spark, str(p), schema)
+    assert "_corrupt_record" in df.columns
+    rows = df.collect()
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "garbage" in bad[0]["_corrupt_record"]
+    # caller's StructType untouched
+    assert [f.name for f in schema.fields] == ["id", "v"]
+
+
+def test_compact_parquet_rejects_in_place(spark, sf_dir, tmp_path):
+    # ADVICE r3: overwrite-mode delete-before-read would destroy the
+    # input if in_path == out_path
+    import pytest as _pytest
+
+    from db_mapreduce_project_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "data")
+    load_table(spark, sf_dir, "region").write.parquet(path)
+    with _pytest.raises(ValueError, match="must differ"):
+        compact_parquet(spark, path, str(tmp_path / "data"))
+    # input survived the rejected call
+    assert spark.read.parquet(path).count() == 5
