@@ -74,6 +74,7 @@ HEADLINE = [
     "user_value_ewma",
     "incremental_agg_merge",
     "dedup_clusters_largestar",
+    "window_time_range_rolling",
 ]
 
 
@@ -108,19 +109,31 @@ def main() -> None:
         spreads[name] = {"min": round(runs[0], 3), "max": round(runs[-1], 3)}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "n": n_iter,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "n": n_iter,
+        "sf": sf,
+    }
+    # Self-archive the COMPLETE per-query artifact in-repo: the
+    # driver's BENCH_r*.json captures only the tail of stdout, which
+    # has truncated past ~2 KB — this file is the durable record.
+    archive = os.environ.get(
+        "SPARK_GRAFT_BENCH_ARCHIVE",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        ),
     )
+    try:
+        with open(archive, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # archiving must never fail the bench
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
