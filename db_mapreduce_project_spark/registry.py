@@ -70,4 +70,5 @@ def load_all_queries() -> None:
         windows,
         wordcount,
     )
+    from .sources import wordfile_source  # noqa: F401
     from .streaming import jobs, stateful  # noqa: F401

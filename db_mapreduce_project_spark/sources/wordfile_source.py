@@ -319,3 +319,49 @@ def register_wordfile_source(spark) -> None:
     Python-data-source filter-pushdown path, off by default)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WordFileDataSource)
+
+
+def wordfile_sink_roundtrip(spark, sf_dir: str):
+    """Driver-visible §2.1 #11-12 query: the flagship word count is
+    WRITTEN through the custom parallel wordfile DataSource writer
+    (two-phase commit, one file per partition), then READ BACK
+    through the wordfile reader — the returned frame is the sink's
+    own content, so the value-hash oracle certifies the whole
+    write+read connector loop against plain SQL word count
+    (maprdeuce.cpp:322-329 sink format, 1403-1427 read-back).
+
+    Side-effecting like stream_sink_latest_per_user: a uuid temp
+    dir per invocation, eagerly materialized before cleanup."""
+    import shutil
+    import tempfile
+
+    from ..operators.wordcount import wordcount
+
+    register_wordfile_source(spark)
+    root = tempfile.mkdtemp(prefix="wordfile_rt_")
+    out = os.path.join(root, "wc")
+    try:
+        wordcount(spark, sf_dir).write.format("wordfile").mode(
+            "overwrite"
+        ).save(out)
+        return (
+            spark.read.format("wordfile")
+            .load(out)
+            .orderBy("word")
+            # materialize eagerly so the sink dir can be removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _register_roundtrip_query() -> None:
+    from ..operators.wordcount import WORDCOUNT_ORACLE
+    from ..registry import register
+
+    register(
+        "wordfile_sink_roundtrip", wordfile_sink_roundtrip, WORDCOUNT_ORACLE
+    )
+
+
+_register_roundtrip_query()
