@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Skew stress: demonstrate that the engine's skew mitigations
+(salting in operators/skew.py, AQE skew-join splitting) hold the
+reduce-side balance flat when one key dominates — the one 100 TB
+hazard volume stress alone can't show.
+
+Fixture: events expanded 10x (plan-level, like stress_scale.py),
+then ~30% of all rows re-keyed to ONE hot user_id — the power-law
+worst case for a per-user aggregate or an events><dim join.
+
+Evidence per scenario, printed as JSON lines and archived to
+SKEWSTRESS.json by the caller:
+- max/median rows per reduce partition under the operator's actual
+  shuffle key (p99 task time is proportional to max partition rows
+  for an associative aggregate — this is the deterministic,
+  scheduler-noise-free form of per-task evidence);
+- wall time of the mitigated vs naive plan.
+
+The JOIN scenario forces sort-merge (broadcast disabled) because at
+100 TB the dim side doesn't broadcast; AQE's skewedJoin splitting
+is left ON for the naive plan — exactly the runtime behavior a
+cluster would see — and salting is shown as the explicit fallback
+that doesn't depend on AQE thresholds.
+
+Usage: python scripts/stress_skew.py [copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from db_mapreduce_project_spark.io import load_table
+from db_mapreduce_project_spark.operators.skew import NUM_SALTS
+from db_mapreduce_project_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+HOT_USER = 42
+HOT_FRACTION_PERMILLE = 300  # ~30% of rows re-keyed to HOT_USER
+N_SHUFFLE = 32
+
+results: list[dict] = []
+
+
+def emit(rec: dict) -> None:
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def partition_balance(df, n: int, *keys) -> dict:
+    """Rows per partition when hash-distributing df on `keys` into n
+    partitions — the exact reduce-side layout the shuffle would
+    produce.  Computed declaratively via pmod(hash(keys), n), no
+    repartition job needed."""
+    rows = (
+        df.groupBy(F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n)).alias("p"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    counts = sorted((r["rows"] for r in rows), reverse=True)
+    total = sum(counts)
+    return {
+        "partitions_nonempty": len(counts),
+        "max_rows": counts[0],
+        "median_rows": counts[len(counts) // 2],
+        "max_share_pct": round(100.0 * counts[0] / total, 1),
+    }
+
+
+def timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stress-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load_table(spark, SF_DIR, "events")
+    expanded = None
+    for i in range(copies):
+        c = base.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+        )
+        expanded = c if expanded is None else expanded.unionByName(c)
+    # deterministic 30% hot-key injection
+    skewed = expanded.withColumn(
+        "user_id",
+        F.when(
+            F.pmod(F.xxhash64("event_id"), F.lit(1000))
+            < F.lit(HOT_FRACTION_PERMILLE),
+            F.lit(HOT_USER).cast("bigint"),
+        ).otherwise(F.col("user_id")),
+    ).localCheckpoint(eager=True)
+    n_rows = skewed.count()
+    emit({"scenario": "fixture", "rows": n_rows, "copies": copies,
+          "hot_user_share_pct": round(
+              100.0 * skewed.where(F.col("user_id") == HOT_USER).count()
+              / n_rows, 1)})
+
+    # ---- scenario 1: per-user aggregate ----------------------------
+    # naive: shuffle on user_id — the hot user's partition holds ~30%
+    # of ALL rows (p99 task = 10x median); salted: shuffle on
+    # (user_id, salt) — the hot key spreads over NUM_SALTS reducers.
+    emit({"scenario": "agg_naive_balance",
+          **partition_balance(skewed, N_SHUFFLE, "user_id")})
+    salted = skewed.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(NUM_SALTS))
+    )
+    emit({"scenario": "agg_salted_balance",
+          **partition_balance(salted, N_SHUFFLE, "user_id", "salt")})
+
+    naive_agg = (
+        skewed.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))).alias("q"))
+    )
+    salted_agg = (
+        salted.groupBy("user_id", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"),
+             F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))).alias("pq"))
+        .groupBy("user_id")
+        .agg(F.sum("pn").alias("n"), F.sum("pq").alias("q"))
+    )
+    emit({"scenario": "agg_naive", "sec": timed(naive_agg)})
+    emit({"scenario": "agg_salted", "sec": timed(salted_agg)})
+    # equality: salting must be invisible in the result
+    assert naive_agg.exceptAll(salted_agg).limit(1).count() == 0, \
+        "salted aggregate diverged from naive"
+
+    # ---- scenario 2: events >< customer join on the hot key --------
+    # forced SMJ (no broadcast): the 100 TB shape.  AQE skew split
+    # stays ON for the naive plan; salting replicates the dim side
+    # NUM_SALTS ways and joins on (key, salt).
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        naive_join = (
+            skewed.join(c, skewed.user_id == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        c_rep = c.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(NUM_SALTS - 1)))
+        )
+        salted_join = (
+            salted.join(
+                c_rep,
+                (salted.user_id == c_rep.c_custkey)
+                & (salted.salt == c_rep.salt),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        emit({"scenario": "join_naive_balance",
+              **partition_balance(skewed, N_SHUFFLE, "user_id")})
+        emit({"scenario": "join_salted_balance",
+              **partition_balance(salted, N_SHUFFLE, "user_id", "salt")})
+        emit({"scenario": "join_naive_aqe_skewsplit", "sec": timed(naive_join)})
+        emit({"scenario": "join_salted", "sec": timed(salted_join)})
+        assert naive_join.exceptAll(salted_join).limit(1).count() == 0, \
+            "salted join diverged from naive"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SKEWSTRESS.json",
+    )
+    with open(out, "w", encoding="utf-8") as f:
+        json.dump({"copies": copies, "results": results}, f, indent=1)
+        f.write("\n")
+    print(f"archived -> {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
