@@ -450,7 +450,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
-    changed = 1
+
+    def _labels_fp(df: DataFrame) -> tuple:
+        """Order-insensitive assignment fingerprint in ONE aggregate
+        job (cardinality is constant, so two XOR-folded xxhash64
+        mixes of (doc_id, label) pin the assignment): replaces the
+        per-round join-and-diff changed-check; the loop exit
+        re-verifies exactly, closing the collision hole."""
+        row = df.agg(
+            F.bit_xor(F.xxhash64("doc_id", "label")).alias("h1"),
+            F.bit_xor(F.xxhash64("label", "doc_id")).alias("h2"),
+        ).first()
+        return (row["h1"], row["h2"])
+
+    prev_fp = _labels_fp(labels)
+    converged = False
     for _ in range(20):  # bounded: pair-graph diameter is tiny
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -470,25 +484,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the fingerprint aggregate below is the single
+            # action that materializes this round (was eager
+            # checkpoint + join-diff count = 2 jobs per round)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_fp = _labels_fp(new_labels)
+        prev_labels = labels
         labels = new_labels
-        if changed == 0:
+        if new_fp == prev_fp:
+            converged = True
             break
-    if changed != 0:
+        prev_fp = new_fp
+    if not converged:
         # label propagation needs O(diameter) rounds; returning
         # unconverged labels would silently mislabel clusters
         raise RuntimeError(
             "dedup_clusters: min-label propagation did not converge "
             "in 20 rounds (pair-graph diameter > 20); raise the bound "
             "or switch to a doubling/large-star scheme"
+        )
+    # exact confirmation of the fingerprint fixpoint (labels can only
+    # decrease monotonically, so equality here proves convergence)
+    if (
+        labels.alias("n")
+        .join(prev_labels.alias("o"), "doc_id")
+        .where(F.col("n.label") != F.col("o.label"))
+        .limit(1)
+        .count()
+        != 0
+    ):
+        raise RuntimeError(
+            "dedup_clusters: fingerprint collision — assignments "
+            "matched hashes but differ; raise hash width"
         )
     return _cluster_rollup(labels)
 

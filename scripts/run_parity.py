@@ -2,12 +2,19 @@
 """Run the local oracle-parity check for all (or selected)
 registered queries.
 
-Usage: python scripts/run_parity.py [--sf DIR] [query ...]
+With --json PATH, also writes a CORRECTNESS-shaped artifact — one
+record per query `{rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}` — so full local sweeps are durable,
+diffable evidence (the driver samples ~50 queries per round; this
+covers all of them).
+
+Usage: python scripts/run_parity.py [--sf DIR] [--json PATH] [query ...]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -19,15 +26,44 @@ from db_mapreduce_project_spark.oracle_check import check_query
 from db_mapreduce_project_spark.session import get_spark
 
 
+def _record(res) -> dict:
+    """CompareResult -> CORRECTNESS_r*.json record shape."""
+    if res.name.endswith("(rows-only)"):
+        return {
+            "rows_match": True,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": res.spark_rows,
+            "oracle_rows": None,
+            "err": None,
+            "mode": "rows-only",
+        }
+    schema_bad = any(
+        e.startswith("columns differ") or e.startswith("dtype differs")
+        for e in res.errors
+    )
+    rows_bad = any(e.startswith("row counts differ") for e in res.errors)
+    return {
+        "rows_match": not rows_bad,
+        "schema_match": not schema_bad,
+        "hash_match": res.ok,
+        "spark_rows": res.spark_rows,
+        "oracle_rows": res.oracle_rows,
+        "err": "; ".join(res.errors) if res.errors else None,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", dest="json_path", default=None)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
     registry.load_all_queries()
     names = args.queries or sorted(registry.QUERIES)
     spark = get_spark("parity-check")
+    records: dict[str, dict] = {}
     failures = 0
     for name in names:
         t0 = time.time()
@@ -36,12 +72,26 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures += 1
             print(f"[ERR ] {name}: {type(exc).__name__}: {exc}")
+            records[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(exc).__name__}: {exc}",
+            }
             continue
         dt = time.time() - t0
         print(f"{res}  ({dt:.1f}s)")
+        records[name.removesuffix(" (rows-only)")] = _record(res)
         if not res.ok:
             failures += 1
     print(f"\n{len(names) - failures}/{len(names)} queries match")
+    if args.json_path:
+        with open(args.json_path, "w", encoding="utf-8") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"archived -> {args.json_path}")
     return 1 if failures else 0
 
 
