@@ -134,6 +134,31 @@ def test_asof_join_has_no_join_operator(spark):
     assert count_exchanges(df) <= 4
 
 
+def test_ngram_jaccard_carries_sizes_without_rejoin(spark):
+    # shingle-set sizes must ride the shingle rows (window over
+    # doc_id) — the old shape re-joined a doc-cardinality sizes
+    # table onto the PAIR set twice, two extra big-big shuffles at
+    # scale.  Expected exchanges: window(doc_id), join(h1,h2) both
+    # sides feed one shuffle each... = self-join (2) + pair agg +
+    # final sort, window reuses the cached side.
+    import re
+
+    df = registry.QUERIES["dedup_ngram_jaccard"](spark, SF)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    # exactly two distinct join nodes remain: the hot-shingle
+    # LeftAnti cap and the inverted-index Inner self-join — the two
+    # old sizes joins are gone (numbered nodes dedupe the tree
+    # rendering of shared cached subtrees)
+    joins = {
+        (n, op) for n, op in re.findall(r"\((\d+)\) (\w*Join)\b", plan)
+    }
+    kinds = sorted(op for _n, op in joins)
+    assert len(joins) == 2, plan
+    inner = [j for j in re.findall(r"Join type: (\w+)", plan)]
+    assert sorted(set(inner)) == ["Inner", "LeftAnti"], (kinds, inner)
+
+
 def test_q4_is_semi_join(spark):
     df = registry.QUERIES["q4_order_priority"](spark, SF)
     plan = physical_plan(df)
