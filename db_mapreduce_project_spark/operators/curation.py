@@ -254,13 +254,16 @@ def doc_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     not be (libm log differs across engines).  Output: the
     LM_WORST_K lowest-scoring docs per language — the drop list.
 
-    Scale shape: the bigram stream aggregates twice with map-side
-    combine ((lang,a,b) model and (lang,a) contexts — vocab^2- and
-    vocab-bounded); scoring joins the stream to both count tables
-    on their natural keys (equi-joins, AQE handles hot function
-    words) and folds per doc in ONE groupBy.  The corpus text is
-    scanned twice (model pass + scoring pass), never shuffled as
-    text — only (doc_id, a, b) rows move."""
+    Scale shape: the bigram stream aggregates ONCE with map-side
+    combine into the (lang,a,b) model; the (lang,a) context totals
+    are a second-level rollup OF THE MODEL (cnt_a = sum_b cnt_ab —
+    identical integers, vocab^2-bounded input instead of the full
+    corpus), so the text is tokenized twice (model pass + scoring
+    pass), not three times.  Model and contexts then pre-join into
+    one vocab^2-bounded probability table, so the big per-instance
+    stream passes through ONE equi-join (AQE handles hot function
+    words) before folding per doc in one groupBy — never shuffled
+    as text, and never shuffled twice."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+", -1)
     n = F.size(toks)
@@ -280,17 +283,21 @@ def doc_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = doc_bigrams.groupBy("lang", "a", "b").agg(
         F.count("*").alias("cnt_ab")
     )
-    contexts = doc_bigrams.groupBy("lang", "a").agg(
-        F.count("*").alias("cnt_a")
+    # Context totals roll up from the model (sum_b cnt_ab == direct
+    # count of (lang, a) instances — every instance contributes one
+    # (lang,a,b) row), avoiding a third tokenize+explode of the
+    # corpus; the pre-joined probability table is vocab^2-bounded.
+    contexts = model.groupBy("lang", "a").agg(
+        F.sum("cnt_ab").alias("cnt_a")
+    )
+    probs = model.join(contexts, ["lang", "a"]).select(
+        "lang",
+        "a",
+        "b",
+        F.expr(f"(cnt_ab * {LM_PPM}) DIV cnt_a").alias("p_ppm"),
     )
     scored = (
-        doc_bigrams.join(model, ["lang", "a", "b"])
-        .join(contexts, ["lang", "a"])
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(f"(cnt_ab * {LM_PPM}) DIV cnt_a").alias("p_ppm"),
-        )
+        doc_bigrams.join(probs, ["lang", "a", "b"])
         .groupBy("lang", "doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
