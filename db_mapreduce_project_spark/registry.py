@@ -63,6 +63,7 @@ def load_all_queries() -> None:
         relational,
         rollups,
         selection,
+        sharding,
         skew,
         semistructured,
         similarity,
