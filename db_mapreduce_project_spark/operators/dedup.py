@@ -28,6 +28,7 @@ from ..functions.hashing import (
     duck_simhash60,
     lsh_bands_portable,
     minhash_signature_from_pairs,
+    spark_charhash,
     token_shingle_hash_pairs,
     simhash60_portable,
 )
@@ -318,6 +319,147 @@ ORDER BY doc_a, doc_b
 DEDUP_MINHASH_LSH_ORACLE = _minhash_oracle_sql()
 
 
+# Deterministic delta split for the incremental dedup shape: ~20% of
+# docs (by content-independent id hash) play the "tonight's crawl"
+# delta; the rest are the established base corpus.
+_DELTA_PERMILLE_MOD = 10
+_DELTA_LT = 2
+
+
+def _is_delta(doc_id: Column) -> Column:
+    return (
+        F.pmod(
+            spark_charhash(F.concat(doc_id.cast("string"), F.lit(":delta"))),
+            F.lit(_DELTA_PERMILLE_MOD),
+        )
+        < _DELTA_LT
+    )
+
+
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: match NEW (delta) documents against the
+    EXISTING base corpus via the MinHash+LSH band index, verifying
+    candidates with exact capped-shingle Jaccard — the nightly-crawl
+    shape, where re-running full-corpus dedup (all-pairs banding,
+    re-clustering) for a 0.1% daily delta would be a 1000x waste.
+
+    Only delta x base band collisions generate candidates: no
+    delta x delta pairs (the full pipeline handles those on its own
+    cadence) and crucially no base x base work — the join's left
+    side is delta-cardinality.  At 100 TB the base band index and
+    shingle sets are precomputed artifacts of the last full run
+    (written by the incremental MERGE family, operators/
+    incremental.py); here they are derived inline from the same
+    fixture so the whole pipeline sits under one value-hash oracle.
+
+    Output: confirmed (delta_doc, base_doc, jaccard) duplicate pairs
+    — the delete/suppress list for tonight's ingest."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _capped_shingle_hashes(d).cache()
+    sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=_MH_HASHES)
+    bands = lsh_bands_portable(
+        sig, "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
+    delta_bands = bands.where(_is_delta(F.col("doc_id")))
+    base_bands = bands.where(~_is_delta(F.col("doc_id")))
+    cand = (
+        delta_bands.alias("x")
+        .join(base_bands.alias("y"), ["band", "band_hash"])
+        .select(
+            F.col("x.doc_id").alias("delta_id"),
+            F.col("y.doc_id").alias("base_id"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("delta_id"), "h1", "h2")
+    b = sh.select(F.col("doc_id").alias("base_id"), "h1", "h2")
+    inter = (
+        cand.join(a, "delta_id")
+        .join(b, ["base_id", "h1", "h2"])
+        .groupBy("delta_id", "base_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(
+        F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("base_id"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, "delta_id")
+        .join(sb, "base_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("delta_id", "base_id", "jaccard")
+        .orderBy("delta_id", "base_id")
+    )
+
+
+def _incremental_delta_oracle_sql() -> str:
+    """DuckDB mirror of the delta-vs-base LSH pipeline: same capped
+    shingles, signatures, and band fold as the full MinHash oracle,
+    with the directional delta/base split on the band join."""
+    h1 = duck_charhash("shingle", FP_CHAR_BASE, FP_MOD)
+    h2 = duck_charhash("shingle", FP_WORD_BASE, FP_MOD2)
+    sig_cols = ",\n         ".join(
+        f"min(h1 + {i} * h2) AS mh_{i}" for i in range(_MH_HASHES)
+    )
+    band_arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {duck_band_hash(b, _MH_ROWS)} AS band_hash FROM sig"
+        for b in range(_MH_BANDS)
+    )
+    salted_id = "(CAST(doc_id AS VARCHAR) || ':delta')"
+    delta_pred = (
+        f"({duck_charhash(salted_id)}) % {_DELTA_PERMILLE_MOD} < {_DELTA_LT}"
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {band_arms}
+),
+flagged AS (
+  SELECT doc_id, band, band_hash, {delta_pred} AS is_delta FROM bands
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS delta_id, y.doc_id AS base_id
+  FROM flagged x JOIN flagged y USING (band, band_hash)
+  WHERE x.is_delta AND NOT y.is_delta
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.delta_id, c.base_id, count(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.delta_id
+  JOIN shingles b ON b.doc_id = c.base_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT delta_id, base_id,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = delta_id
+JOIN sizes sb ON sb.doc_id = base_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+      >= {JACCARD_THRESHOLD}
+ORDER BY delta_id, base_id
+"""
+
+
+DEDUP_INCREMENTAL_DELTA_ORACLE = _incremental_delta_oracle_sql()
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash signature per document, built from the
     portable polynomial hash pair so DuckDB reproduces every bit
@@ -415,6 +557,11 @@ ORDER BY id_a, id_b
 register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_ORACLE)
+register(
+    "dedup_incremental_delta",
+    dedup_incremental_delta,
+    DEDUP_INCREMENTAL_DELTA_ORACLE,
+)
 register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
 register(
     "dedup_embedding_cosine_bruteforce",

@@ -177,3 +177,31 @@ def test_cc_largestar_equals_labelprop(spark):
     a = registry.QUERIES["dedup_clusters"](spark, SF).collect()
     b = registry.QUERIES["dedup_clusters_largestar"](spark, SF).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_incremental_delta_consistent_with_full_lsh(spark):
+    """Directional invariants of the incremental pipeline, and
+    cross-consistency: a confirmed delta-vs-base duplicate must also
+    be found (same jaccard) by the full-corpus MinHash+LSH run —
+    the incremental path may only ever MISS pairs (delta x delta,
+    base x base are out of scope by design), never invent them."""
+    from db_mapreduce_project_spark.operators.dedup import _is_delta
+
+    import pyspark.sql.functions as F
+
+    inc = registry.QUERIES["dedup_incremental_delta"](spark, SF)
+    flags = inc.select(
+        _is_delta(F.col("delta_id")).alias("d_ok"),
+        (~_is_delta(F.col("base_id"))).alias("b_ok"),
+    ).collect()
+    assert flags, "fixture produced no delta-vs-base duplicates"
+    assert all(r.d_ok and r.b_ok for r in flags)
+
+    full = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.jaccard
+        for r in registry.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    }
+    for r in inc.collect():
+        key = (min(r.delta_id, r.base_id), max(r.delta_id, r.base_id))
+        assert key in full, key
+        assert abs(full[key] - r.jaccard) < 1e-12, key
