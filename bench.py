@@ -75,6 +75,8 @@ HEADLINE = [
     "incremental_agg_merge",
     "dedup_clusters_largestar",
     "window_time_range_rolling",
+    "training_shard_assignment",
+    "dedup_incremental_delta",
 ]
 
 

@@ -56,7 +56,7 @@ SEQ_LEN = 256  # packed training-sequence length (tokens)
 _ORDER_SALT = ":shard"  # canonical export-order hash salt
 
 
-def _doc_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_token_offsets_from(d: DataFrame) -> DataFrame:
     """(doc_id, lang, tok, start): each document's whitespace token
     count and its exclusive prefix-sum start offset in the canonical
     export order (charhash(doc_id+salt), doc_id).
@@ -66,7 +66,6 @@ def _doc_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket); cross-bucket offsets come from the tiny bucket-total
     rollup (N_PREFIX_BUCKETS rows — its unpartitioned window is a
     micro-table, not the corpus) broadcast back onto the stream."""
-    d = load_table(spark, sf_dir, "documents")
     h = spark_charhash(
         F.concat(F.col("doc_id").cast("string"), F.lit(_ORDER_SALT))
     )
@@ -99,6 +98,10 @@ def _doc_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("boff") + F.col("cum_in") - F.col("tok")).alias("start"),
         )
     )
+
+
+def _doc_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_token_offsets_from(load_table(spark, sf_dir, "documents"))
 
 
 def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -254,6 +254,26 @@ def main() -> None:
         ),
     )
 
+    # distributed prefix sum + token-budget sharding over ~50k docs:
+    # the stress is the bucket-partitioned running sum (64-way
+    # parallel) + broadcast offset join — the shape that replaces a
+    # corpus-wide single-partition window
+    from db_mapreduce_project_spark.operators.sharding import (
+        SHARD_TOKEN_BUDGET,
+        doc_token_offsets_from,
+    )
+
+    offsets10 = doc_token_offsets_from(docs)
+    bench(
+        "training_shards_10x",
+        offsets10.withColumn(
+            "shard_id",
+            F.expr(f"CAST((start DIV {SHARD_TOKEN_BUDGET}) AS BIGINT)"),
+        )
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("sum_tokens")),
+    )
+
     # fixed-point PageRank over the trade graph, edges aggregated
     # from ~6M duplicated lineitems (graph stays nations-sized; the
     # stress is the cents aggregation + 8 checkpointed iterations)
