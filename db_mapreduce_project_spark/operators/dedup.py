@@ -102,6 +102,24 @@ shingles AS (
 )"""
 
 
+
+def _set_fingerprint(df: DataFrame, c1: str, c2: str) -> tuple:
+    """Order-insensitive set fingerprint in ONE aggregate job:
+    cardinality + two independent 64-bit hash XOR-folds (xxhash64
+    under both column orders; XOR is commutative and can't overflow
+    under ANSI mode, unlike sum).  Equal fingerprints across rounds
+    signal convergence.  CALLERS MUST re-verify the loop exit with
+    an exact check (exceptAll / join-diff) so a hash collision can
+    never return a wrong answer — shared by both connected-
+    components algorithms so the invariants stay in one place."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(c1, c2)).alias("h1"),
+        F.bit_xor(F.xxhash64(c2, c1)).alias("h2"),
+    ).first()
+    return (row["n"], row["h1"], row["h2"])
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one keeper (min doc_id) per distinct text.
     Equivalent to dropDuplicates(['text']) but with an explicit,
@@ -599,16 +617,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
 
     def _labels_fp(df: DataFrame) -> tuple:
-        """Order-insensitive assignment fingerprint in ONE aggregate
-        job (cardinality is constant, so two XOR-folded xxhash64
-        mixes of (doc_id, label) pin the assignment): replaces the
-        per-round join-and-diff changed-check; the loop exit
-        re-verifies exactly, closing the collision hole."""
-        row = df.agg(
-            F.bit_xor(F.xxhash64("doc_id", "label")).alias("h1"),
-            F.bit_xor(F.xxhash64("label", "doc_id")).alias("h2"),
-        ).first()
-        return (row["h1"], row["h2"])
+        # shared fingerprint (cardinality is constant for label
+        # assignments, so the count component is redundant but
+        # harmless); exact loop-exit re-verification happens below
+        return _set_fingerprint(df, "doc_id", "label")
 
     prev_fp = _labels_fp(labels)
     converged = False
@@ -723,21 +735,9 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _fingerprint(df: DataFrame) -> tuple:
-        """Order-insensitive set fingerprint in ONE aggregate job:
-        cardinality + two independent 64-bit hash XOR-folds
-        (xxhash64 under both column orders; XOR is commutative and
-        can't overflow under ANSI mode, unlike sum).  Equal
-        fingerprints across rounds signal convergence; the loop
-        exit re-verifies with one exact exceptAll so a hash
-        collision can never return a wrong answer — it converts the
-        per-round exact set-diff (a join-shaped job) into a single
-        post-loop check."""
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h1"),
-            F.bit_xor(F.xxhash64("v", "u")).alias("h2"),
-        ).first()
-        return (row["n"], row["h1"], row["h2"])
+        # shared fingerprint over the canonical edge set; the loop
+        # exit below re-verifies with one exact exceptAll
+        return _set_fingerprint(df, "u", "v")
 
     from pyspark.sql.window import Window
 

@@ -87,12 +87,17 @@ def decode_ppm(buf: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
     pos += 1  # exactly one whitespace byte after maxval, per spec
     need = width * height * 3
-    samples = buf[pos : pos + need]
-    if len(samples) != need:
+    have = len(buf) - pos
+    # exact-length contract, BOTH directions: short = truncated,
+    # long = the payload wasn't byte-counted (e.g. a multi-byte
+    # UTF-8 char slipped into a char-counted body) — silently
+    # slicing `need` bytes would diverge from the codepoint-summing
+    # oracle, so oversize must fail as loudly as truncation.
+    if have != need:
         raise ValueError(
-            f"truncated PPM: need {need} sample bytes, have {len(samples)}"
+            f"bad PPM body: need exactly {need} sample bytes, have {have}"
         )
-    return width, height, maxval, samples
+    return width, height, maxval, buf[pos:]
 
 
 def fake_features(payload: bytes) -> tuple[int, int, int]:
@@ -192,7 +197,11 @@ def build_ppm_payloads(d: DataFrame) -> DataFrame:
     first 48 text bytes (rpad'ed with 'x' so short docs still form
     a complete 4x4 RGB image).  The payload is a valid image any
     netpbm tool could open — not a synthetic blob."""
-    body = F.rpad(F.substring("text", 1, _PPM_BODY_LEN), _PPM_BODY_LEN, "x")
+    # NULL text builds the all-pad image rather than a NULL payload
+    # (concat/encode propagate null, which would surface as an
+    # opaque bytes(None) TypeError deep in the Arrow kernel).
+    text = F.coalesce(F.col("text"), F.lit(""))
+    body = F.rpad(F.substring(text, 1, _PPM_BODY_LEN), _PPM_BODY_LEN, "x")
     header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n")
     return d.select(
         "doc_id", F.encode(F.concat(header, body), "UTF-8").alias("img")
@@ -255,8 +264,8 @@ SELECT doc_id,
                 THEN ascii(substring(px, j, 1)) END) AS BIGINT) AS b_sum
 FROM (
   SELECT doc_id,
-         rpad(substring(text, 1, {_PPM_BODY_LEN}), {_PPM_BODY_LEN}, 'x')
-           AS px
+         rpad(substring(coalesce(text, ''), 1, {_PPM_BODY_LEN}),
+              {_PPM_BODY_LEN}, 'x') AS px
   FROM documents
 ) p, generate_series(1, {_PPM_BODY_LEN}) AS g(j)
 GROUP BY doc_id

@@ -65,7 +65,13 @@ def doc_token_offsets_from(d: DataFrame) -> DataFrame:
     parallelize (window PARTITIONED by the deterministic hash-range
     bucket); cross-bucket offsets come from the tiny bucket-total
     rollup (N_PREFIX_BUCKETS rows — its unpartitioned window is a
-    micro-table, not the corpus) broadcast back onto the stream."""
+    micro-table, not the corpus) broadcast back onto the stream.
+    The window branch and the totals branch each scan the (pruned)
+    documents columns once — two map-only tokenize passes, the same
+    trade doc_lm_quality_score makes: re-scanning beats caching a
+    corpus-wide frame or paying the window shuffle twice (totals
+    derived from the windowed frame would recompute the window,
+    which costs a shuffle; the scan costs none)."""
     h = spark_charhash(
         F.concat(F.col("doc_id").cast("string"), F.lit(_ORDER_SALT))
     )

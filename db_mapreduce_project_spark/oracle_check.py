@@ -66,6 +66,12 @@ class CompareResult:
     spark_rows: int
     oracle_rows: int
     errors: list[str] = field(default_factory=list)
+    # structured per-dimension flags (the driver CORRECTNESS record
+    # shape) — set by compare_frames; consumers must use these, not
+    # parse the human-readable `errors` strings
+    schema_ok: bool = True
+    rows_ok: bool = True
+    values_ok: bool = True
 
     def __str__(self) -> str:
         status = "OK " if self.ok else "FAIL"
@@ -97,7 +103,17 @@ def compare_frames(
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         errors.append(f"columns differ: spark={s_cols} oracle={o_cols}")
-        return CompareResult(name, False, len(spark_pdf), len(oracle_pdf), errors)
+        return CompareResult(
+            name,
+            False,
+            len(spark_pdf),
+            len(oracle_pdf),
+            errors,
+            schema_ok=False,
+            rows_ok=len(spark_pdf) == len(oracle_pdf),
+            values_ok=False,
+        )
+    schema_ok = True
     for c in s_cols:
         sd = str(spark_pdf[c].dtype).lower().replace("int64", "i8").replace(
             "int32", "i4"
@@ -112,11 +128,14 @@ def compare_frames(
             continue  # strings/arrays — checked by value canon
         if sd != od:
             errors.append(f"dtype differs for {c!r}: spark={sd} oracle={od}")
+            schema_ok = False
     s = canonical_rows(_normalize_numeric(spark_pdf))
     o = canonical_rows(_normalize_numeric(oracle_pdf))
-    if len(s) != len(o):
+    rows_ok = len(s) == len(o)
+    if not rows_ok:
         errors.append(f"row counts differ: {len(s)} vs {len(o)}")
-    if s != o:
+    values_ok = s == o
+    if not values_ok:
         sset, oset = set(s), set(o)
         only_s = list(sset - oset)[:3]
         only_o = list(oset - sset)[:3]
@@ -126,7 +145,16 @@ def compare_frames(
             errors.append(f"rows only in oracle: {only_o}")
         if not only_s and not only_o:
             errors.append("multiset mismatch (duplicate multiplicities)")
-    return CompareResult(name, not errors, len(s), len(o), errors)
+    return CompareResult(
+        name,
+        not errors,
+        len(s),
+        len(o),
+        errors,
+        schema_ok=schema_ok,
+        rows_ok=rows_ok,
+        values_ok=values_ok,
+    )
 
 
 def check_query(spark, name: str, sf_dir: str) -> CompareResult:

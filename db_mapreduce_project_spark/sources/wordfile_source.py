@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 
 import uuid
 from dataclasses import dataclass
@@ -212,6 +213,12 @@ class WordFileCommitMessage(WriterCommitMessage):
     n: int
 
 
+# Foreign .tmp files older than this are treated as debris from a
+# crashed job (live temps exist only for one task's duration) and
+# swept at the next successful commit.
+_STALE_TMP_TTL_S = 3600
+
+
 class WordFileWriter(DataSourceWriter):
     """Parallel writer for the reference's `"word count"` sink
     format (maprdeuce.cpp:322-329) — one output file PER PARTITION
@@ -279,6 +286,21 @@ class WordFileWriter(DataSourceWriter):
         ):
             if orphan not in staged:
                 os.remove(orphan)
+        # GC path for crashed jobs: a writer that died between
+        # write() and commit()/abort() leaves foreign temps no one
+        # else may touch while fresh.  Anything older than the TTL
+        # cannot belong to a live job (temps live for one task
+        # duration), so sweep it here to keep long-lived append
+        # directories from accumulating dot-file litter.
+        cutoff = time.time() - _STALE_TMP_TTL_S
+        for stale in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+            if stale in staged:
+                continue
+            try:
+                if os.path.getmtime(stale) < cutoff:
+                    os.remove(stale)
+            except OSError:
+                pass  # already renamed/removed by its owner
 
     def abort(self, messages):
         for m in messages:
@@ -344,13 +366,17 @@ def wordfile_sink_roundtrip(spark, sf_dir: str):
         wordcount(spark, sf_dir).write.format("wordfile").mode(
             "overwrite"
         ).save(out)
-        return (
-            spark.read.format("wordfile")
-            .load(out)
-            .orderBy("word")
-            # materialize eagerly so the sink dir can be removed
-            .localCheckpoint(eager=True)
+        # Materialize on the driver before the sink dir is removed.
+        # localCheckpoint would also truncate lineage, but its blocks
+        # are non-fault-tolerant: an executor loss before the caller
+        # consumes the frame would recompute from the deleted files.
+        # The aggregated vocabulary is small by construction (same
+        # bound as write_wordcount_text's coalesce(1)), so a driver
+        # collect is safe here.
+        rows = (
+            spark.read.format("wordfile").load(out).orderBy("word").collect()
         )
+        return spark.createDataFrame(rows, schema="word string, cnt bigint")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -189,12 +189,14 @@ def compact_parquet(
     import math
     import os
 
-    if os.path.abspath(in_path) == os.path.abspath(out_path):
-        # mode('overwrite') deletes the target before the lazy read
-        # runs — compacting in place would destroy the input.
+    # realpath, not abspath: a symlinked alias of the input must not
+    # slip past the guard — mode('overwrite') deletes the target
+    # before the lazy read runs, so compacting in place (under ANY
+    # name) would destroy the input.
+    if os.path.realpath(in_path) == os.path.realpath(out_path):
         raise ValueError(
             "compact_parquet: in_path and out_path must differ "
-            f"(both resolve to {os.path.abspath(in_path)})"
+            f"(both resolve to {os.path.realpath(in_path)})"
         )
     total = 0
     for root, _dirs, files in os.walk(in_path):

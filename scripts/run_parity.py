@@ -38,14 +38,11 @@ def _record(res) -> dict:
             "err": None,
             "mode": "rows-only",
         }
-    schema_bad = any(
-        e.startswith("columns differ") or e.startswith("dtype differs")
-        for e in res.errors
-    )
-    rows_bad = any(e.startswith("row counts differ") for e in res.errors)
+    # structured flags from CompareResult — never parse the
+    # human-readable error strings (they are display text, not API)
     return {
-        "rows_match": not rows_bad,
-        "schema_match": not schema_bad,
+        "rows_match": res.rows_ok,
+        "schema_match": res.schema_ok,
         "hash_match": res.ok,
         "spark_rows": res.spark_rows,
         "oracle_rows": res.oracle_rows,
@@ -68,7 +65,14 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            res = check_query(spark, name, args.sf)
+            try:
+                res = check_query(spark, name, args.sf)
+            finally:
+                # several dedup/similarity queries .cache()
+                # intermediates that stay pinned after
+                # materialization; across a 179-query sweep those
+                # dead blocks would crowd the block manager
+                spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001
             failures += 1
             print(f"[ERR ] {name}: {type(exc).__name__}: {exc}")

@@ -42,8 +42,13 @@ def test_decode_ppm_rejects_malformed():
         decode_ppm(b"P5\n2 2\n255\n" + bytes(12))
     with pytest.raises(ValueError, match="8-bit"):
         decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
-    with pytest.raises(ValueError, match="truncated"):
-        decode_ppm(b"P6\n2 2\n255\n" + bytes(5))
+    with pytest.raises(ValueError, match="sample bytes"):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(5))  # truncated
+    with pytest.raises(ValueError, match="sample bytes"):
+        # oversize must fail as loudly as truncation: a char-counted
+        # body with a multi-byte UTF-8 char would otherwise be
+        # silently sliced mid-codepoint, diverging from the oracle
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(20))
     with pytest.raises(ValueError, match="malformed"):
         decode_ppm(b"P6\nxx yy\n255\n" + bytes(12))
 

@@ -39,9 +39,16 @@ def test_shard_budget_contract(spark):
         .collect()
     )
     ids = [r.shard_id for r in rows]
-    # contiguous shard ids from 0 (no empty shard gaps: a shard
-    # exists iff some document's start offset lands in it)
-    assert ids == list(range(len(ids)))
+    assert ids[0] == 0 and ids == sorted(set(ids))
+    # a gap (empty shard) is only legal when some single document
+    # exceeds the budget and straddles whole shards on its own
+    max_tok = duckdb.sql(
+        "SELECT max(CASE WHEN len(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END) "
+        f"FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    if max_tok <= SHARD_TOKEN_BUDGET:
+        assert ids == list(range(len(ids)))
     assert sum(r.sum_tokens for r in rows) == _total_tokens()
     # greedy contract: the first doc of shard k+1 starts at or past
     # the (k+1)*budget boundary, so cumulative tokens through shard
