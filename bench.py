@@ -105,6 +105,12 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(registry.QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+        # isolation BETWEEN queries: cached intermediates must not
+        # crowd the block manager for later queries.  Repeats of the
+        # SAME query stay warm on purpose — the median measures the
+        # steady-state operator cost (same methodology as earlier
+        # rounds); run 1's max in `spread` carries the cold cost.
+        spark.catalog.clearCache()
         runs.sort()
         median = runs[len(runs) // 2]
         timings[name] = round(median, 3)
