@@ -1,0 +1,316 @@
+"""Retrieval operators — the query-serving side of the corpus:
+
+- `text_bm25_topk`: Okapi BM25 ranked retrieval (Robertson &
+  Spärck Jones / Robertson et al., TREC-3) of the top documents
+  for a fixed keyword query, over an inverted-index-shaped term
+  relation.
+- `ann_two_stage_rerank`: the production ANN serving shape — a
+  cheap quantized first stage (SQ8 asymmetric-distance over LSH
+  bucket candidates, similarity.py) proposes RERANK_C candidates
+  per query, then ONLY those candidates fetch their full-precision
+  vectors for an exact cosine rerank (the "coarse quantizer +
+  rerank" pattern of Jégou et al., TPAMI 2011, and every FAISS /
+  vector-DB deployment).
+
+Reference parity: the reference engine ranks words by count
+(SURVEY.md §2.1 #8/#10 sorted text sink); BM25 is that ranking
+machinery upgraded to a scored retrieval operator, and the rerank
+composes the §2.2 LLM-pipeline ANN family into its serving form.
+
+Scale shape (100 TB):
+- BM25 never materializes a scores-for-all-docs relation to rank:
+  the term filter lands ON THE TOKEN STREAM before any shuffle
+  (only query-term postings move), doc lengths aggregate map-side,
+  corpus constants (N, avgdl) and the per-term df ride 1-row /
+  |terms|-row broadcasts, and the final top-k is
+  TakeOrderedAndProject — no global sort, no global window.
+- Per-term BM25 contributions are quantized to exact bigints
+  BEFORE the per-doc sum (functions/stable.py discipline), so the
+  ln() libm call is the only float boundary and a last-ulp
+  divergence cannot reorder ranks past the doc_id tiebreak.
+- The rerank's expensive exact stage touches RERANK_C vectors per
+  query instead of the corpus; the candidate fetch is an equi-join
+  on vec_id — at scale, a point-lookup-shaped join against the
+  (cold, full-precision) vector store, while the scan side only
+  ever reads the 4x-smaller int8 index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine, dot, duck_cosine, duck_dot, l2
+from ..io import load_table
+from ..registry import register
+from .similarity import QUERY_MOD, SQ_LEVELS, TOPK, _bucket_expr, _planes
+
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_SCALE = 1_000_000_000  # per-term quantization before the doc sum
+
+RERANK_C = 25  # coarse candidates fetched per query for the exact stage
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the fixed query {spark, join, window}
+    by summed BM25 term weights (k1=1.2, b=0.75).
+
+    One tokenize pass feeds both the per-doc length table and the
+    (filtered) postings; idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    — the Lucene non-negative variant.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias("word"),
+    ).where(F.col("word") != "")
+    percount = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dlen = percount.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    postings = percount.where(F.col("word").isin(*BM25_TERMS))
+    dfreq = postings.groupBy("word").agg(F.count("*").alias("df"))
+    stats = d.agg(F.count("*").alias("n_docs")).crossJoin(
+        F.broadcast(dlen.agg((F.sum("dlen") / F.count("*")).alias("avgdl")))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfpart = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+    )
+    qw = F.floor(idf * tfpart * F.lit(float(BM25_SCALE)) + F.lit(0.5))
+    scored = (
+        postings.join(dlen, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(qw).alias("sq"))
+    )
+    wr = Window.orderBy(F.col("sq").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("sq").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+        .withColumn("rk", F.row_number().over(wr).cast("int"))
+        .select(
+            "doc_id",
+            (F.col("sq") / F.lit(float(BM25_SCALE))).alias("bm25"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+TEXT_BM25_TOPK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+percount AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM tok WHERE word <> '' GROUP BY doc_id, word
+),
+dlen AS (SELECT doc_id, sum(tf) AS dlen FROM percount GROUP BY doc_id),
+postings AS (
+  SELECT * FROM percount WHERE word IN ({_BM25_TERMS_SQL})
+),
+dfreq AS (SELECT word, count(*) AS df FROM postings GROUP BY word),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(dlen) AS DOUBLE) / count(*) FROM dlen) AS avgdl
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(CAST(floor(
+           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * ((p.tf * {BM25_K1 + 1.0!r}) /
+              (p.tf + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                 + {BM25_B!r} * l.dlen / s.avgdl)))
+           * {BM25_SCALE}.0 + 0.5) AS BIGINT)) AS sq
+  FROM postings p
+  JOIN dlen l ON l.doc_id = p.doc_id
+  JOIN dfreq f ON f.word = p.word
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, sq / {BM25_SCALE}.0 AS bm25, rk FROM (
+  SELECT doc_id, sq,
+         CAST(row_number() OVER (ORDER BY sq DESC, doc_id ASC) AS INTEGER)
+           AS rk
+  FROM scored
+) t
+WHERE rk <= {BM25_TOPK}
+ORDER BY rk
+"""
+
+register("text_bm25_topk", text_bm25_topk, TEXT_BM25_TOPK_ORACLE)
+
+
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: SQ8 asymmetric-distance coarse ranking over
+    LSH bucket candidates keeps the top RERANK_C per query; only
+    those candidates join back to the full-precision vector store
+    for the exact cosine rerank that produces the final top-5.
+
+    The coarse stage is ann_sq8_adc's index (codes-only
+    reconstruction, broadcast dim stats); the rerank stage's join
+    cardinality is |queries| x RERANK_C — independent of corpus
+    size, which is what makes exact scoring affordable at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    flat = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    stats = (
+        flat.groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mn", "mx"))
+            ).alias("dm")
+        )
+        .select(
+            F.transform("dm", lambda s: s["mn"]).alias("mins"),
+            F.transform(
+                "dm", lambda s: F.nullif(s["mx"] - s["mn"], F.lit(0.0))
+            ).alias("rngs"),
+        )
+    )
+    codes = F.transform(
+        F.col("embedding"),
+        lambda v, i: F.floor(
+            (v.cast("double") - F.element_at(F.col("mins"), i + 1))
+            / F.element_at(F.col("rngs"), i + 1)
+            * F.lit(float(SQ_LEVELS))
+        ).cast("bigint"),
+    )
+    index = (
+        e.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("vec_id").alias("n_id"),
+            _bucket_expr("embedding").alias("bucket"),
+            codes.alias("codes"),
+            "mins",
+            "rngs",
+        )
+        .select(
+            "n_id",
+            "bucket",
+            F.transform(
+                "codes",
+                lambda c, i: F.coalesce(
+                    F.element_at(F.col("mins"), i + 1)
+                    + (c + F.lit(0.5))
+                    * F.element_at(F.col("rngs"), i + 1)
+                    / F.lit(float(SQ_LEVELS)),
+                    F.element_at(F.col("mins"), i + 1),
+                ),
+            ).alias("recon"),
+        )
+    )
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        _bucket_expr("embedding").alias("bucket"),
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    cands = (
+        q.join(index, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc", dot("qv", "recon"))
+        .withColumn("crk", F.row_number().over(wc))
+        .where(F.col("crk") <= RERANK_C)
+        .select("q_id", "qv", "n_id")
+    )
+    fetched = cands.join(
+        e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv")),
+        "n_id",
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        fetched.withColumn("cos", cosine("qv", "nv"))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def _two_stage_oracle_sql() -> str:
+    """DuckDB mirror: identical planes, codes, reconstruction, ADC
+    fold, candidate cut, and exact-cosine rerank fold."""
+    planes = _planes()
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        proj = duck_dot("embedding", lit)
+        bucket_terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
+    bucket = "CAST(" + " + ".join(bucket_terms) + " AS BIGINT)"
+    lv = float(SQ_LEVELS)
+    return f"""
+WITH flat AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dims AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY dim),
+stats AS (
+  SELECT list(mn ORDER BY dim) AS mins,
+         list(nullif(mx - mn, 0.0) ORDER BY dim) AS rngs
+  FROM dims
+),
+base AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+index_side AS (
+  SELECT b.vec_id AS n_id, b.bucket,
+         list_transform(generate_series(1, len(b.embedding)), i ->
+           coalesce(
+             s.mins[i]
+             + (CAST(floor((CAST(b.embedding[i] AS DOUBLE) - s.mins[i])
+                           / s.rngs[i] * {lv}) AS BIGINT) + 0.5)
+               * s.rngs[i] / {lv},
+             s.mins[i])) AS recon
+  FROM base b, stats s
+),
+coarse AS (
+  SELECT q.vec_id AS q_id, q.embedding AS qv, n.n_id,
+         {duck_dot('q.embedding', 'n.recon')} AS adc
+  FROM base q JOIN index_side n ON q.bucket = n.bucket
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> n.n_id
+),
+cands AS (
+  SELECT q_id, qv, n_id FROM (
+    SELECT q_id, qv, n_id,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY adc DESC, n_id ASC) AS crk
+    FROM coarse
+  ) WHERE crk <= {RERANK_C}
+),
+rerank AS (
+  SELECT c.q_id, c.n_id, {duck_cosine('c.qv', 'e.embedding')} AS cos
+  FROM cands c JOIN embeddings e ON e.vec_id = c.n_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM rerank
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_TWO_STAGE_RERANK_ORACLE = _two_stage_oracle_sql()
+
+register("ann_two_stage_rerank", ann_two_stage_rerank, ANN_TWO_STAGE_RERANK_ORACLE)

@@ -49,6 +49,7 @@ def load_all_queries() -> None:
         classic2,
         classic3,
         clustering,
+        corpus_stats,
         curation,
         dedup,
         extended,
@@ -61,6 +62,7 @@ def load_all_queries() -> None:
         multimodal,
         profiling,
         relational,
+        retrieval,
         rollups,
         selection,
         sharding,

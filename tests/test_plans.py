@@ -268,6 +268,8 @@ _UNKEYED_JOIN_OK = {
     "sample_weighted_lineitem", # 1-row max-weight scalar broadcast
     "equidepth_histogram_prices",  # 1-row decile-thresholds broadcast
     "ann_sq8_adc",              # 1-row dim-stats array broadcast
+    "ann_two_stage_rerank",     # 1-row dim-stats array broadcast
+    "text_bm25_topk",           # 1-row (N, avgdl) scalar broadcast
 }
 
 # Queries whose construction triggers eager execution (iterative
@@ -560,3 +562,30 @@ def test_runtime_bloom_filter_injection(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_bm25_topk_is_takeordered_with_broadcasts(spark):
+    # the final top-10 must be TakeOrderedAndProject (no global
+    # sort of the scored relation) and every join side that can
+    # broadcast (df, dlen stats) does
+    df = registry.QUERIES["text_bm25_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert not has_sort_merge_join(df)
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    # the K-row vocabulary must ride a broadcast hash join onto the
+    # token stream; nothing sort-merges
+    df = registry.QUERIES["tokenizer_vocab_coverage"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_char_entropy_is_joinless_two_aggs(spark):
+    # per-(doc,char) then per-doc aggregation plus the output sort:
+    # no join anywhere, bounded exchange count
+    df = registry.QUERIES["doc_char_entropy"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 3

@@ -1,0 +1,92 @@
+"""Semantic sanity for the retrieval + corpus-statistics operators
+(beyond the value-hash oracle): BM25 ranks behave like BM25,
+the two-stage rerank is exact over its candidate set, and the
+corpus statistics respect their mathematical bounds."""
+
+import math
+
+from db_mapreduce_project_spark import registry
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_bm25_ranked_and_positive(spark):
+    rows = registry.QUERIES["text_bm25_topk"](spark, SF).collect()
+    assert len(rows) == 10
+    assert [r["rk"] for r in rows] == list(range(1, 11))
+    # idf variant is non-negative; every returned doc matched a term
+    assert all(r["bm25"] > 0 for r in rows)
+    # scores are non-increasing in rank
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_docs_contain_a_query_term(spark):
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.operators.retrieval import BM25_TERMS
+
+    top = registry.QUERIES["text_bm25_topk"](spark, SF).collect()
+    ids = [r["doc_id"] for r in top]
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents")
+        .where(f"doc_id in ({','.join(str(i) for i in ids)})")
+        .collect()
+    }
+    for i in ids:
+        toks = set(docs[i].lower().split())
+        assert toks & set(BM25_TERMS), f"doc {i} has no query term"
+
+
+def test_rerank_cannot_beat_exact_top1(spark):
+    brute = registry.QUERIES["ann_cosine_topk_bruteforce"](spark, SF).collect()
+    rer = registry.QUERIES["ann_two_stage_rerank"](spark, SF).collect()
+    assert rer, "rerank produced no rows"
+    brute_best = {}
+    for r in brute:
+        brute_best.setdefault(r["q_id"], r["cos"])  # rk=1 arrives first
+    for r in rer:
+        if r["rk"] == 1 and r["q_id"] in brute_best:
+            assert r["cos"] <= brute_best[r["q_id"]] + 1e-12
+
+
+def test_rerank_refines_adc_candidates(spark):
+    """The rerank's final set comes from the coarse ADC candidate
+    pool, and exact-cosine ordering within that pool can only match
+    or improve on the ADC's own top-k cosine quality."""
+    adc = registry.QUERIES["ann_sq8_adc"](spark, SF).collect()
+    rer = registry.QUERIES["ann_two_stage_rerank"](spark, SF).collect()
+    adc_q = {r["q_id"] for r in adc}
+    rer_q = {r["q_id"] for r in rer}
+    # same bucketed candidate generation -> same query coverage
+    assert rer_q == adc_q
+
+
+def test_entropy_within_alphabet_bounds(spark):
+    rows = registry.QUERIES["doc_char_entropy"](spark, SF).collect()
+    assert rows
+    hi = math.log2(26) + 1e-6
+    for r in rows:
+        assert 0.0 <= r["entropy"] <= hi
+        assert r["n_letters"] > 0
+
+
+def test_vocab_coverage_rates_consistent(spark):
+    rows = registry.QUERIES["tokenizer_vocab_coverage"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tok"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tok"]) < 1e-12
+    # a 16-word vocab over a 31-word corpus leaves real OOV mass
+    assert any(r["n_oov"] > 0 for r in rows)
+
+
+def test_source_overlap_full_matrix(spark):
+    rows = registry.QUERIES["corpus_source_overlap"](spark, SF).collect()
+    n_src = 20
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["n_inter"] <= r["n_union"]
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert abs(r["jaccard"] - r["n_inter"] / r["n_union"]) < 1e-12
