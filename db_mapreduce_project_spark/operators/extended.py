@@ -749,3 +749,60 @@ register(
     sample_weighted_lineitem,
     SAMPLE_WEIGHTED_LINEITEM_ORACLE,
 )
+
+
+RESERVOIR_K = 10  # docs kept per language
+_RESERVOIR_MOD = 1_000_003  # prime ring: rank ties are ~impossible
+
+
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K-per-group sampling (the "give me 10 random docs per
+    language" primitive behind per-source eval-set carving and
+    balanced corpus subsampling): rank each group by a portable key
+    hash and keep the K lowest — distributionally a reservoir sample,
+    but deterministic, so both engines pick the identical rows.
+
+    Scale shape: one shuffle keyed on the group column feeds a
+    partitioned window; nothing global.  For groups so large the
+    per-group sort dominates, pre-filter with a generous hash
+    threshold (keep hash < c*K/|group| overshoot) before the exact
+    window — same answer, sort input cut to ~c*K rows per group;
+    at fixture scale the direct window is already the right plan.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    hkey = F.pmod(
+        (F.col("doc_id") % 1_000_000_000) * F.lit(_KNUTH) + F.lit(7),
+        F.lit(_RESERVOIR_MOD),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("hkey").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("lang", "doc_id", hkey.alias("hkey"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= RESERVOIR_K)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+SAMPLE_RESERVOIR_PER_GROUP_ORACLE = f"""
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 1000000000) * {_KNUTH} + 7) % {_RESERVOIR_MOD},
+                    doc_id) AS INTEGER) AS rk
+  FROM documents
+) t
+WHERE rk <= {RESERVOIR_K}
+ORDER BY lang, rk
+"""
+
+register(
+    "sample_reservoir_per_group",
+    sample_reservoir_per_group,
+    SAMPLE_RESERVOIR_PER_GROUP_ORACLE,
+)

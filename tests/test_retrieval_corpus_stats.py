@@ -90,3 +90,19 @@ def test_source_overlap_full_matrix(spark):
         assert 0 < r["n_inter"] <= r["n_union"]
         assert 0.0 < r["jaccard"] <= 1.0
         assert abs(r["jaccard"] - r["n_inter"] / r["n_union"]) < 1e-12
+
+
+def test_reservoir_sample_exactly_k_per_group(spark):
+    from db_mapreduce_project_spark.operators.extended import RESERVOIR_K
+
+    rows = registry.QUERIES["sample_reservoir_per_group"](spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        # every lang group in the fixture has >= K docs
+        assert len(rs) == RESERVOIR_K, (lang, len(rs))
+        assert sorted(r["rk"] for r in rs) == list(range(1, RESERVOIR_K + 1))
+    # determinism: a second run picks the identical rows
+    again = registry.QUERIES["sample_reservoir_per_group"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
