@@ -77,6 +77,12 @@ HEADLINE = [
     "window_time_range_rolling",
     "training_shard_assignment",
     "dedup_incremental_delta",
+    "text_bm25_topk",
+    "ann_two_stage_rerank",
+    "doc_char_entropy",
+    "corpus_source_overlap",
+    "tokenizer_vocab_coverage",
+    "sample_reservoir_per_group",
 ]
 
 

@@ -69,7 +69,12 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "text",
         OVERLAP_NGRAM,
-    )  # distinct (src, shingle)
+    ).localCheckpoint(eager=True)
+    # distinct (src, shingle) is |vocab| x |sources| — tiny — but it
+    # feeds THREE consumers (both self-join sides and the sizes
+    # table, the latter joined twice); without the checkpoint the
+    # corpus explode+distinct re-runs four times (measured 3.7 s ->
+    # ~1 s at sf0.1)
     sizes = sh.groupBy("src").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("src").alias("source_a"), "shingle")
     b = sh.select(F.col("src").alias("source_b"), "shingle")

@@ -247,9 +247,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = _capped_shingle_hashes(d).cache()
     sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=_MH_HASHES)
+    # cache the band index: the candidate self-join consumes it on
+    # BOTH sides, and without the cache each side re-runs the whole
+    # signature aggregation (the index is 8 rows/doc — tiny)
     bands = lsh_bands_portable(
         sig, "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
-    )
+    ).cache()
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_hash"])
@@ -375,9 +378,11 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = _capped_shingle_hashes(d).cache()
     sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=_MH_HASHES)
+    # cache the band index: delta and base sides both filter it, and
+    # without the cache each side re-runs the signature aggregation
     bands = lsh_bands_portable(
         sig, "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
-    )
+    ).cache()
     delta_bands = bands.where(_is_delta(F.col("doc_id")))
     base_bands = bands.where(~_is_delta(F.col("doc_id")))
     cand = (
