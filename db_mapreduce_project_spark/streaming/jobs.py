@@ -582,3 +582,102 @@ register(
     stream_sink_latest_per_user,
     STREAM_SINK_LATEST_PER_USER_ORACLE,
 )
+
+
+def stream_upsert_hourly_counts(
+    spark: SparkSession, sf_dir: str, out_dir: str, ckpt_dir: str
+):
+    """foreachBatch ADDITIVE sink: each micro-batch appends its
+    partial per-(hour, event_type) counts and quantized value sums;
+    :func:`read_hourly_counts` compacts by re-aggregating — addition
+    is associative, so the compacted table is identical for ANY
+    micro-batch partitioning of the input.  This is the streaming
+    ingest shape for metric rollups at scale: partials are
+    hour-cardinality (tiny) per batch, the sink is append-only, and
+    the periodic compaction job is a plain groupBy."""
+    from ..functions.stable import qint
+
+    ev = _stream_events(spark, sf_dir)
+
+    def emit_batch(batch_df, batch_id: int) -> None:
+        part = (
+            batch_df.select(
+                F.date_trunc("hour", "ts").alias("bucket_hour"),
+                "event_type",
+                qint("value", 4).alias("_vq"),
+            )
+            .groupBy("bucket_hour", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("_vq").alias("_vq_sum"),
+            )
+            .withColumn("_batch", F.lit(batch_id))
+        )
+        part.write.mode("append").parquet(out_dir)
+
+    return (
+        ev.writeStream.foreachBatch(emit_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+
+
+def read_hourly_counts(spark: SparkSession, out_dir: str):
+    """Merge-on-read compaction of the additive sink: sum the
+    partials; the integer value sums close with one deterministic
+    divide (stable.py discipline)."""
+    df = spark.read.parquet(out_dir)
+    return (
+        df.groupBy("bucket_hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("_vq_sum") / F.lit(1e4)).alias("sum_value"),
+        )
+    )
+
+
+def stream_sink_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming-SINK query #2: runs the event file
+    stream end-to-end through the ADDITIVE foreachBatch sink
+    (partial hourly aggregates appended per batch), then returns the
+    compacted rollup.  Unlike the latest-wins upsert sink, this
+    exercises the merge-by-reaggregation contract: the result equals
+    the batch GROUP BY for every possible micro-batch boundary
+    because the persisted partials are exact integers."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_hourly_q_")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    q = stream_upsert_hourly_counts(spark, sf_dir, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        raise TimeoutError(
+            "stream_sink_hourly_counts: stream did not terminate "
+            "within 300 s"
+        )
+    result = (
+        read_hourly_counts(spark, out)
+        .orderBy("bucket_hour", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+STREAM_SINK_HOURLY_COUNTS_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+       count(*) AS n_events, {duck_qsum('value', 4)} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+register(
+    "stream_sink_hourly_counts",
+    stream_sink_hourly_counts,
+    STREAM_SINK_HOURLY_COUNTS_ORACLE,
+)

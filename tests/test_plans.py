@@ -281,6 +281,7 @@ _EAGER = {
     "pagerank_trade",
     "kmeans_embeddings",
     "stream_sink_latest_per_user",  # runs a streaming job eagerly
+    "stream_sink_hourly_counts",  # runs a streaming job eagerly
     "bfs_hops_trade",  # frontier loop counts per round
 }
 

@@ -238,3 +238,65 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
     )
     cols = ["c_mktsegment", "n", "sum_value"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_additive_sink_invariant_to_batch_boundaries(spark, sf_dir, tmp_path):
+    """The hourly-counts sink's contract is that ANY micro-batch
+    partitioning compacts to the same rollup.  Stage the events into
+    4 files and stream one file per trigger so the sink really sees
+    multiple partial batches, then compare against the batch GROUP
+    BY."""
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.functions.stable import qint
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.streaming.jobs import read_hourly_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = str(tmp_path / "staged")
+    ev.repartition(4).write.parquet(stage)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def emit(batch_df, batch_id):
+        part = (
+            batch_df.select(
+                F.date_trunc("hour", "ts").alias("bucket_hour"),
+                "event_type",
+                qint("value", 4).alias("_vq"),
+            )
+            .groupBy("bucket_hour", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("_vq").alias("_vq_sum"),
+            )
+            .withColumn("_batch", F.lit(batch_id))
+        )
+        part.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(emit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hourly"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    sunk = spark.read.parquet(out)
+    assert sunk.select("_batch").distinct().count() >= 2, (
+        "staging produced a single micro-batch; invariance untested"
+    )
+    streamed = read_hourly_counts(spark, out)
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(qint("value", 4)) / F.lit(1e4)).alias("sum_value"),
+        )
+    )
+    cols = ["bucket_hour", "event_type", "n_events", "sum_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
