@@ -226,6 +226,94 @@ ORDER BY doc_a, doc_b
 """
 
 
+CONTAIN_THRESHOLD = 0.5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-dup: pairs where the smaller document's
+    shingle set is >= 50% CONTAINED in the other's — the
+    quote/boilerplate-inclusion case Jaccard under-scores (a 50-word
+    doc fully quoted inside a 5000-word doc has Jaccard ~0.01 but
+    containment 1.0; cf. Broder's resemblance-vs-containment
+    distinction, SEQUENCES '97).
+
+    Same inverted-index join as dedup_ngram_jaccard (hash-pair keys,
+    DF-capped hot shingles, window-carried set sizes);
+    containment = |A n B| / min(|A|, |B|) is a ratio of exact
+    integers.  The CONTAINED side is the smaller set (doc_a on
+    ties — deterministic because pairs are doc_a < doc_b)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        _capped_shingle_hashes(d)
+        .withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .cache()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h1", "h2"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h1", "h2"
+    )
+    pairs = (
+        a.join(b, ["h1", "h2"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    small_is_a = F.col("n_a") <= F.col("n_b")
+    return (
+        pairs.select(
+            F.when(small_is_a, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_id"),
+            F.when(small_is_a, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("container_id"),
+            "n_common",
+            (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_THRESHOLD)
+        .orderBy("contained_id", "container_id")
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END
+           AS contained_id,
+         CASE WHEN sa.n_sh <= sb.n_sh THEN doc_b ELSE doc_a END
+           AS container_id,
+         n_common,
+         CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT contained_id, container_id, n_common, containment
+FROM scored
+WHERE containment >= {CONTAIN_THRESHOLD}
+ORDER BY contained_id, container_id
+"""
+
+register("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE)
+
+
 _MH_HASHES = 32
 _MH_BANDS = 8
 _MH_ROWS = _MH_HASHES // _MH_BANDS

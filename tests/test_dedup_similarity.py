@@ -205,3 +205,24 @@ def test_incremental_delta_consistent_with_full_lsh(spark):
         key = (min(r.delta_id, r.base_id), max(r.delta_id, r.base_id))
         assert key in full, key
         assert abs(full[key] - r.jaccard) < 1e-12, key
+
+
+def test_containment_supersets_jaccard_pairs(spark):
+    """Containment >= 0.5 is strictly weaker than Jaccard >= 0.05
+    only when sets differ wildly in size; every high-Jaccard pair
+    with a genuinely contained side must also appear (same candidate
+    machinery), and containment >= jaccard holds pairwise."""
+    jac = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r["jaccard"]
+        for r in registry.QUERIES["dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    con = {
+        (min(r["contained_id"], r["container_id"]),
+         max(r["contained_id"], r["container_id"])): r["containment"]
+        for r in registry.QUERIES["dedup_containment"](spark, SF).collect()
+    }
+    for pair, c in con.items():
+        assert 0.5 <= c <= 1.0
+        if pair in jac:
+            # |AnB|/min >= |AnB|/|AuB| always
+            assert c >= jac[pair] - 1e-12
