@@ -151,18 +151,18 @@ ORDER BY rk
 register("text_bm25_topk", text_bm25_topk, TEXT_BM25_TOPK_ORACLE)
 
 
-def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage ANN: SQ8 asymmetric-distance coarse ranking over
-    LSH bucket candidates keeps the top RERANK_C per query; only
-    those candidates join back to the full-precision vector store
-    for the exact cosine rerank that produces the final top-5.
+def two_stage_rerank_from(e: DataFrame) -> DataFrame:
+    """Two-stage ANN over a (vec_id, embedding) relation: SQ8
+    asymmetric-distance coarse ranking over LSH bucket candidates
+    keeps the top RERANK_C per query; only those candidates join
+    back to the full-precision vector store for the exact cosine
+    rerank that produces the final top-5.
 
     The coarse stage is ann_sq8_adc's index (codes-only
     reconstruction, broadcast dim stats); the rerank stage's join
     cardinality is |queries| x RERANK_C — independent of corpus
     size, which is what makes exact scoring affordable at 100 TB.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     flat = e.select(
         F.posexplode(F.col("embedding")).alias("dim", "v")
     ).select("dim", F.col("v").cast("double").alias("v"))
@@ -243,6 +243,13 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "cos", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`two_stage_rerank_from` over the
+    embeddings fixture."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return two_stage_rerank_from(e)
 
 
 def _two_stage_oracle_sql() -> str:

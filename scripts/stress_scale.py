@@ -274,6 +274,145 @@ def main() -> None:
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("sum_tokens")),
     )
 
+    # BM25 retrieval over ~50k docs: postings filter lands on the
+    # token stream pre-shuffle; constants/df broadcast; top-k is
+    # TakeOrderedAndProject
+    from db_mapreduce_project_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_SCALE,
+        BM25_TERMS,
+        BM25_TOPK,
+    )
+
+    tok10 = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias("word"),
+    ).where(F.col("word") != "")
+    percount10 = tok10.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dlen10 = percount10.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    postings10 = percount10.where(F.col("word").isin(*BM25_TERMS))
+    dfreq10 = postings10.groupBy("word").agg(F.count("*").alias("df"))
+    stats10 = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        F.broadcast(dlen10.agg((F.sum("dlen") / F.count("*")).alias("avgdl")))
+    )
+    idf10 = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfp10 = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+    )
+    bench(
+        "bm25_topk_10x",
+        postings10.join(dlen10, "doc_id")
+        .join(F.broadcast(dfreq10), "word")
+        .crossJoin(F.broadcast(stats10))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.floor(idf10 * tfp10 * F.lit(float(BM25_SCALE)) + F.lit(0.5))
+            ).alias("sq")
+        )
+        .orderBy(F.col("sq").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK),
+    )
+
+    # pairwise source-overlap matrix over ~50k docs: the distinct
+    # (source, shingle) relation stays vocab x sources regardless of
+    # corpus size — the stress is the 10x explode feeding it
+    sh_src10 = word_shingles(
+        docs.select(F.col("source").alias("src"), "text"), "src", "text", 2
+    )
+    sizes10 = sh_src10.groupBy("src").agg(F.count("*").alias("n_sh"))
+    bench(
+        "source_overlap_10x",
+        sh_src10.select(F.col("src").alias("sa"), "shingle")
+        .join(
+            sh_src10.select(F.col("src").alias("sb"), "shingle"), "shingle"
+        )
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("n_inter"))
+        .join(F.broadcast(sizes10.withColumnsRenamed({"src": "sa", "n_sh": "na"})), "sa")
+        .join(F.broadcast(sizes10.withColumnsRenamed({"src": "sb", "n_sh": "nb"})), "sb"),
+    )
+
+    # containment pairs over ~50k docs: the 10 key-shifted copies
+    # are exact near-dup groups of 10, so the inverted-index join
+    # really fans out (~45 within-group pairs per original doc) —
+    # the worst-case candidate load the DF cap must absorb
+    from db_mapreduce_project_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        _capped_shingle_hashes,
+    )
+
+    shc10 = _capped_shingle_hashes(docs).withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    ca = shc10.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h1", "h2"
+    )
+    cb = shc10.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h1", "h2"
+    )
+    bench(
+        "containment_pairs_10x",
+        ca.join(cb, ["h1", "h2"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .where(
+            F.col("n_common") / F.least("n_a", "n_b") >= CONTAIN_THRESHOLD
+        ),
+    )
+
+    # two-stage ANN rerank over ~60k vectors: bucket populations
+    # scale 10x, so the coarse ADC join fans out ~100x while the
+    # exact stage stays |queries| x RERANK_C
+    from db_mapreduce_project_spark.operators.retrieval import (
+        two_stage_rerank_from,
+    )
+
+    emb10 = expand(
+        load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding"),
+        ["vec_id"],
+        copies,
+    )
+    bench("two_stage_rerank_10x", two_stage_rerank_from(emb10))
+
+    # additive hourly rollup over ~1M events (the streaming sink's
+    # batch contract)
+    bench(
+        "hourly_counts_10x",
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), qsum("value", 4).alias("s")),
+    )
+
+    # per-doc char entropy over ~50k docs (~13M exploded chars):
+    # quantize-before-sum keeps it two map-side-combining shuffles
+    letters10 = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    ch10 = docs.select(
+        "doc_id", F.explode(F.split(letters10, "", -1)).alias("ch")
+    ).where(F.col("ch") != "")
+    bench(
+        "char_entropy_10x",
+        ch10.groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_letters"),
+            F.sum(
+                F.floor(F.col("c") * F.log2("c") * 1e6 + F.lit(0.5))
+            ).alias("sq"),
+        ),
+    )
+
     # fixed-point PageRank over the trade graph, edges aggregated
     # from ~6M duplicated lineitems (graph stays nations-sized; the
     # stress is the cents aggregation + 8 checkpointed iterations)
