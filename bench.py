@@ -83,6 +83,7 @@ HEADLINE = [
     "corpus_source_overlap",
     "tokenizer_vocab_coverage",
     "sample_reservoir_per_group",
+    "dedup_containment",
 ]
 
 
