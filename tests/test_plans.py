@@ -280,6 +280,7 @@ _EAGER = {
     "ann_cosine_topk_matmul",
     "pagerank_trade",
     "kmeans_embeddings",
+    "dedup_semantic_clusters",  # runs the Lloyd loop eagerly
     "stream_sink_latest_per_user",  # runs a streaming job eagerly
     "stream_sink_hourly_counts",  # runs a streaming job eagerly
     "bfs_hops_trade",  # frontier loop counts per round
