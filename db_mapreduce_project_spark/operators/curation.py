@@ -1006,3 +1006,102 @@ ORDER BY lang
 register(
     "corpus_mix_rebalance", corpus_mix_rebalance, CORPUS_MIX_REBALANCE_ORACLE
 )
+
+
+TEMP_RING = 1_000_000  # hash-ring resolution for temperature mixing
+
+
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha = 0.5) language mixing — the
+    multilingual sampling rule of mBERT / XLM-R (Conneau et al.,
+    "Unsupervised cross-lingual representation learning at scale",
+    ACL 2020): sample language i with probability proportional to
+    n_i^alpha, flattening the head (here English at ~2.7x the other
+    languages) without discarding the tail the way min-rebalancing
+    does.
+
+    keep(doc) iff hash_ring(doc_id) < floor(N / (S * sqrt(n_i)) *
+    RING), where S = sum_j sqrt(n_j) — i.e. keep-rate r_i = min(1,
+    N * p_i / n_i) with p_i = sqrt(n_i)/S.  Every float step is
+    deterministic cross-engine: sqrt is IEEE-exactly-rounded, and S
+    folds left-to-right over the lang-sorted counts (never a
+    shuffle-order float sum).  Plan: tiny per-lang aggregate + 1-row
+    totals broadcast back onto the scan; the corpus is never
+    shuffled.  Output is the per-lang audit (before / ring
+    threshold / kept)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_before"))
+    tot = counts.agg(
+        F.sum("n_before").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "n_before"))),
+                lambda s: F.sqrt(s["n_before"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s_sqrt"),
+    )
+    thr = F.least(
+        F.lit(TEMP_RING).cast("bigint"),
+        F.floor(
+            F.col("n_total")
+            / (F.col("s_sqrt") * F.sqrt(F.col("n_before").cast("double")))
+            * F.lit(float(TEMP_RING))
+        ).cast("bigint"),
+    )
+    bucket = F.pmod(
+        spark_charhash(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))
+        ),
+        F.lit(TEMP_RING),
+    )
+    keep = bucket < thr
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang")
+        .agg(
+            F.max("n_before").alias("n_before"),
+            F.max(thr).alias("keep_ring"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMP_HASH = duck_charhash("(CAST(doc_id AS VARCHAR) || ':temp')")
+CORPUS_MIX_TEMPERATURE_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+t AS (
+  SELECT CAST(sum(n_before) AS BIGINT) AS n_total,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list(n_before ORDER BY lang),
+                            x -> sqrt(CAST(x AS DOUBLE)))),
+           (acc, v) -> acc + v) AS s_sqrt
+  FROM c
+),
+d AS (
+  SELECT doc.lang, c.n_before,
+         least(CAST({TEMP_RING} AS BIGINT),
+               CAST(floor(t.n_total
+                    / (t.s_sqrt * sqrt(CAST(c.n_before AS DOUBLE)))
+                    * {TEMP_RING}.0) AS BIGINT)) AS thr,
+         ({_TEMP_HASH}) % {TEMP_RING} AS bucket
+  FROM documents doc JOIN c ON doc.lang = c.lang, t
+)
+SELECT lang, max(n_before) AS n_before,
+       max(thr) AS keep_ring,
+       CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+register(
+    "corpus_mix_temperature",
+    corpus_mix_temperature,
+    CORPUS_MIX_TEMPERATURE_ORACLE,
+)

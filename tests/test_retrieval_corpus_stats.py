@@ -106,3 +106,22 @@ def test_reservoir_sample_exactly_k_per_group(spark):
     # determinism: a second run picks the identical rows
     again = registry.QUERIES["sample_reservoir_per_group"](spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_temperature_mixing_flattens_the_head(spark):
+    """alpha=0.5 mixing must downsample only the over-represented
+    language (en is ~2.7x the others in the fixture) and keep the
+    tail whole; realized keeps must track the ring threshold."""
+    from db_mapreduce_project_spark.operators.curation import TEMP_RING
+
+    rows = {r["lang"]: r for r in
+            registry.QUERIES["corpus_mix_temperature"](spark, SF).collect()}
+    heads = [l for l, r in rows.items() if r["keep_ring"] < TEMP_RING]
+    assert heads == ["en"]
+    for lang, r in rows.items():
+        if lang == "en":
+            assert r["n_kept"] < r["n_before"]
+            expected = r["keep_ring"] / TEMP_RING * r["n_before"]
+            assert abs(r["n_kept"] - expected) < 0.2 * r["n_before"]
+        else:
+            assert r["n_kept"] == r["n_before"]
