@@ -192,7 +192,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = kmeans_assignments(spark, sf_dir).select("vec_id", "cid")
-    m = a.join(e, "vec_id")
+    # cache: both self-join sides consume m, and without the cache
+    # the closing Lloyd assignment pass + embeddings join run twice
+    m = a.join(e, "vec_id").cache()
     left = m.select(
         F.col("cid"),
         F.col("vec_id").alias("id_a"),

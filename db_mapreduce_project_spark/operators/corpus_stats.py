@@ -43,7 +43,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.hashing import word_shingles
 from ..io import load_table
@@ -54,16 +53,16 @@ VOCAB_K = 16  # vocabulary size for the coverage audit
 ENTROPY_SCALE = 1_000_000  # per-term quantization (stable.py style)
 
 
-def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_overlap_from(d: DataFrame) -> DataFrame:
     """Pairwise Jaccard similarity of the distinct word-bigram sets
-    of every source pair (source_a < source_b lexicographically).
+    of every source pair (source_a < source_b lexicographically) of
+    a (source, text) relation.
 
     |A ∩ B| comes from the shingle-keyed self-join of the distinct
     (source, shingle) relation; |A ∪ B| = |A| + |B| - |A ∩ B| from
     a broadcast of the per-source set sizes.  jaccard is one exact
     integer division — bit-reproducible cross-engine.
     """
-    d = load_table(spark, sf_dir, "documents")
     sh = word_shingles(
         d.select(F.col("source").alias("src"), "text"),
         "src",
@@ -105,6 +104,12 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`source_overlap_from` over the
+    documents fixture."""
+    return source_overlap_from(load_table(spark, sf_dir, "documents"))
 
 
 _OVERLAP_GRAMS = (
@@ -157,12 +162,15 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias("word"),
     ).where(F.col("word") != "")
-    wv = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    # top-K via TakeOrderedAndProject — an unpartitioned row_number
+    # window here would single-task-sort the whole distinct-word
+    # relation (the corpus VOCABULARY, unbounded), the exact shape
+    # text_bm25_topk's plan test forbids for its own top-k
     vocab = (
         tok.groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("vrk", F.row_number().over(wv))
-        .where(F.col("vrk") <= VOCAB_K)
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(VOCAB_K)
         .select("word")
     )
     return (

@@ -229,13 +229,13 @@ ORDER BY doc_a, doc_b
 CONTAIN_THRESHOLD = 0.5
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directional near-dup: pairs where the smaller document's
-    shingle set is >= 50% CONTAINED in the other's — the
-    quote/boilerplate-inclusion case Jaccard under-scores (a 50-word
-    doc fully quoted inside a 5000-word doc has Jaccard ~0.01 but
-    containment 1.0; cf. Broder's resemblance-vs-containment
-    distinction, SEQUENCES '97).
+def containment_pairs_from(d: DataFrame) -> DataFrame:
+    """Directional near-dup over a (doc_id, text) relation: pairs
+    where the smaller document's shingle set is >= 50% CONTAINED in
+    the other's — the quote/boilerplate-inclusion case Jaccard
+    under-scores (a 50-word doc fully quoted inside a 5000-word doc
+    has Jaccard ~0.01 but containment 1.0; cf. Broder's
+    resemblance-vs-containment distinction, SEQUENCES '97).
 
     Same inverted-index join as dedup_ngram_jaccard (hash-pair keys,
     DF-capped hot shingles, window-carried set sizes);
@@ -244,7 +244,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties — deterministic because pairs are doc_a < doc_b)."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
     sh = (
         _capped_shingle_hashes(d)
         .withColumn(
@@ -283,6 +282,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= CONTAIN_THRESHOLD)
         .orderBy("contained_id", "container_id")
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`containment_pairs_from` over the
+    documents fixture."""
+    return containment_pairs_from(load_table(spark, sf_dir, "documents"))
 
 
 DEDUP_CONTAINMENT_ORACLE = f"""

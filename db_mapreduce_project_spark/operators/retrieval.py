@@ -44,7 +44,13 @@ from pyspark.sql.window import Window
 from ..functions.vectors import cosine, dot, duck_cosine, duck_dot, l2
 from ..io import load_table
 from ..registry import register
-from .similarity import QUERY_MOD, SQ_LEVELS, TOPK, _bucket_expr, _planes
+from .similarity import (
+    QUERY_MOD,
+    TOPK,
+    sq8_oracle_ctes,
+    sq8_queries,
+    sq8_recon_index,
+)
 
 BM25_TERMS = ("spark", "join", "window")
 BM25_K1 = 1.2
@@ -55,15 +61,15 @@ BM25_SCALE = 1_000_000_000  # per-term quantization before the doc sum
 RERANK_C = 25  # coarse candidates fetched per query for the exact stage
 
 
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents for the fixed query {spark, join, window}
-    by summed BM25 term weights (k1=1.2, b=0.75).
+def bm25_topk_from(d: DataFrame) -> DataFrame:
+    """Top-10 documents of a (doc_id, text) relation for the fixed
+    query {spark, join, window} by summed BM25 term weights
+    (k1=1.2, b=0.75).
 
     One tokenize pass feeds both the per-doc length table and the
     (filtered) postings; idf = ln((N - df + 0.5)/(df + 0.5) + 1)
     — the Lucene non-negative variant.
     """
-    d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias("word"),
@@ -102,6 +108,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`bm25_topk_from` over the documents
+    fixture."""
+    return bm25_topk_from(load_table(spark, sf_dir, "documents"))
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
@@ -158,71 +170,17 @@ def two_stage_rerank_from(e: DataFrame) -> DataFrame:
     back to the full-precision vector store for the exact cosine
     rerank that produces the final top-5.
 
-    The coarse stage is ann_sq8_adc's index (codes-only
-    reconstruction, broadcast dim stats); the rerank stage's join
-    cardinality is |queries| x RERANK_C — independent of corpus
-    size, which is what makes exact scoring affordable at 100 TB.
+    The coarse stage IS ann_sq8_adc's index — the shared
+    sq8_recon_index/sq8_queries helpers (similarity.py), so the two
+    pipelines cannot drift; the rerank stage's join cardinality is
+    |queries| x RERANK_C — independent of corpus size, which is
+    what makes exact scoring affordable at 100 TB.
     """
-    flat = e.select(
-        F.posexplode(F.col("embedding")).alias("dim", "v")
-    ).select("dim", F.col("v").cast("double").alias("v"))
-    stats = (
-        flat.groupBy("dim")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "mn", "mx"))
-            ).alias("dm")
-        )
-        .select(
-            F.transform("dm", lambda s: s["mn"]).alias("mins"),
-            F.transform(
-                "dm", lambda s: F.nullif(s["mx"] - s["mn"], F.lit(0.0))
-            ).alias("rngs"),
-        )
-    )
-    codes = F.transform(
-        F.col("embedding"),
-        lambda v, i: F.floor(
-            (v.cast("double") - F.element_at(F.col("mins"), i + 1))
-            / F.element_at(F.col("rngs"), i + 1)
-            * F.lit(float(SQ_LEVELS))
-        ).cast("bigint"),
-    )
-    index = (
-        e.crossJoin(F.broadcast(stats))
-        .select(
-            F.col("vec_id").alias("n_id"),
-            _bucket_expr("embedding").alias("bucket"),
-            codes.alias("codes"),
-            "mins",
-            "rngs",
-        )
-        .select(
-            "n_id",
-            "bucket",
-            F.transform(
-                "codes",
-                lambda c, i: F.coalesce(
-                    F.element_at(F.col("mins"), i + 1)
-                    + (c + F.lit(0.5))
-                    * F.element_at(F.col("rngs"), i + 1)
-                    / F.lit(float(SQ_LEVELS)),
-                    F.element_at(F.col("mins"), i + 1),
-                ),
-            ).alias("recon"),
-        )
-    )
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qv"),
-        _bucket_expr("embedding").alias("bucket"),
-    )
     wc = Window.partitionBy("q_id").orderBy(
         F.col("adc").desc(), F.col("n_id").asc()
     )
     cands = (
-        q.join(index, "bucket")
+        sq8_queries(e).join(sq8_recon_index(e), "bucket")
         .where(F.col("q_id") != F.col("n_id"))
         .withColumn("adc", dot("qv", "recon"))
         .withColumn("crk", F.row_number().over(wc))
@@ -253,42 +211,11 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _two_stage_oracle_sql() -> str:
-    """DuckDB mirror: identical planes, codes, reconstruction, ADC
-    fold, candidate cut, and exact-cosine rerank fold."""
-    planes = _planes()
-    bucket_terms = []
-    for p, plane in enumerate(planes):
-        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
-        proj = duck_dot("embedding", lit)
-        bucket_terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
-    bucket = "CAST(" + " + ".join(bucket_terms) + " AS BIGINT)"
-    lv = float(SQ_LEVELS)
+    """DuckDB mirror: the SHARED SQ8 prefix (similarity.py
+    sq8_oracle_ctes — identical planes, codes, reconstruction),
+    then the ADC candidate cut and exact-cosine rerank fold."""
     return f"""
-WITH flat AS (
-  SELECT unnest(generate_series(1, len(embedding))) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
-),
-dims AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY dim),
-stats AS (
-  SELECT list(mn ORDER BY dim) AS mins,
-         list(nullif(mx - mn, 0.0) ORDER BY dim) AS rngs
-  FROM dims
-),
-base AS (
-  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
-),
-index_side AS (
-  SELECT b.vec_id AS n_id, b.bucket,
-         list_transform(generate_series(1, len(b.embedding)), i ->
-           coalesce(
-             s.mins[i]
-             + (CAST(floor((CAST(b.embedding[i] AS DOUBLE) - s.mins[i])
-                           / s.rngs[i] * {lv}) AS BIGINT) + 0.5)
-               * s.rngs[i] / {lv},
-             s.mins[i])) AS recon
-  FROM base b, stats s
-),
+WITH {sq8_oracle_ctes()},
 coarse AS (
   SELECT q.vec_id AS q_id, q.embedding AS qv, n.n_id,
          {duck_dot('q.embedding', 'n.recon')} AS adc

@@ -559,32 +559,12 @@ register("ann_cosine_topk_matmul", ann_cosine_topk_matmul)  # rows-only
 SQ_LEVELS = 255  # int8 scalar-quantization levels (matches curation)
 
 
-def ann_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantized-index ANN: LSH-bucketed candidate generation
-    scored by ASYMMETRIC DISTANCE over an int8 scalar-quantized
-    corpus — the memory-bound serving shape (a 64-dim float32
-    vector becomes 64 one-byte codes, a 4x smaller index; FAISS's
-    SQ8 flat index, after the scalar-quantizer stage of Jégou et
-    al., "Product quantization for nearest neighbor search", TPAMI
-    2011).
-
-    Index build (corpus side, one pass, zero corpus shuffle):
-    per-dim (min, range) stats aggregate to ONE broadcast row of
-    two flat arrays; each vector stores its LSH bucket plus the
-    int8 code array.  The scoring side reconstructs
-    `mn_i + (code_i + 0.5) * rng_i / 255` FROM THE CODES ONLY —
-    the original embedding is never read after encoding, which is
-    the point: at 100 TB the float corpus stays in cold storage
-    and the scan touches only the quantized index.
-
-    Query side keeps full precision (asymmetric: only the corpus
-    is quantized), probes its LSH bucket, ranks by the ADC inner
-    product.  Every float is an ordered left-to-right double fold
-    and the codes are exact integers, so the whole pipeline —
-    stats, codes, reconstruction, scores, ranks — value-hash
-    matches the DuckDB oracle; recall vs the exact scan is
-    asserted in tests."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def sq8_recon_index(e: DataFrame) -> DataFrame:
+    """The SQ8 quantized index of a (vec_id, embedding) relation:
+    (n_id, bucket, recon), where recon is the codes-only
+    reconstruction `mn_i + (code_i + 0.5) * rng_i / 255`.  Shared
+    by ann_sq8_adc and the two-stage rerank (retrieval.py) so the
+    coarse stages can never drift apart."""
     flat = e.select(
         F.posexplode(F.col("embedding")).alias("dim", "v")
     ).select("dim", F.col("v").cast("double").alias("v"))
@@ -611,7 +591,7 @@ def ann_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(float(SQ_LEVELS))
         ).cast("bigint"),
     )
-    index = (
+    return (
         e.crossJoin(F.broadcast(stats))
         .select(
             F.col("vec_id").alias("n_id"),
@@ -637,16 +617,49 @@ def ann_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recon"),
         )
     )
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+
+
+def sq8_queries(e: DataFrame) -> DataFrame:
+    """The full-precision query side (q_id, qv, bucket) of the SQ8
+    pipelines (asymmetric: only the corpus is quantized)."""
+    return e.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
         _bucket_expr("embedding").alias("bucket"),
     )
+
+
+def ann_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-index ANN: LSH-bucketed candidate generation
+    scored by ASYMMETRIC DISTANCE over an int8 scalar-quantized
+    corpus — the memory-bound serving shape (a 64-dim float32
+    vector becomes 64 one-byte codes, a 4x smaller index; FAISS's
+    SQ8 flat index, after the scalar-quantizer stage of Jégou et
+    al., "Product quantization for nearest neighbor search", TPAMI
+    2011).
+
+    Index build (corpus side, one pass, zero corpus shuffle):
+    per-dim (min, range) stats aggregate to ONE broadcast row of
+    two flat arrays; each vector stores its LSH bucket plus the
+    int8 code array.  The scoring side reconstructs
+    `mn_i + (code_i + 0.5) * rng_i / 255` FROM THE CODES ONLY —
+    the original embedding is never read after encoding, which is
+    the point: at 100 TB the float corpus stays in cold storage
+    and the scan touches only the quantized index.
+
+    Query side keeps full precision (asymmetric: only the corpus
+    is quantized), probes its LSH bucket, ranks by the ADC inner
+    product.  Every float is an ordered left-to-right double fold
+    and the codes are exact integers, so the whole pipeline —
+    stats, codes, reconstruction, scores, ranks — value-hash
+    matches the DuckDB oracle; recall vs the exact scan is
+    asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc").desc(), F.col("n_id").asc()
     )
     return (
-        q.join(index, "bucket")
+        sq8_queries(e).join(sq8_recon_index(e), "bucket")
         .where(F.col("q_id") != F.col("n_id"))
         .withColumn("adc", dot("qv", "recon"))
         .withColumn("rk", F.row_number().over(w))
@@ -656,10 +669,12 @@ def ann_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sq8_adc_oracle_sql() -> str:
-    """DuckDB mirror: same plane literals for the bucket, same dim
-    stats, same integer codes, same codes-only reconstruction, same
-    ordered ADC fold."""
+def sq8_oracle_ctes() -> str:
+    """The shared DuckDB WITH-prefix of every SQ8 pipeline oracle
+    (flat / dims / stats / base / index_side): same plane literals
+    for the bucket, same dim stats, same integer codes, same
+    codes-only reconstruction.  Shared with the two-stage rerank
+    oracle (retrieval.py) so the mirrors can never drift."""
     from ..functions.vectors import duck_dot
 
     planes = _planes()
@@ -670,8 +685,7 @@ def _sq8_adc_oracle_sql() -> str:
         bucket_terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
     bucket = "CAST(" + " + ".join(bucket_terms) + " AS BIGINT)"
     lv = float(SQ_LEVELS)
-    return f"""
-WITH flat AS (
+    return f"""flat AS (
   SELECT unnest(generate_series(1, len(embedding))) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
@@ -695,7 +709,16 @@ index_side AS (
                * s.rngs[i] / {lv},
              s.mins[i])) AS recon
   FROM base b, stats s
-),
+)"""
+
+
+def _sq8_adc_oracle_sql() -> str:
+    """DuckDB mirror of ann_sq8_adc: shared SQ8 prefix + the ADC
+    scoring and rank cut."""
+    from ..functions.vectors import duck_dot
+
+    return f"""
+WITH {sq8_oracle_ctes()},
 scored AS (
   SELECT q.vec_id AS q_id, n.n_id,
          {duck_dot('q.embedding', 'n.recon')} AS adc

@@ -274,102 +274,34 @@ def main() -> None:
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("sum_tokens")),
     )
 
-    # BM25 retrieval over ~50k docs: postings filter lands on the
-    # token stream pre-shuffle; constants/df broadcast; top-k is
-    # TakeOrderedAndProject
+    # BM25 retrieval over ~50k docs: THE registered pipeline
+    # (bm25_topk_from) on the expanded corpus — postings filter
+    # lands on the token stream pre-shuffle; constants/df
+    # broadcast; top-k is TakeOrderedAndProject
     from db_mapreduce_project_spark.operators.retrieval import (
-        BM25_B,
-        BM25_K1,
-        BM25_SCALE,
-        BM25_TERMS,
-        BM25_TOPK,
+        bm25_topk_from,
     )
 
-    tok10 = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias("word"),
-    ).where(F.col("word") != "")
-    percount10 = tok10.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dlen10 = percount10.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
-    postings10 = percount10.where(F.col("word").isin(*BM25_TERMS))
-    dfreq10 = postings10.groupBy("word").agg(F.count("*").alias("df"))
-    stats10 = docs.agg(F.count("*").alias("n_docs")).crossJoin(
-        F.broadcast(dlen10.agg((F.sum("dlen") / F.count("*")).alias("avgdl")))
-    )
-    idf10 = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    tfp10 = (F.col("tf") * (BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
-    )
-    bench(
-        "bm25_topk_10x",
-        postings10.join(dlen10, "doc_id")
-        .join(F.broadcast(dfreq10), "word")
-        .crossJoin(F.broadcast(stats10))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.floor(idf10 * tfp10 * F.lit(float(BM25_SCALE)) + F.lit(0.5))
-            ).alias("sq")
-        )
-        .orderBy(F.col("sq").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOPK),
-    )
+    bench("bm25_topk_10x", bm25_topk_from(docs))
 
     # pairwise source-overlap matrix over ~50k docs: the distinct
     # (source, shingle) relation stays vocab x sources regardless of
     # corpus size — the stress is the 10x explode feeding it
-    sh_src10 = word_shingles(
-        docs.select(F.col("source").alias("src"), "text"), "src", "text", 2
+    from db_mapreduce_project_spark.operators.corpus_stats import (
+        source_overlap_from,
     )
-    sizes10 = sh_src10.groupBy("src").agg(F.count("*").alias("n_sh"))
-    bench(
-        "source_overlap_10x",
-        sh_src10.select(F.col("src").alias("sa"), "shingle")
-        .join(
-            sh_src10.select(F.col("src").alias("sb"), "shingle"), "shingle"
-        )
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count("*").alias("n_inter"))
-        .join(F.broadcast(sizes10.withColumnsRenamed({"src": "sa", "n_sh": "na"})), "sa")
-        .join(F.broadcast(sizes10.withColumnsRenamed({"src": "sb", "n_sh": "nb"})), "sb"),
-    )
+
+    bench("source_overlap_10x", source_overlap_from(docs))
 
     # containment pairs over ~50k docs: the 10 key-shifted copies
     # are exact near-dup groups of 10, so the inverted-index join
     # really fans out (~45 within-group pairs per original doc) —
     # the worst-case candidate load the DF cap must absorb
     from db_mapreduce_project_spark.operators.dedup import (
-        CONTAIN_THRESHOLD,
-        _capped_shingle_hashes,
+        containment_pairs_from,
     )
 
-    shc10 = _capped_shingle_hashes(docs).withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
-    ca = shc10.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h1", "h2"
-    )
-    cb = shc10.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h1", "h2"
-    )
-    bench(
-        "containment_pairs_10x",
-        ca.join(cb, ["h1", "h2"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
-        .where(
-            F.col("n_common") / F.least("n_a", "n_b") >= CONTAIN_THRESHOLD
-        ),
-    )
+    bench("containment_pairs_10x", containment_pairs_from(docs))
 
     # two-stage ANN rerank over ~60k vectors: bucket populations
     # scale 10x, so the coarse ADC join fans out ~100x while the

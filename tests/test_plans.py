@@ -263,6 +263,7 @@ _UNKEYED_JOIN_OK = {
     "frequent_pairs_apriori",   # 1-row support-floor scalar broadcast
     "triangle_count_trade",     # 1-row edge-count x triangle-count join
     "corpus_mix_rebalance",     # 1-row global-min scalar broadcast
+    "corpus_mix_temperature",   # 1-row totals scalar broadcast
     "exact_median_twopass",     # 1-row rank-target scalar broadcast
     "drift_chisq_by_source",    # 1-row corpus-total scalar broadcast
     "sample_weighted_lineitem", # 1-row max-weight scalar broadcast
