@@ -146,3 +146,36 @@ def test_aqe_off_equivalence(spark, sf_dir, name):
         assert run() == base
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_bm25_topk",
+        "doc_char_entropy",
+        "corpus_source_overlap",
+        "dedup_containment",
+        "corpus_mix_temperature",
+        "sample_reservoir_per_group",
+    ],
+)
+def test_round4_ops_shuffle_partition_invariant(spark, sf_dir, name):
+    """The round-4 operators carry the same any-parallelism claims
+    (quantize-before-sum weights/entropy terms, integer ratios,
+    hash-ring membership, total-order tiebreaks): changing the
+    shuffle-partition count must not move a single value."""
+    from db_mapreduce_project_spark import registry
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in registry.QUERIES[name](spark, sf_dir).collect()
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        base = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert run() == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
