@@ -70,6 +70,7 @@ def load_all_queries() -> None:
         semistructured,
         similarity,
         text_analysis,
+        timeseries,
         windows,
         wordcount,
     )

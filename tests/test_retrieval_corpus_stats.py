@@ -125,3 +125,38 @@ def test_temperature_mixing_flattens_the_head(spark):
             assert abs(r["n_kept"] - expected) < 0.2 * r["n_before"]
         else:
             assert r["n_kept"] == r["n_before"]
+
+
+def test_ohlc_invariants(spark):
+    rows = registry.QUERIES["ohlc_bars"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+        # single-event bars collapse to one price
+        if r["n_events"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
+
+
+def test_time_weighted_avg_bounds(spark):
+    """TWA is a convex combination of observed values: it must sit
+    inside each user's [min, max] value band (checked against an
+    independent aggregate), and spans must be positive."""
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.io import load_table
+
+    rows = registry.QUERIES["time_weighted_avg_per_user"](spark, SF).collect()
+    assert rows
+    band = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        assert r["span_sec"] > 0
+        lo, hi = band[r["user_id"]]
+        assert lo - 1e-4 <= r["twa"] <= hi + 1e-4
