@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.stable import qint
+from ..functions.stable import duck_qint, qint
 from ..io import load_table
 from ..registry import register
 
@@ -48,12 +48,20 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id, vq) struct — event_id is unique, so the total
     order makes both engines pick the identical row even with
     duplicate timestamps."""
-    e = load_table(spark, sf_dir, "events").select(
-        F.date_trunc("hour", "ts").alias("bucket_hour"),
-        "event_type",
-        "ts",
-        "event_id",
-        qint("value", TS_VALUE_SCALE).alias("vq"),
+    # explicit NULL-value filter: min/max over the (ts, event_id, vq)
+    # STRUCT would still select a NULL-vq row (the struct is
+    # non-NULL) while plain min/max(vq) skip it — open/close and
+    # high/low must draw from the same row population
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("hour", "ts").alias("bucket_hour"),
+            "event_type",
+            "ts",
+            "event_id",
+            qint("value", TS_VALUE_SCALE).alias("vq"),
+        )
     )
     scale = float(10**TS_VALUE_SCALE)
     return (
@@ -74,21 +82,25 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VQ = "CAST(floor(value * 10000.0 + 0.5) AS BIGINT)"
+_VQ = duck_qint("value", TS_VALUE_SCALE)
+_VSCALE = f"{float(10**TS_VALUE_SCALE)!r}"
 
 OHLC_BARS_ORACLE = f"""
 WITH e AS (
   SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
          ts, event_id, {_VQ} AS vq
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT bucket_hour, event_type,
-       (min(struct_pack(ts := ts, event_id := event_id, vq := vq))).vq / 10000.0 AS open,
-       max(vq) / 10000.0 AS high,
-       min(vq) / 10000.0 AS low,
-       (max(struct_pack(ts := ts, event_id := event_id, vq := vq))).vq / 10000.0 AS close,
+       (min(struct_pack(ts := ts, event_id := event_id, vq := vq))).vq
+         / {_VSCALE} AS open,
+       max(vq) / {_VSCALE} AS high,
+       min(vq) / {_VSCALE} AS low,
+       (max(struct_pack(ts := ts, event_id := event_id, vq := vq))).vq
+         / {_VSCALE} AS close,
        count(*) AS n_events,
-       CAST(sum(vq) AS BIGINT) / 10000.0 AS volume
+       CAST(sum(vq) AS BIGINT) / {_VSCALE} AS volume
 FROM e
 GROUP BY bucket_hour, event_type
 ORDER BY bucket_hour, event_type
@@ -110,11 +122,17 @@ def time_weighted_avg_per_user(
     epoch-second gap), so partial-agg order is irrelevant; one
     double divide closes it."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        qint("value", TS_VALUE_SCALE).alias("vq"),
+    # NULL observations carry nothing forward: drop them BEFORE the
+    # lead so gaps bridge across them instead of producing NULL terms
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            qint("value", TS_VALUE_SCALE).alias("vq"),
+        )
     )
     scale = float(10**TS_VALUE_SCALE)
     stepped = e.select(
@@ -132,6 +150,11 @@ def time_weighted_avg_per_user(
             F.sum("dt").alias("span_sec"),
             F.sum(F.col("vq") * F.col("dt")).alias("wsum"),
         )
+        # zero-span users (every event inside one epoch second) have
+        # no defined TWA — and 0/0 diverges cross-engine (Spark NULL
+        # vs DuckDB NaN), so the guard is a correctness requirement
+        # of the parity gate, not just taste
+        .where(F.col("span_sec") > 0)
         .select(
             "user_id",
             "n_intervals",
@@ -147,6 +170,7 @@ WITH e AS (
   SELECT user_id, ts, event_id, {_VQ} AS vq,
          CAST(floor(epoch(ts)) AS BIGINT) AS sec
   FROM events
+  WHERE value IS NOT NULL
 ),
 stepped AS (
   SELECT user_id, vq,
@@ -158,10 +182,11 @@ SELECT user_id,
        count(*) AS n_intervals,
        CAST(sum(dt) AS BIGINT) AS span_sec,
        CAST(sum(vq * dt) AS DOUBLE)
-         / (CAST(sum(dt) AS BIGINT) * 10000.0) AS twa
+         / (CAST(sum(dt) AS BIGINT) * {_VSCALE}) AS twa
 FROM stepped
 WHERE dt IS NOT NULL
 GROUP BY user_id
+HAVING CAST(sum(dt) AS BIGINT) > 0
 ORDER BY user_id
 """
 

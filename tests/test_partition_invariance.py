@@ -98,29 +98,6 @@ def test_stratified_sample_proportions(spark, sf_dir):
         assert abs(got[k] / base[k] - frac) < 0.15, (k, got[k], base[k])
 
 
-def test_sq8_adc_shuffle_partition_invariant(spark, sf_dir):
-    """The quantized ANN pipeline (stats agg -> codes -> bucket join
-    -> windowed top-k) is pure deterministic arithmetic with total-
-    order tie-breaks, so the result must be identical under any
-    shuffle-partition setting — the property that makes the index
-    reproducible across cluster sizes."""
-    from db_mapreduce_project_spark import registry
-
-    def run():
-        return sorted(
-            tuple(r)
-            for r in registry.QUERIES["ann_sq8_adc"](spark, sf_dir).collect()
-        )
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    base = run()
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
-        assert run() == base
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-
 @pytest.mark.parametrize(
     "name",
     ["dedup_minhash_lsh", "q9_product_profit", "transit_inventory_sweepline"],
@@ -151,19 +128,23 @@ def test_aqe_off_equivalence(spark, sf_dir, name):
 @pytest.mark.parametrize(
     "name",
     [
+        "ann_sq8_adc",
         "text_bm25_topk",
         "doc_char_entropy",
         "corpus_source_overlap",
         "dedup_containment",
         "corpus_mix_temperature",
         "sample_reservoir_per_group",
+        "ohlc_bars",
+        "time_weighted_avg_per_user",
     ],
 )
 def test_round4_ops_shuffle_partition_invariant(spark, sf_dir, name):
-    """The round-4 operators carry the same any-parallelism claims
+    """Operators claiming any-parallelism determinism
     (quantize-before-sum weights/entropy terms, integer ratios,
-    hash-ring membership, total-order tiebreaks): changing the
-    shuffle-partition count must not move a single value."""
+    hash-ring membership, total-order tiebreaks, the SQ8 quantized
+    index): changing the shuffle-partition count must not move a
+    single value."""
     from db_mapreduce_project_spark import registry
 
     def run():
