@@ -84,6 +84,8 @@ HEADLINE = [
     "tokenizer_vocab_coverage",
     "sample_reservoir_per_group",
     "dedup_containment",
+    "ohlc_bars",
+    "time_weighted_avg_per_user",
 ]
 
 
