@@ -68,12 +68,14 @@ def source_overlap_from(d: DataFrame) -> DataFrame:
         "src",
         "text",
         OVERLAP_NGRAM,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # distinct (src, shingle) is |vocab| x |sources| — tiny — but it
     # feeds THREE consumers (both self-join sides and the sizes
     # table, the latter joined twice); without the checkpoint the
     # corpus explode+distinct re-runs four times (measured 3.7 s ->
-    # ~1 s at sf0.1)
+    # ~1 s at sf0.1).  LAZY: materializes at the first action, so
+    # merely constructing the DataFrame (plan sweeps, explain) does
+    # not run a Spark job.
     sizes = sh.groupBy("src").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("src").alias("source_a"), "shingle")
     b = sh.select(F.col("src").alias("source_b"), "shingle")

@@ -26,8 +26,12 @@ Scale shape (100 TB):
   TakeOrderedAndProject — no global sort, no global window.
 - Per-term BM25 contributions are quantized to exact bigints
   BEFORE the per-doc sum (functions/stable.py discipline), so the
-  ln() libm call is the only float boundary and a last-ulp
-  divergence cannot reorder ranks past the doc_id tiebreak.
+  ln() libm call is the only float boundary.  Residual exposure:
+  a last-ulp JVM-vs-DuckDB ln() difference landing exactly on a
+  quantization boundary can flip the floor() and change the
+  emitted bm25 VALUE (not just a rank), failing the value-hash
+  oracle — the same latent libm exposure doc_char_entropy's log2
+  carries; current parity artifacts pass on this host.
 - The rerank's expensive exact stage touches RERANK_C vectors per
   query instead of the corpus; the candidate fetch is an equi-join
   on vec_id — at scale, a point-lookup-shaped join against the
@@ -41,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, dot, duck_cosine, duck_dot, l2
+from ..functions.vectors import cosine, dot, duck_cosine, duck_dot
 from ..io import load_table
 from ..registry import register
 from .similarity import (

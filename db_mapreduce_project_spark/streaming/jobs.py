@@ -584,7 +584,7 @@ register(
 )
 
 
-def stream_upsert_hourly_counts(
+def stream_append_hourly_counts(
     spark: SparkSession, sf_dir: str, out_dir: str, ckpt_dir: str
 ):
     """foreachBatch ADDITIVE sink: each micro-batch appends its
@@ -651,7 +651,7 @@ def stream_sink_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_hourly_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    q = stream_upsert_hourly_counts(spark, sf_dir, out, ckpt)
+    q = stream_append_hourly_counts(spark, sf_dir, out, ckpt)
     if not q.awaitTermination(300):
         q.stop()
         shutil.rmtree(root, ignore_errors=True)
