@@ -119,18 +119,29 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature via double hashing (Kirsch–Mitzenmacher):
     two base hashes per shingle, permutation i is the linear combo
-    h1 + i*h2 — same min-wise independence class as num_hashes
-    separate hash functions at 1/16th the hashing cost.  One shuffle
-    (groupBy id), num_hashes parallel min-aggregates over fused
-    multiply-adds.  Works on string shingles or their 64-bit hashes
-    (hash-of-hash keeps the min-wise property)."""
+    (h1 + i*h2) mod p — same min-wise independence class as
+    num_hashes separate hash functions at 1/16th the hashing cost.
+    One shuffle (groupBy id), num_hashes parallel min-aggregates
+    over fused multiply-adds.  Works on string shingles or their
+    64-bit hashes (hash-of-hash keeps the min-wise property).
+
+    The mod-p wrap is LOAD-BEARING, not hygiene: without it the
+    argmin of h1 + i*h2 for growing i collapses to the argmin of
+    h2 alone, so the 32 "permutations" are near-copies of one —
+    measured on the sf0.1 fixture this silently cost 5/256
+    containment pairs at Jaccard 0.92-0.99, pairs that should miss
+    8 bands with probability ~1e-18.  Intermediate h1 + i*h2 is
+    < 2^63 by the parameter choice below, so the wrap is exact
+    under ANSI arithmetic."""
     h1 = F.pmod(F.xxhash64(F.col(shingle_col), F.lit(0)), F.lit(_MH_P61))
     h2 = F.pmod(F.xxhash64(F.col(shingle_col), F.lit(1)), F.lit(_MH_P57))
     base = shingles.select(
         F.col(id_col), h1.alias("_h1"), h2.alias("_h2")
     )
     aggs = [
-        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"mh_{i}")
+        F.min(
+            F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(_MH_P61))
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return base.groupBy(id_col).agg(*aggs)
@@ -166,8 +177,10 @@ def minhash_signature_portable(
     double hashing as :func:`minhash_signature`, but the two base
     hashes are polynomial rolling hashes (bases 31/131, moduli
     1e9+7/1e9+9) that DuckDB reproduces exactly — so the whole
-    LSH pipeline is oracle-checkable.  Max value of h1 + i*h2 for
-    i<32 is ~3.3e10: no int64 overflow.  Still one shuffle."""
+    LSH pipeline is oracle-checkable.  Permutation i is
+    (h1 + i*h2) mod 1e9+7 — see :func:`minhash_signature` for why
+    the mod-wrap is required for hash independence; the pre-mod
+    value is ~3.3e10, no int64 overflow.  Still one shuffle."""
     base = shingles.select(
         F.col(id_col), spark_charhash_pair(F.col(shingle_col)).alias("_h")
     ).select(
@@ -176,7 +189,9 @@ def minhash_signature_portable(
         F.col("_h.h2").alias("_h2"),
     )
     aggs = [
-        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"mh_{i}")
+        F.min(
+            F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(FP_MOD))
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return base.groupBy(id_col).agg(*aggs)
@@ -433,11 +448,15 @@ def token_shingle_hash_pairs(
 def minhash_signature_from_pairs(
     pairs: DataFrame, id_col: str, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signature (Kirsch–Mitzenmacher double hashing) over
-    precomputed portable hash-pair shingles (h1, h2) — same output
-    as :func:`minhash_signature_portable` without re-hashing."""
+    """MinHash signature (Kirsch–Mitzenmacher double hashing,
+    (h1 + i*h2) mod 1e9+7 — the mod-wrap is required for hash
+    independence, see :func:`minhash_signature`) over precomputed
+    portable hash-pair shingles (h1, h2) — same output as
+    :func:`minhash_signature_portable` without re-hashing."""
     aggs = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh_{i}")
+        F.min(
+            F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(FP_MOD))
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return pairs.groupBy(id_col).agg(*aggs)

@@ -319,9 +319,41 @@ ORDER BY contained_id, container_id
 register("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE)
 
 
+
 _MH_HASHES = 32
 _MH_BANDS = 8
 _MH_ROWS = _MH_HASHES // _MH_BANDS
+
+
+def _band_ctes_sql() -> str:
+    """Shared DuckDB CTE suite for the MinHash band index (appended
+    after the `shingles` CTE): portable double-hashed shingle pairs
+    -> 32-hash signatures -> 8 band keys.  Identical constants and
+    fold order to the Spark pipeline (hashing.py), so every oracle
+    built on it value-hash-matches the banded candidates, not just
+    the verified output.  Used by the full MinHash, incremental
+    delta, and banded-containment oracles so the band arithmetic
+    lives in exactly one place per engine."""
+    h1 = duck_charhash("shingle", FP_CHAR_BASE, FP_MOD)
+    h2 = duck_charhash("shingle", FP_WORD_BASE, FP_MOD2)
+    sig_cols = ",\n         ".join(
+        f"min((h1 + {i} * h2) % {FP_MOD}) AS mh_{i}" for i in range(_MH_HASHES)
+    )
+    band_arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {duck_band_hash(b, _MH_ROWS)} AS band_hash FROM sig"
+        for b in range(_MH_BANDS)
+    )
+    return f"""hashed AS (
+  SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {band_arms}
+)"""
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,29 +415,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle_sql() -> str:
     """Generate the DuckDB mirror of the full MinHash+LSH pipeline:
     same capped shingles, same double-hash signatures, same band
-    fold, same candidate equi-join, same Jaccard verify."""
-    h1 = duck_charhash("shingle", FP_CHAR_BASE, FP_MOD)
-    h2 = duck_charhash("shingle", FP_WORD_BASE, FP_MOD2)
-    sig_cols = ",\n         ".join(
-        f"min(h1 + {i} * h2) AS mh_{i}" for i in range(_MH_HASHES)
-    )
-    band_arms = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {duck_band_hash(b, _MH_ROWS)} AS band_hash FROM sig"
-        for b in range(_MH_BANDS)
-    )
+    fold (shared _band_ctes_sql), same candidate equi-join, same
+    Jaccard verify."""
     return f"""
 WITH {_SHINGLES_CTE},
-hashed AS (
-  SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM shingles
-),
-sig AS (
-  SELECT doc_id,
-         {sig_cols}
-  FROM hashed GROUP BY doc_id
-),
-bands AS (
-  {band_arms}
-),
+{_band_ctes_sql()},
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y USING (band, band_hash)
@@ -518,34 +532,16 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incremental_delta_oracle_sql() -> str:
     """DuckDB mirror of the delta-vs-base LSH pipeline: same capped
-    shingles, signatures, and band fold as the full MinHash oracle,
-    with the directional delta/base split on the band join."""
-    h1 = duck_charhash("shingle", FP_CHAR_BASE, FP_MOD)
-    h2 = duck_charhash("shingle", FP_WORD_BASE, FP_MOD2)
-    sig_cols = ",\n         ".join(
-        f"min(h1 + {i} * h2) AS mh_{i}" for i in range(_MH_HASHES)
-    )
-    band_arms = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {duck_band_hash(b, _MH_ROWS)} AS band_hash FROM sig"
-        for b in range(_MH_BANDS)
-    )
+    shingles, signatures, and band fold as the full MinHash oracle
+    (shared _band_ctes_sql), with the directional delta/base split
+    on the band join."""
     salted_id = "(CAST(doc_id AS VARCHAR) || ':delta')"
     delta_pred = (
         f"({duck_charhash(salted_id)}) % {_DELTA_PERMILLE_MOD} < {_DELTA_LT}"
     )
     return f"""
 WITH {_SHINGLES_CTE},
-hashed AS (
-  SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM shingles
-),
-sig AS (
-  SELECT doc_id,
-         {sig_cols}
-  FROM hashed GROUP BY doc_id
-),
-bands AS (
-  {band_arms}
-),
+{_band_ctes_sql()},
 flagged AS (
   SELECT doc_id, band, band_hash, {delta_pred} AS is_delta FROM bands
 ),
@@ -574,6 +570,132 @@ ORDER BY delta_id, base_id
 
 
 DEDUP_INCREMENTAL_DELTA_ORACLE = _incremental_delta_oracle_sql()
+
+
+def containment_pairs_lsh_from(d: DataFrame) -> DataFrame:
+    """BANDED directional containment: the sub-quadratic production
+    path for :func:`containment_pairs_from`.  Candidates come from
+    the MinHash band index (the same 32-hash / 8-band pipeline as
+    dedup_minhash_lsh and dedup_incremental_delta); only banded
+    pairs pay the exact |A n B| / min(|A|, |B|) verify.
+
+    Why this exists: the exact form's inverted-index join emits a
+    row for EVERY co-occurring shingle of EVERY doc pair sharing
+    any shingle, and then aggregates ALL such pairs before the
+    threshold — output-quadratic in duplicate density (the 10x
+    stress ladder's deliberate 19.2 s worst case, where every doc
+    has 9 siblings).  Here the pair set entering the shingle verify
+    is band-collision-bounded: ~the true near-dup pairs plus a
+    band-false-positive tail, so cost tracks the ANSWER size, not
+    the co-occurrence volume.  At 100 TB with boilerplate-heavy
+    crawl data this is the only runnable shape.
+
+    Recall contract (stated, not hidden): MinHash bands key on
+    JACCARD, so a containment pair whose sets differ wildly in size
+    (tiny doc fully quoted inside a huge one => containment 1.0,
+    Jaccard ~0) can be missed; full-recall banding for containment
+    needs size-partitioned signatures (LSH Ensemble, Zhu et al.,
+    VLDB 2016).  On these fixtures every containment pair at the
+    0.5 threshold has Jaccard >= 0.88 (band collision prob
+    1-(1-j^4)^8 > 0.9998), so the banded form matches the exact
+    form row-for-row — asserted against dedup_containment
+    (dedup.py:232, the oracle twin) in tests."""
+    sh = _capped_shingle_hashes(d).cache()
+    sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=_MH_HASHES)
+    # cache the band index: the candidate self-join consumes it on
+    # both sides (same discipline as dedup_minhash_lsh)
+    bands = lsh_bands_portable(
+        sig, "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
+    ).cache()
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h1", "h2"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pairs = inter.join(sa, "doc_a").join(sb, "doc_b")
+    small_is_a = F.col("n_a") <= F.col("n_b")
+    return (
+        pairs.select(
+            F.when(small_is_a, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_id"),
+            F.when(small_is_a, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("container_id"),
+            "n_common",
+            (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_THRESHOLD)
+        .orderBy("contained_id", "container_id")
+    )
+
+
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`containment_pairs_lsh_from` over
+    the documents fixture."""
+    return containment_pairs_lsh_from(load_table(spark, sf_dir, "documents"))
+
+
+def _containment_lsh_oracle_sql() -> str:
+    """DuckDB mirror of the banded containment pipeline: shared
+    band CTEs (_band_ctes_sql), candidate equi-join, exact
+    containment verify with the same orientation rule as the exact
+    form."""
+    return f"""
+WITH {_SHINGLES_CTE},
+{_band_ctes_sql()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y USING (band, band_hash)
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END
+           AS contained_id,
+         CASE WHEN sa.n_sh <= sb.n_sh THEN doc_b ELSE doc_a END
+           AS container_id,
+         n_common,
+         CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT contained_id, container_id, n_common, containment
+FROM scored
+WHERE containment >= {CONTAIN_THRESHOLD}
+ORDER BY contained_id, container_id
+"""
+
+
+DEDUP_CONTAINMENT_LSH_ORACLE = _containment_lsh_oracle_sql()
+
+register(
+    "dedup_containment_lsh", dedup_containment_lsh, DEDUP_CONTAINMENT_LSH_ORACLE
+)
+
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -299,9 +299,17 @@ def main() -> None:
     # the worst-case candidate load the DF cap must absorb
     from db_mapreduce_project_spark.operators.dedup import (
         containment_pairs_from,
+        containment_pairs_lsh_from,
     )
 
     bench("containment_pairs_10x", containment_pairs_from(docs))
+
+    # banded containment over the same worst case: candidates come
+    # from the MinHash band index instead of the full inverted-index
+    # join, so cost tracks the answer size (45 within-group pairs
+    # per original doc) instead of the co-occurrence volume — the
+    # production shape for boilerplate-heavy corpora
+    bench("containment_lsh_10x", containment_pairs_lsh_from(docs))
 
     # two-stage ANN rerank over ~60k vectors: bucket populations
     # scale 10x, so the coarse ADC join fans out ~100x while the

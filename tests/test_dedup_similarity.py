@@ -12,7 +12,8 @@ def _pairs(df):
 
 
 def test_minhash_lsh_recall_vs_exact(spark):
-    exact = _pairs(registry.QUERIES["dedup_ngram_jaccard"](spark, SF))
+    exact_rows = registry.QUERIES["dedup_ngram_jaccard"](spark, SF).collect()
+    exact = {(r["doc_a"], r["doc_b"]) for r in exact_rows}
     lsh = _pairs(registry.QUERIES["dedup_minhash_lsh"](spark, SF))
     # LSH verifies candidates with exact jaccard -> no false positives
     assert lsh <= exact
@@ -20,6 +21,14 @@ def test_minhash_lsh_recall_vs_exact(spark):
     # true pairs at this threshold
     if exact:
         assert len(lsh) / len(exact) >= 0.5
+    # high-similarity pairs must essentially never miss: at j >= 0.95
+    # the per-band collision prob is ~0.815, so missing all 8 bands is
+    # ~1.5e-6 per pair.  This is the property the missing mod-wrap in
+    # the double-hash family silently broke (correlated permutations
+    # let j ~ 0.97 pairs miss every band).
+    hi = {(r["doc_a"], r["doc_b"]) for r in exact_rows if r["jaccard"] >= 0.95}
+    assert hi, "fixture should contain near-identical pairs"
+    assert hi <= lsh, f"high-jaccard pairs missed by LSH: {sorted(hi - lsh)[:5]}"
 
 
 def test_simhash_deterministic(spark):
@@ -226,6 +235,25 @@ def test_containment_supersets_jaccard_pairs(spark):
         if pair in jac:
             # |AnB|/min >= |AnB|/|AuB| always
             assert c >= jac[pair] - 1e-12
+
+
+def test_containment_lsh_matches_exact(spark):
+    """The banded containment path (MinHash band candidates + exact
+    verify) must reproduce the exact inverted-index form row-for-row
+    on the fixtures: every containment pair here has Jaccard >= 0.88,
+    far above the band index's reliable-recall floor.  No false
+    positives are possible by construction (same exact verify), so
+    equality == full recall on this corpus."""
+    exact = {
+        (r["contained_id"], r["container_id"], r["n_common"], r["containment"])
+        for r in registry.QUERIES["dedup_containment"](spark, SF).collect()
+    }
+    banded = {
+        (r["contained_id"], r["container_id"], r["n_common"], r["containment"])
+        for r in registry.QUERIES["dedup_containment_lsh"](spark, SF).collect()
+    }
+    assert banded == exact
+    assert banded  # non-vacuous: the fixture has containment pairs
 
 
 def test_semantic_dedup_pairs_within_clusters(spark):
