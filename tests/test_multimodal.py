@@ -79,3 +79,86 @@ def test_decode_stats_matches_python_reference(spark, sf_dir):
         got = stats[r["doc_id"]]
         assert (got["r_sum"], got["g_sum"], got["b_sum"]) == tuple(by_ch)
         assert (got["width"], got["height"]) == (PPM_W, PPM_H)
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_exercises_every_filter():
+    from db_mapreduce_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # h=11 > 5 rows => filter types 0..4 all appear at least twice
+    w, h = 7, 11
+    samples = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    png = encode_png(w, h, samples)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert decode_png(png) == (w, h, samples)
+
+
+def test_png_rejects_malformed():
+    from db_mapreduce_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    png = encode_png(2, 2, bytes(range(12)))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a" + png[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(png[:-6])
+    # flip one IDAT byte: the chunk CRC must catch it
+    idat_at = png.index(b"IDAT") + 4
+    corrupt = png[:idat_at] + bytes([png[idat_at] ^ 0xFF]) + png[idat_at + 1 :]
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(corrupt)
+    # 16-bit / non-RGB headers are out of the payload contract
+    import struct
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bad_ihdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(bytes(26)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="8-bit RGB"):
+        decode_png(bad_ihdr)
+
+
+def test_png_payloads_are_valid_images(spark, sf_dir):
+    from db_mapreduce_project_spark.operators.multimodal import (
+        build_png_payloads,
+        decode_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = build_png_payloads(d).limit(20).collect()
+    assert rows
+    for r in rows:
+        w, h, samples = decode_png(bytes(r["img"]))
+        assert (w, h) == (PPM_W, PPM_H)
+        assert len(samples) == PPM_W * PPM_H * 3
+
+
+def test_png_and_ppm_pipelines_agree(spark, sf_dir):
+    """Same pixel plane, two containers: the PNG pipeline (deflate +
+    filters) must produce the identical stats rows as the raw PPM
+    pipeline — compression round-trip is lossless end-to-end."""
+    from db_mapreduce_project_spark.operators.multimodal import (
+        multimodal_decode_png_stats,
+    )
+
+    ppm = [tuple(r) for r in multimodal_decode_stats(spark, sf_dir).collect()]
+    png = [
+        tuple(r) for r in multimodal_decode_png_stats(spark, sf_dir).collect()
+    ]
+    assert png == ppm
