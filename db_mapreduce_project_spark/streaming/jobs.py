@@ -154,23 +154,34 @@ register("events_session", events_session, EVENTS_SESSION_ORACLE)
 
 # ----------------- true streaming runners (tests) -----------------
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events(
+    spark: SparkSession, sf_dir: str, source_dir: str | None = None
+) -> DataFrame:
     """readStream over the events parquet.  The stream reads the
     RAW schema and applies the same `ts` normalization as
     io.load_table (nanos-as-long truncation for TIMESTAMP(NANOS)
-    fixtures, UTC cast for TIMESTAMP_NTZ fixtures)."""
+    fixtures, UTC cast for TIMESTAMP_NTZ fixtures).
+
+    `source_dir` overrides the fixture: a directory of (possibly
+    many) parquet files, each arriving as its own micro-batch
+    (maxFilesPerTrigger=1) — the crash-recovery tests use this to
+    get multi-batch streams from a single-file fixture."""
     import os
 
     import tempfile
 
-    path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    # the file streaming source requires a DIRECTORY: stage the
-    # fixture file into a temp dir via symlink (no copy)
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
+    if source_dir is None:
+        path = os.path.join(sf_dir, "events.parquet")
+        raw_schema = spark.read.parquet(path).schema
+        # the file streaming source requires a DIRECTORY: stage the
+        # fixture file into a temp dir via symlink (no copy)
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(stage, "events.parquet"))
+    else:
+        stage = source_dir
+        raw_schema = spark.read.parquet(source_dir).schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -367,20 +378,16 @@ def stream_sliding_windows(
     )
 
 
-def stream_upsert_latest_per_user(
-    spark: SparkSession, sf_dir: str, out_dir: str, ckpt_dir: str
-):
-    """foreachBatch MERGE-on-read sink: each micro-batch reduces to
-    its latest event per user and APPENDS those rows (no in-place
-    rewrite — append-only delta files, the scalable upsert shape);
-    :func:`read_latest_per_user` compacts with a latest-wins window
-    at read time.  The compacted view must equal the batch
-    cdc_latest_per_user query — asserted in tests.  At scale the
-    periodic compaction job is exactly merge_upsert's union +
-    latest-wins plan."""
+def latest_per_user_emitter(out_dir: str):
+    """foreachBatch emitter for the latest-per-user upsert sink:
+    reduce the micro-batch to its latest event per user, append as
+    delta files.  Exactly-once discipline: DEDUP-ON-READ — a batch
+    replayed after a crash appends byte-identical rows (same
+    content, same _batch epoch), which the latest-wins compaction
+    window collapses to one row, so replay cannot change the
+    compacted result.  Module-level factory so tests can wrap it
+    with injected crashes without duplicating sink logic."""
     from pyspark.sql import Window
-
-    ev = _stream_events(spark, sf_dir)
 
     def emit_batch(batch_df, batch_id: int) -> None:
         w = Window.partitionBy("user_id").orderBy(
@@ -394,8 +401,28 @@ def stream_upsert_latest_per_user(
         )
         latest.write.mode("append").parquet(out_dir)
 
+    return emit_batch
+
+
+def stream_upsert_latest_per_user(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    source_dir: str | None = None,
+):
+    """foreachBatch MERGE-on-read sink: each micro-batch reduces to
+    its latest event per user and APPENDS those rows (no in-place
+    rewrite — append-only delta files, the scalable upsert shape);
+    :func:`read_latest_per_user` compacts with a latest-wins window
+    at read time.  The compacted view must equal the batch
+    cdc_latest_per_user query — asserted in tests, including across
+    a mid-stream crash + checkpoint restart.  At scale the periodic
+    compaction job is exactly merge_upsert's union + latest-wins
+    plan."""
+    ev = _stream_events(spark, sf_dir, source_dir)
     return (
-        ev.writeStream.foreachBatch(emit_batch)
+        ev.writeStream.foreachBatch(latest_per_user_emitter(out_dir))
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt_dir)
         .start()
@@ -584,20 +611,22 @@ register(
 )
 
 
-def stream_append_hourly_counts(
-    spark: SparkSession, sf_dir: str, out_dir: str, ckpt_dir: str
-):
-    """foreachBatch ADDITIVE sink: each micro-batch appends its
-    partial per-(hour, event_type) counts and quantized value sums;
-    :func:`read_hourly_counts` compacts by re-aggregating — addition
-    is associative, so the compacted table is identical for ANY
-    micro-batch partitioning of the input.  This is the streaming
-    ingest shape for metric rollups at scale: partials are
-    hour-cardinality (tiny) per batch, the sink is append-only, and
-    the periodic compaction job is a plain groupBy."""
-    from ..functions.stable import qint
+def hourly_partials_emitter(out_dir: str):
+    """foreachBatch emitter for the additive hourly-counts sink:
+    aggregate the micro-batch to per-(hour, event_type) partials
+    and write them.  Exactly-once discipline: IDEMPOTENT WRITE —
+    each batch OWNS the subdirectory `b<batch_id>/` and writes it
+    with mode=overwrite, so a batch replayed after a crash (sink
+    write landed, offset commit didn't) rewrites its own partials
+    instead of double-counting them.  An additive sink has no
+    dedup-on-read escape hatch (duplicate partials are
+    indistinguishable from real data), which makes per-batch-keyed
+    idempotent writes THE correctness requirement for foreachBatch
+    aggregation sinks.  Module-level factory so tests can wrap it
+    with injected crashes."""
+    import os as _os
 
-    ev = _stream_events(spark, sf_dir)
+    from ..functions.stable import qint
 
     def emit_batch(batch_df, batch_id: int) -> None:
         part = (
@@ -613,10 +642,32 @@ def stream_append_hourly_counts(
             )
             .withColumn("_batch", F.lit(batch_id))
         )
-        part.write.mode("append").parquet(out_dir)
+        part.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"b{batch_id}")
+        )
 
+    return emit_batch
+
+
+def stream_append_hourly_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    source_dir: str | None = None,
+):
+    """foreachBatch ADDITIVE sink: each micro-batch writes its
+    partial per-(hour, event_type) counts and quantized value sums
+    into a batch-owned subdirectory (idempotent under replay — see
+    :func:`hourly_partials_emitter`); :func:`read_hourly_counts`
+    compacts by re-aggregating — addition is associative, so the
+    compacted table is identical for ANY micro-batch partitioning
+    of the input.  This is the streaming ingest shape for metric
+    rollups at scale: partials are hour-cardinality (tiny) per
+    batch, and the periodic compaction job is a plain groupBy."""
+    ev = _stream_events(spark, sf_dir, source_dir)
     return (
-        ev.writeStream.foreachBatch(emit_batch)
+        ev.writeStream.foreachBatch(hourly_partials_emitter(out_dir))
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt_dir)
         .start()
@@ -625,9 +676,12 @@ def stream_append_hourly_counts(
 
 def read_hourly_counts(spark: SparkSession, out_dir: str):
     """Merge-on-read compaction of the additive sink: sum the
-    partials; the integer value sums close with one deterministic
-    divide (stable.py discipline)."""
-    df = spark.read.parquet(out_dir)
+    partials across all batch-owned subdirectories; the integer
+    value sums close with one deterministic divide (stable.py
+    discipline)."""
+    df = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    )
     return (
         df.groupBy("bucket_hour", "event_type")
         .agg(

@@ -300,3 +300,127 @@ def test_additive_sink_invariant_to_batch_boundaries(spark, sf_dir, tmp_path):
     )
     cols = ["bucket_hour", "event_type", "n_events", "sum_value"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+# ------------------------------------------- crash recovery
+
+
+def _staged_multibatch_events(spark, sf_dir, tmp_path, n_files=4):
+    """Split the single-file events fixture into n parquet files so
+    the file stream (maxFilesPerTrigger=1) runs n micro-batches."""
+    from db_mapreduce_project_spark.io import load_table
+
+    src = str(tmp_path / "events_split")
+    load_table(spark, sf_dir, "events").repartition(n_files).write.parquet(src)
+    return src
+
+
+def _run_with_crash(spark, source_dir, emitter, ckpt, crash_flag):
+    """Run the availableNow stream with an emitter that crashes ONCE
+    after its side-effect for batch 1 has landed — the exact window
+    (sink write committed, offset commit not) where a non-idempotent
+    sink double-counts on restart."""
+    import os
+
+    from db_mapreduce_project_spark.streaming.jobs import _stream_events
+
+    def crashing(df, batch_id):
+        emitter(df, batch_id)
+        if batch_id == 1 and not os.path.exists(crash_flag):
+            with open(crash_flag, "w") as f:
+                f.write("crashed")
+            raise RuntimeError("injected crash after sink write")
+
+    q = (
+        _stream_events(spark, None, source_dir)
+        .writeStream.foreachBatch(crashing)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return q
+
+
+def test_hourly_sink_exactly_once_across_crash_restart(spark, sf_dir, tmp_path):
+    """Kill the additive-sink stream after batch 1's parquet write
+    has landed but before its offset commit, restart from the SAME
+    checkpoint, and assert the compacted rollup equals the batch
+    GROUP BY — proving the per-batch-owned overwrite makes replay
+    idempotent (an append-mode sink double-counts the replayed
+    batch here)."""
+    from db_mapreduce_project_spark.streaming.jobs import (
+        hourly_partials_emitter,
+        read_hourly_counts,
+        stream_append_hourly_counts,
+    )
+
+    src = _staged_multibatch_events(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "hourly_out")
+    ckpt = str(tmp_path / "hourly_ckpt")
+    q = _run_with_crash(
+        spark, src, hourly_partials_emitter(out), ckpt,
+        str(tmp_path / "hourly_crashed"),
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    # restart from the same checkpoint: batch 1 replays (its offset
+    # never committed), batches 2..n run fresh
+    q2 = stream_append_hourly_counts(spark, sf_dir, out, ckpt, source_dir=src)
+    assert q2.awaitTermination(120)
+    got = _rows(
+        read_hourly_counts(spark, out),
+        ["bucket_hour", "event_type", "n_events", "sum_value"],
+    )
+    want = _rows(
+        _batch_hourly(spark, sf_dir),
+        ["bucket_hour", "event_type", "n_events", "sum_value"],
+    )
+    assert got == want
+
+
+def _batch_hourly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.functions.stable import qsum
+    from db_mapreduce_project_spark.io import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            qsum("value", 4).alias("sum_value"),
+        )
+    )
+
+
+def test_latest_sink_exactly_once_across_crash_restart(spark, sf_dir, tmp_path):
+    """Same crash/restart protocol for the latest-per-user upsert
+    sink: the replayed batch appends duplicate delta rows, and the
+    latest-wins merge-on-read compaction must still equal the batch
+    CDC result (dedup-on-read exactly-once)."""
+    from db_mapreduce_project_spark.streaming.jobs import (
+        latest_per_user_emitter,
+        read_latest_per_user,
+        stream_upsert_latest_per_user,
+    )
+
+    src = _staged_multibatch_events(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "latest_out")
+    ckpt = str(tmp_path / "latest_ckpt")
+    q = _run_with_crash(
+        spark, src, latest_per_user_emitter(out), ckpt,
+        str(tmp_path / "latest_crashed"),
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    q2 = stream_upsert_latest_per_user(
+        spark, sf_dir, out, ckpt, source_dir=src
+    )
+    assert q2.awaitTermination(120)
+    cols = ["user_id", "event_id", "event_type", "ts"]
+    got = _rows(read_latest_per_user(spark, out), cols)
+    want = _rows(registry.QUERIES["cdc_latest_per_user"](spark, sf_dir), cols)
+    assert got == want
