@@ -73,8 +73,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eligible = (
-        ps.join(F.broadcast(sup_region), ps.ps_suppkey == sup_region.s_suppkey)
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(sup_region, ps.ps_suppkey == sup_region.s_suppkey)
+        .join(p, ps.ps_partkey == p.p_partkey)
         .select(
             "p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal",
             "n_name", "ps_supplycost",
@@ -140,13 +140,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_supplycost"
     ) * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(
             ps,
             (F.col("l_partkey") == ps.ps_partkey)
             & (F.col("l_suppkey") == ps.ps_suppkey),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .groupBy(
@@ -189,7 +189,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     scoped = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "ps_partkey",
@@ -246,7 +246,7 @@ def q16_parts_supplier_relationship(
     )
     return (
         ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(p, ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -292,7 +292,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("sh_suppkey"),
     ).agg(qsum("l_quantity", 2).alias("qty"))
     excess = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
         .join(
             shipped,
             (ps.ps_partkey == shipped.sh_partkey)
@@ -375,12 +375,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),

@@ -58,8 +58,11 @@ def _trade_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = qint(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # customer/supplier are sf-proportional: hint-free (see
+        # test_broadcast_fallback_equivalence) — auto-broadcast at
+        # small SF, shuffle join at scale
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .select(
             s.s_nationkey.alias("src"),
             c.c_nationkey.alias("dst"),

@@ -95,7 +95,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is sf-proportional: no explicit broadcast hint —
+        # the optimizer auto-broadcasts it below the threshold and
+        # falls back to a shuffle join beyond (100x-safe); hints are
+        # reserved for bounded-by-construction frames (nation/region/
+        # tiny aggregates).  test_broadcast_fallback_equivalence pins
+        # this degradation path.
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(qsum(disc_price, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -120,7 +126,9 @@ LIMIT 10
 
 # ---------------------------------------------------------------
 # Q5-style: 6-table star join, revenue per nation within a region.
-# region/nation/supplier broadcast; orders->lineitem shuffled.
+# region/nation hinted broadcast (bounded dims); supplier/customer
+# hint-free (sf-proportional — auto-broadcast at small SF only);
+# orders->lineitem shuffled.
 # ---------------------------------------------------------------
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -135,7 +143,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .where(c.c_nationkey == s.s_nationkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -160,3 +160,69 @@ def test_round4_ops_shuffle_partition_invariant(spark, sf_dir, name):
         assert run() == base
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+        "q5_regional_revenue",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q21_waiting_supplier",
+    ],
+)
+def test_broadcast_fallback_equivalence(spark, sf_dir, name):
+    """At 100x the sf-proportional 'dims' (customer/supplier/part)
+    stop fitting in broadcast and every auto-chosen
+    BroadcastHashJoin must silently become a shuffle join — so force
+    that world (autoBroadcastJoinThreshold=-1) and assert the
+    answers are bit-identical AND the fallback actually happened
+    (SortMergeJoin appears; strictly fewer broadcast joins).  Hinted
+    broadcasts may legitimately remain, but ONLY on
+    bounded-by-construction frames (nation 25 rows, region 5 rows,
+    scalar aggregates) — writing this test flushed out explicit
+    F.broadcast() hints on customer/supplier/part in q2/q3/q5/q8/
+    q9/q11/q16/q20 and the trade-graph edge builder, which would
+    have forced un-broadcastable tables into memory at scale.
+    Every plan test elsewhere pins the broadcast shape; this is the
+    other half."""
+    from db_mapreduce_project_spark import registry
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in registry.QUERIES[name](spark, sf_dir).collect()
+        )
+
+    def plan():
+        return registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution(
+        ).executedPlan().toString()
+
+    base = run()
+    base_plan = plan()
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        fb_plan = plan()
+        # at fixture SF the optimizer auto-broadcasts the small side,
+        # so the fallback must genuinely change the physical strategy
+        assert "BroadcastHashJoin" in base_plan, name
+        assert "SortMergeJoin" in fb_plan, name
+        assert fb_plan.count("BroadcastHashJoin") < base_plan.count(
+            "BroadcastHashJoin"
+        ), name
+        # any broadcast surviving threshold=-1 must come from an
+        # explicit hint, and those are reserved for bounded dims:
+        # nothing sf-proportional may appear on a broadcast side
+        for bounded_only in fb_plan.split("BroadcastExchange")[1:]:
+            head = bounded_only[:400]
+            for big in ("customer", "supplier", "part.", "lineitem", "orders"):
+                assert big not in head, (name, big, head)
+        assert run() == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
