@@ -119,7 +119,13 @@ def main() -> None:
         # SAME query stay warm on purpose — the median measures the
         # steady-state operator cost (same methodology as earlier
         # rounds); run 1's max in `spread` carries the cold cost.
-        spark.catalog.clearCache()
+        # SPARK_GRAFT_BENCH_NO_ISOLATION=1 reproduces the pre-round-4
+        # methodology (no cross-query cache clearing) for A/B
+        # comparisons: under it, a query whose subplan matches an
+        # EARLIER query's cached frame silently reads that cache and
+        # under-reports its true cost.
+        if not os.environ.get("SPARK_GRAFT_BENCH_NO_ISOLATION"):
+            spark.catalog.clearCache()
         runs.sort()
         median = runs[len(runs) // 2]
         timings[name] = round(median, 3)
