@@ -84,6 +84,9 @@ HEADLINE = [
     "tokenizer_vocab_coverage",
     "sample_reservoir_per_group",
     "dedup_containment",
+    "dedup_containment_lsh",
+    "dedup_containment_bottomk",
+    "multimodal_decode_png_stats",
     "ohlc_bars",
     "time_weighted_avg_per_user",
 ]

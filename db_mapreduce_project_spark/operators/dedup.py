@@ -145,15 +145,15 @@ ORDER BY keeper_doc_id
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard similarity >= 0.05.
+def jaccard_pairs_from(d: DataFrame) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard similarity >= 0.05
+    over a (doc_id, text) relation.
 
     Inverted-index join: explode distinct shingles, drop hot
     (DF > cap) shingles, self-join on shingle (only co-occurring
     docs meet), count intersection, then |A u B| = |A| + |B| -
     |A n B|.  Jaccard is a ratio of exact integers — no float-order
     hazard."""
-    d = load_table(spark, sf_dir, "documents")
     # shuffle fixed-width hash pairs, not shingle strings: same join
     # semantics (pair collisions are ~n^2/2^60, negligible), a
     # fraction of the shuffle bytes — the difference between
@@ -204,6 +204,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`jaccard_pairs_from` over the
+    documents fixture."""
+    return jaccard_pairs_from(load_table(spark, sf_dir, "documents"))
 
 
 DEDUP_NGRAM_JACCARD_ORACLE = f"""
@@ -356,20 +362,19 @@ bands AS (
 )"""
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 hashes) + LSH(8 bands x 4 rows) candidate pairs,
-    verified with exact shingle Jaccard over the DF-capped shingle
-    sets.  Built entirely on the portable polynomial hash family
-    (charhash base 31/131, moduli 1e9+7/1e9+9), so DuckDB computes
-    the IDENTICAL signatures, band keys, candidates, and verified
-    pairs — the whole sketch pipeline is differentially tested, not
-    just rows-counted.
+def minhash_pairs_from(d: DataFrame) -> DataFrame:
+    """MinHash(32 hashes) + LSH(8 bands x 4 rows) candidate pairs
+    over a (doc_id, text) relation, verified with exact shingle
+    Jaccard over the DF-capped shingle sets.  Built entirely on the
+    portable polynomial hash family (charhash base 31/131, moduli
+    1e9+7/1e9+9), so DuckDB computes the IDENTICAL signatures, band
+    keys, candidates, and verified pairs — the whole sketch
+    pipeline is differentially tested, not just rows-counted.
 
     Output: candidate pairs with exact jaccard >= 0.05 that LSH
     surfaced.  At scale this replaces the full inverted-index join
     with an equi-join on 8 fixed-width band keys per doc.
     """
-    d = load_table(spark, sf_dir, "documents")
     sh = _capped_shingle_hashes(d).cache()
     sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=_MH_HASHES)
     # cache the band index: the candidate self-join consumes it on
@@ -410,6 +415,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`minhash_pairs_from` over the
+    documents fixture."""
+    return minhash_pairs_from(load_table(spark, sf_dir, "documents"))
 
 
 def _minhash_oracle_sql() -> str:
@@ -616,6 +627,16 @@ def containment_pairs_lsh_from(d: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    return _verify_containment(cand, sh)
+
+
+def _verify_containment(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact containment verify shared by every candidate scheme:
+    join the (doc_a < doc_b) candidate pairs back to the capped
+    shingle sets, count |A n B|, orient contained/container by set
+    size (doc_a on ties — deterministic because pairs are
+    canonical), and apply the threshold.  Cost is candidate-bounded:
+    only pairs a scheme proposed ever touch the shingle table."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
@@ -694,6 +715,128 @@ DEDUP_CONTAINMENT_LSH_ORACLE = _containment_lsh_oracle_sql()
 
 register(
     "dedup_containment_lsh", dedup_containment_lsh, DEDUP_CONTAINMENT_LSH_ORACLE
+)
+
+
+# bottom-K probe count: recall for a true containment pair at
+# threshold c is >= 1 - (1-c)^K from the CONTAINED side's probes
+# (c=0.5, K=8 => 99.6%), independent of the size ratio.
+CONTAIN_PROBE_K = 8
+
+
+def containment_pairs_bottomk_from(d: DataFrame) -> DataFrame:
+    """Directional containment with BOTTOM-K PROBE candidates — the
+    size-asymmetry-robust scale path that closes the recall gap the
+    banded variant documents.
+
+    Scheme: every document exposes its K smallest shingle hash
+    pairs (ordered by (h1, h2) — a bottom-k sketch, Cohen & Kaplan
+    2007, which is a uniform sample of the set under the hash
+    order); each probe joins the full DF-capped inverted index, and
+    every (probing doc, posting doc) hit becomes a candidate pair
+    for the shared exact verify.
+
+    Why it fixes the asymmetric case: a pair with containment
+    c = |S∩T|/|S| (S the smaller side) is surfaced when ANY of S's
+    K probes lands in S∩T.  The probes are a uniform K-sample of S,
+    so the miss probability is (1-c)^K — at the 0.5 threshold with
+    K=8 that is 0.4%, INDEPENDENT of |T|/|S|; MinHash bands, keyed
+    on Jaccard, go blind exactly as that ratio grows.  (Both sides
+    probe, so either orientation can surface the pair; the bound
+    above is the worst case.)
+
+    Why it scales: each probe meets at most SHINGLE_DF_CAP postings,
+    so candidate volume is <= n_docs x K x DF_CAP — linear in the
+    corpus with a fixed constant, no signature aggregation, no
+    band index.  Verify cost is candidate-bounded as always.
+    Everything is portable hash arithmetic, so the full pipeline —
+    probe selection, candidate join, verify — is value-hash
+    certified against DuckDB."""
+    from pyspark.sql.window import Window
+
+    sh = _capped_shingle_hashes(d).cache()
+    wk = Window.partitionBy("doc_id").orderBy("h1", "h2")
+    probes = (
+        sh.withColumn("_rk", F.row_number().over(wk))
+        .where(F.col("_rk") <= CONTAIN_PROBE_K)
+        .select(F.col("doc_id").alias("p_doc"), "h1", "h2")
+    )
+    postings = sh.select(F.col("doc_id").alias("s_doc"), "h1", "h2")
+    cand = (
+        probes.join(postings, ["h1", "h2"])
+        .where(F.col("p_doc") != F.col("s_doc"))
+        .select(
+            F.least("p_doc", "s_doc").alias("doc_a"),
+            F.greatest("p_doc", "s_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_containment(cand, sh)
+
+
+def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`containment_pairs_bottomk_from`
+    over the documents fixture."""
+    return containment_pairs_bottomk_from(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _containment_bottomk_oracle_sql() -> str:
+    """DuckDB mirror of the bottom-K probe pipeline: same hash
+    order for probe selection, same candidate join, same verify."""
+    h1 = duck_charhash("shingle", FP_CHAR_BASE, FP_MOD)
+    h2 = duck_charhash("shingle", FP_WORD_BASE, FP_MOD2)
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, shingle, {h1} AS h1, {h2} AS h2 FROM shingles
+),
+probes AS (
+  SELECT doc_id AS p_doc, shingle FROM (
+    SELECT doc_id, shingle,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h1, h2) AS rk
+    FROM hashed
+  ) t WHERE rk <= {CONTAIN_PROBE_K}
+),
+cand AS (
+  SELECT DISTINCT least(p.p_doc, s.doc_id) AS doc_a,
+                  greatest(p.p_doc, s.doc_id) AS doc_b
+  FROM probes p JOIN shingles s USING (shingle)
+  WHERE p.p_doc <> s.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END
+           AS contained_id,
+         CASE WHEN sa.n_sh <= sb.n_sh THEN doc_b ELSE doc_a END
+           AS container_id,
+         n_common,
+         CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT contained_id, container_id, n_common, containment
+FROM scored
+WHERE containment >= {CONTAIN_THRESHOLD}
+ORDER BY contained_id, container_id
+"""
+
+
+DEDUP_CONTAINMENT_BOTTOMK_ORACLE = _containment_bottomk_oracle_sql()
+
+register(
+    "dedup_containment_bottomk",
+    dedup_containment_bottomk,
+    DEDUP_CONTAINMENT_BOTTOMK_ORACLE,
 )
 
 
@@ -922,9 +1065,10 @@ def _cluster_rollup(labels: DataFrame) -> DataFrame:
     )
 
 
-def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large-star/small-star connected components over the same
-    near-dup pair graph — the ESCALATION PATH for when min-label
+def largestar_clusters_from(d: DataFrame) -> DataFrame:
+    """Large-star/small-star connected components over the
+    near-dup pair graph of a (doc_id, text) relation — the
+    ESCALATION PATH for when min-label
     propagation's O(diameter) rounds are too many (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC 2014:
     alternating star operations converge in O(log^2 n) rounds
@@ -943,7 +1087,7 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (member -> component min).  Same rollup, same recursive-CTE
     oracle as dedup_clusters; cross-algorithm equality is asserted
     in tests."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_from(d).select("doc_a", "doc_b")
     edges = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("u"),
@@ -1028,8 +1172,7 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_clusters_largestar: fingerprint collision — "
             "edge sets matched hashes but differ; raise hash width"
         )
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = d.join(
+    labels = d.select("doc_id").join(
         edges.select(F.col("u").alias("doc_id"), F.col("v").alias("mlabel")),
         "doc_id",
         "left",
@@ -1037,6 +1180,12 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("mlabel", F.col("doc_id")).alias("label")
     )
     return _cluster_rollup(labels)
+
+
+def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`largestar_clusters_from` over the
+    documents fixture."""
+    return largestar_clusters_from(load_table(spark, sf_dir, "documents"))
 
 
 DEDUP_CLUSTERS_ORACLE = f"""

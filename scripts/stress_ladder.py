@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""1x/10x/100x scaling ladder for the three scale-risk dedup
+families (round-5 verdict item): full MinHash+LSH verified pairs,
+large-star connected components, and exact vs banded directional
+containment.
+
+The corpus expands by unioning key-shifted copies (same mechanism
+as stress_scale.py), so at `copies=c` every original document has
+c exact near-duplicates: per-doc stages (shingles, signatures,
+banding) scale linearly in c, while the PAIR OUTPUT of every
+near-dup family is C(c,2)/c2-quadratic BY CONSTRUCTION of this
+stress corpus — each rung therefore records the output row count
+alongside wall time so output-bound cost is separable from
+overhead.  (Real corpora have bounded duplicate-cluster sizes;
+there the same pipelines are linear in corpus x cluster size.)
+
+Default base fixture is sf0.01 (500 docs), so the 100x rung
+(50 000 docs) matches the sf0.1 x 10 workload of stress_scale.py —
+the two ladders share a rung for cross-calibration.
+
+Usage: python scripts/stress_ladder.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from db_mapreduce_project_spark.io import load_table
+from db_mapreduce_project_spark.operators.dedup import (
+    containment_pairs_bottomk_from,
+    containment_pairs_from,
+    containment_pairs_lsh_from,
+    jaccard_pairs_from,
+    largestar_clusters_from,
+    minhash_pairs_from,
+)
+from db_mapreduce_project_spark.session import get_spark
+from scripts.stress_scale import expand
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+FAMILIES = {
+    "minhash_lsh_pairs": minhash_pairs_from,
+    "jaccard_pairs_exact": jaccard_pairs_from,
+    "largestar_cc": largestar_clusters_from,
+    "containment_exact": containment_pairs_from,
+    "containment_lsh": containment_pairs_lsh_from,
+    "containment_bottomk": containment_pairs_bottomk_from,
+}
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    spark = get_spark("stress_ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    # warm-up absorbs JVM/session startup + parquet footer reads so
+    # the 1x rung measures the operator, not process boot
+    jaccard_pairs_from(base).count()
+    spark.catalog.clearCache()
+
+    records = []
+    for copies in (1, 10, 100):
+        docs = base if copies == 1 else expand(base, ["doc_id"], copies)
+        for fam, fn in FAMILIES.items():
+            t0 = time.perf_counter()
+            n = fn(docs).count()
+            sec = round(time.perf_counter() - t0, 2)
+            rec = {
+                "family": fam,
+                "copies": copies,
+                "sec": sec,
+                "out_rows": n,
+                "sf": SF_DIR,
+            }
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+            spark.catalog.clearCache()
+    if out_path:
+        json.dump(records, open(out_path, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

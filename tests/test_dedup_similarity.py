@@ -274,3 +274,61 @@ def test_semantic_dedup_pairs_within_clusters(spark):
         assert r["id_a"] < r["id_b"]
         assert cid[r["id_a"]] == cid[r["id_b"]] == r["cid"]
         assert r["cos"] >= SEMDEDUP_COS
+
+
+def test_containment_bottomk_matches_exact(spark):
+    """The bottom-K probe path must reproduce the exact form
+    row-for-row on the fixtures (same verify, probe recall ~99.6%
+    at the threshold; deterministic given the fixed hash order)."""
+    exact = {
+        (r["contained_id"], r["container_id"], r["n_common"], r["containment"])
+        for r in registry.QUERIES["dedup_containment"](spark, SF).collect()
+    }
+    probed = {
+        (r["contained_id"], r["container_id"], r["n_common"], r["containment"])
+        for r in registry.QUERIES["dedup_containment_bottomk"](spark, SF).collect()
+    }
+    assert probed == exact
+    assert probed
+
+
+def test_containment_bottomk_survives_size_asymmetry(spark):
+    """The recall case MinHash bands are blind to: a tiny document
+    fully quoted inside a huge one (containment 1.0, Jaccard ~0.01).
+    The bottom-K probes of the contained side land in the
+    intersection with certainty at c=1.0, so the probe path must
+    find every planted pair; the banded path, keyed on Jaccard,
+    misses them all at these parameters — which is exactly the
+    documented reason both schemes exist.  The exact inverted-index
+    form is the ground truth for both."""
+    from db_mapreduce_project_spark.operators.dedup import (
+        containment_pairs_bottomk_from,
+        containment_pairs_from,
+        containment_pairs_lsh_from,
+    )
+
+    rows = []
+    for i in range(5):
+        small = " ".join(f"quote{i}w{j}" for j in range(10))
+        filler = " ".join(f"body{i}w{j}" for j in range(500))
+        rows.append((i, small))
+        rows.append((100 + i, filler + " " + small))
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    planted = {(i, 100 + i) for i in range(5)}
+
+    exact = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs_from(d).collect()
+    }
+    probed = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs_bottomk_from(d).collect()
+    }
+    banded = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs_lsh_from(d).collect()
+    }
+    assert planted <= exact
+    assert probed == exact  # bottom-K: full recall here, no false positives
+    assert not (planted & banded)  # Jaccard-banded: blind to all of them
