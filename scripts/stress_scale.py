@@ -79,6 +79,12 @@ def main() -> None:
             ),
             flush=True,
         )
+        # isolation between rungs (same discipline as bench.py):
+        # without it a rung whose subplan matches an earlier rung's
+        # cached frame (e.g. the shingle fold shared by the two
+        # containment forms) silently reads that cache and
+        # under-reports its cost
+        spark.catalog.clearCache()
 
     # wordcount over ~50k docs
     bench(
