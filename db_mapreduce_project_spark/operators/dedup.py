@@ -840,6 +840,143 @@ register(
 )
 
 
+def dedup_containment_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental directional containment: tonight's delta docs vs
+    the established base corpus via bottom-K probes — completing
+    the containment family's nightly shape the way
+    dedup_incremental_delta does for Jaccard.
+
+    Probing runs in BOTH directions because containment recall
+    comes from the CONTAINED side's probes: delta probes join base
+    postings (catches a small delta doc quoted inside a big base
+    doc), and base probes join delta postings (catches a small base
+    doc swallowed by a big new delta doc).  Either way every join
+    is delta-bounded: delta probes are |delta| x K rows, and base
+    probes — at 100 TB a precomputed K-rows-per-doc artifact of the
+    last full run — meet only the |delta|-cardinality posting side.
+    No base x base work exists anywhere.
+
+    Output: (delta_id, base_id, n_common, containment) pairs at the
+    threshold — the suppress list for tonight's ingest."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _capped_shingle_hashes(d).cache()
+    wk = Window.partitionBy("doc_id").orderBy("h1", "h2")
+    probes = (
+        sh.withColumn("_rk", F.row_number().over(wk))
+        .where(F.col("_rk") <= CONTAIN_PROBE_K)
+        .select("doc_id", "h1", "h2")
+    )
+    is_delta = _is_delta(F.col("doc_id"))
+    d_probes = probes.where(is_delta).select(
+        F.col("doc_id").alias("delta_id"), "h1", "h2"
+    )
+    b_probes = probes.where(~is_delta).select(
+        F.col("doc_id").alias("base_id"), "h1", "h2"
+    )
+    d_postings = sh.where(is_delta).select(
+        F.col("doc_id").alias("delta_id"), "h1", "h2"
+    )
+    b_postings = sh.where(~is_delta).select(
+        F.col("doc_id").alias("base_id"), "h1", "h2"
+    )
+    cand = (
+        d_probes.join(b_postings, ["h1", "h2"])
+        .select("delta_id", "base_id")
+        .unionByName(
+            b_probes.join(d_postings, ["h1", "h2"]).select(
+                "delta_id", "base_id"
+            )
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("delta_id"), "h1", "h2")
+    b = sh.select(F.col("doc_id").alias("base_id"), "h1", "h2")
+    inter = (
+        cand.join(a, "delta_id")
+        .join(b, ["base_id", "h1", "h2"])
+        .groupBy("delta_id", "base_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "delta_id")
+        .join(sb, "base_id")
+        .select(
+            "delta_id",
+            "base_id",
+            "n_common",
+            (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_THRESHOLD)
+        .orderBy("delta_id", "base_id")
+    )
+
+
+def _containment_delta_oracle_sql() -> str:
+    """DuckDB mirror of the bidirectional delta/base probe
+    pipeline: same hash-ordered bottom-K probes, same delta split,
+    same verify."""
+    h1 = duck_charhash("shingle", FP_CHAR_BASE, FP_MOD)
+    h2 = duck_charhash("shingle", FP_WORD_BASE, FP_MOD2)
+    salted_id = "(CAST(doc_id AS VARCHAR) || ':delta')"
+    delta_pred = (
+        f"({duck_charhash(salted_id)}) % {_DELTA_PERMILLE_MOD} < {_DELTA_LT}"
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, shingle, {h1} AS h1, {h2} AS h2,
+         {delta_pred} AS is_delta
+  FROM shingles
+),
+probes AS (
+  SELECT doc_id, shingle, is_delta FROM (
+    SELECT doc_id, shingle, is_delta,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h1, h2) AS rk
+    FROM hashed
+  ) t WHERE rk <= {CONTAIN_PROBE_K}
+),
+cand AS (
+  SELECT DISTINCT p.doc_id AS delta_id, s.doc_id AS base_id
+  FROM probes p JOIN hashed s USING (shingle)
+  WHERE p.is_delta AND NOT s.is_delta
+  UNION
+  SELECT DISTINCT s.doc_id AS delta_id, p.doc_id AS base_id
+  FROM probes p JOIN hashed s USING (shingle)
+  WHERE NOT p.is_delta AND s.is_delta
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.delta_id, c.base_id, count(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.delta_id
+  JOIN shingles b ON b.doc_id = c.base_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT delta_id, base_id, n_common,
+       CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = delta_id
+JOIN sizes sb ON sb.doc_id = base_id
+WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+      >= {CONTAIN_THRESHOLD}
+ORDER BY delta_id, base_id
+"""
+
+
+DEDUP_CONTAINMENT_DELTA_ORACLE = _containment_delta_oracle_sql()
+
+register(
+    "dedup_containment_delta",
+    dedup_containment_delta,
+    DEDUP_CONTAINMENT_DELTA_ORACLE,
+)
+
+
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash signature per document, built from the

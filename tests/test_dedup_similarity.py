@@ -332,3 +332,39 @@ def test_containment_bottomk_survives_size_asymmetry(spark):
     assert planted <= exact
     assert probed == exact  # bottom-K: full recall here, no false positives
     assert not (planted & banded)  # Jaccard-banded: blind to all of them
+
+
+def test_containment_delta_consistent_with_full(spark):
+    """The incremental delta/base containment must equal the full
+    exact containment restricted to cross (delta, base) pairs —
+    same thresholds, same verify, only the candidate scope differs
+    (and bottom-K probe recall is ~certain on these high-overlap
+    fixture pairs)."""
+    from db_mapreduce_project_spark.operators.dedup import _is_delta
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.io import load_table
+
+    flags = {
+        r["doc_id"]: r["d"]
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", _is_delta(F.col("doc_id")).alias("d"))
+        .collect()
+    }
+    full = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in registry.QUERIES["dedup_containment"](spark, SF).collect()
+    }
+    cross = {
+        k: v for k, v in full.items() if flags[k[0]] != flags[k[1]]
+    }
+    delta = {
+        (r["delta_id"], r["base_id"]): r["containment"]
+        for r in registry.QUERIES["dedup_containment_delta"](spark, SF).collect()
+    }
+    # reorient full's (contained, container) to (delta, base)
+    want = {}
+    for (x, y), c in cross.items():
+        want[(x, y) if flags[x] else (y, x)] = c
+    assert delta == want
+    assert delta  # the fixture split yields real cross pairs
