@@ -424,3 +424,57 @@ def test_latest_sink_exactly_once_across_crash_restart(spark, sf_dir, tmp_path):
     got = _rows(read_latest_per_user(spark, out), cols)
     want = _rows(registry.QUERIES["cdc_latest_per_user"](spark, sf_dir), cols)
     assert got == want
+
+
+def test_stateful_sessionize_timeout_eviction(spark, sf_dir):
+    """Gap sessionization as a custom stateful operator with
+    EVENT-TIME TIMEOUT eviction: sessions closed by an intra-batch
+    gap emit inline; the final open session per user must be
+    emitted BY THE TIMEOUT (watermark passing session_end + gap)
+    and evicted — proving bounded state.  The emitted set must
+    match the batch sessionizer exactly for every session closable
+    under the final watermark, value-for-value."""
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.operators.windows import sessionize
+    from db_mapreduce_project_spark.streaming.stateful import (
+        SESSION_GAP_S,
+        stream_sessionize,
+    )
+
+    q = stream_sessionize(spark, sf_dir, query_name="t_sessions_state")
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 4),
+        )
+        for r in spark.table("t_sessions_state").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=10)
+    batch = sessionize(ev).collect()
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 4),
+        )
+        for r in batch
+        if r["session_end"] + datetime.timedelta(seconds=SESSION_GAP_S) < wm
+    }
+    # every closable batch session was emitted with identical values
+    for k, v in want.items():
+        assert k in got, k
+        assert got[k] == v, (k, got[k], v)
+    # nothing extra beyond batch sessions (an emitted session may be
+    # a still-open batch session only if the timeout raced the tail)
+    batch_keys = {(r["user_id"], r["session_start"]) for r in batch}
+    assert set(got) <= batch_keys
+    assert want  # non-vacuous: the fixture closes real sessions
