@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_containment_lsh",
     "dedup_containment_bottomk",
     "multimodal_decode_png_stats",
+    "bpe_learn_merges",
     "ohlc_bars",
     "time_weighted_avg_per_user",
 ]

@@ -1,0 +1,209 @@
+"""Tokenizer TRAINING: distributed BPE merge learning over the
+corpus (Sennrich, Haddow & Birch, "Neural Machine Translation of
+Rare Words with Subword Units", ACL 2016) — the piece of a
+training-data pipeline that LEARNS the tokenizer rather than
+merely counting tokens (text_analysis.py does the counting).
+
+Algorithm (exact, unrolled): aggregate the corpus once to a
+(word, freq) vocabulary; represent each word as a spaced symbol
+string; then for each of BPE_MERGES rounds, count adjacent symbol
+pairs weighted by word frequency, pick the argmax pair
+(deterministic tie-break: count desc, pair asc), and merge it in
+every word — leftmost-non-overlapping, the canonical BPE rule.
+
+Portable merge application — the part that usually needs a
+procedural loop — is ONE string replace per round thanks to the
+symbol encoding ``" a; b; c;"``:
+- ``;`` terminates every symbol, so the pattern ``" a; b;"``
+  cannot match inside a longer symbol (`` ba;`` fails the leading
+  boundary, `` ab;`` fails the terminator);
+- the pattern consumes no TRAILING separator, so runs merge
+  leftmost exactly like BPE: ``" a; a; a; a; a;"`` with pattern
+  ``" a; a;"`` -> ``" aa; aa; a;"`` ([a]x5 -> [aa, aa, a]) —
+  verified identical in Spark and DuckDB, and against a from-
+  scratch Python BPE in tests.
+
+Scale shape (100 TB): the ONLY corpus-sized pass is the initial
+word count (map-side combining groupBy).  Everything after —
+symbolization, pair counting, the argmax, the merge rewrite — is
+VOCAB-sized (the working set of BPE trainers like HuggingFace
+tokenizers, which aggregate word counts first for the same
+reason).  Each round's argmax is a 1-row broadcast.  BPE_MERGES
+is 4 here so the DuckDB oracle can unroll the identical rounds
+(the kmeans/pagerank discipline); production vocabularies
+(30k merges) run the same per-round plan in a driver loop with
+localCheckpoint, exactly like operators/clustering.py's Lloyd
+escalation path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+from ..io import load_table
+from ..registry import register
+
+BPE_MERGES = 4
+
+
+def _symbols(sym: Column) -> Column:
+    """Symbol list (each element keeps its ';' terminator) from the
+    spaced representation."""
+    return F.filter(F.split(sym, " "), lambda s: s != "")
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    syms = _symbols(sym)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] for a
+    # single-symbol word, not an empty list — same trap as
+    # token_shingle_hash_pairs' index build
+    idx = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+        ),
+    )
+
+
+def bpe_merges_from(d: DataFrame) -> DataFrame:
+    """Learn the first BPE_MERGES merges from a (text) relation.
+    Returns (rank, left, right, merged, pair_count) — the merge
+    table a tokenizer would persist, in learned order."""
+    vocab = words(d, "text").groupBy("word").agg(F.count("*").alias("freq"))
+    sym0 = F.array_join(
+        F.transform(
+            F.split("word", ""),
+            lambda c: F.concat(F.lit(" "), c, F.lit(";")),
+        ),
+        "",
+    )
+    cur = vocab.select("word", "freq", sym0.alias("sym"))
+    bests = []
+    for rank in range(1, BPE_MERGES + 1):
+        best = (
+            cur.select("freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(F.lit(rank).alias("rank"), "pair", "pair_count")
+        )
+        bests.append(best)
+        # apply the winning merge everywhere: leftmost-non-overlapping
+        # by the replace() scan order; 1-row broadcast join
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("pair")))
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit(" "), F.col("pair")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit("; "), F.lit("")),
+                    ),
+                ).alias("sym"),
+            )
+            # cut the per-round lineage LAZILY (plan depth grows per
+            # round; eager would run jobs at construction time)
+            .localCheckpoint(eager=False)
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    left = F.element_at(F.split("pair", "; "), 1)
+    right = F.replace(F.element_at(F.split("pair", "; "), 2), F.lit(";"), F.lit(""))
+    return (
+        out.select(
+            "rank",
+            left.alias("left"),
+            right.alias("right"),
+            F.concat(left, right).alias("merged"),
+            "pair_count",
+        )
+        .orderBy("rank")
+    )
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`bpe_merges_from` over the documents
+    fixture."""
+    return bpe_merges_from(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled DuckDB mirror: same vocabulary, same symbol
+    encoding, same pair counts, same argmax tie-break, same
+    replace-based merge — round for round."""
+    ctes = [
+        """vocab AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT lower(regexp_replace(t.tok, '[^a-zA-Z]', '', 'g')) AS word
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  ) w WHERE word <> '' GROUP BY word
+)""",
+        """s0 AS (
+  SELECT word, freq,
+         array_to_string(list_transform(string_split(word, ''),
+                                        c -> ' ' || c || ';'), '') AS sym
+  FROM vocab
+)""",
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+         j -> syms[j] || ' ' || syms[j + 1])) AS pair
+  FROM (SELECT freq,
+               list_filter(string_split(sym, ' '), s -> s <> '') AS syms
+        FROM {prev}) q
+)""",
+        )
+        ctes.append(
+            f"""b{i} AS (
+  SELECT {i} AS rank, pair, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM p{i} GROUP BY pair
+  ORDER BY pair_count DESC, pair ASC LIMIT 1
+)""",
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT s.word, s.freq,
+         replace(s.sym, ' ' || b.pair,
+                 ' ' || replace(b.pair, '; ', '')) AS sym
+  FROM {prev} s, b{i} b
+)""",
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT rank, pair, pair_count FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+all_b AS (
+  {union}
+)
+SELECT rank,
+       string_split(pair, '; ')[1] AS left,
+       replace(string_split(pair, '; ')[2], ';', '') AS right,
+       string_split(pair, '; ')[1]
+         || replace(string_split(pair, '; ')[2], ';', '') AS merged,
+       pair_count
+FROM all_b
+ORDER BY rank
+"""
+    )
+
+
+BPE_LEARN_MERGES_ORACLE = _bpe_oracle_sql()
+
+register("bpe_learn_merges", bpe_learn_merges, BPE_LEARN_MERGES_ORACLE)

@@ -71,6 +71,7 @@ def load_all_queries() -> None:
         similarity,
         text_analysis,
         timeseries,
+        tokenizer,
         windows,
         wordcount,
     )

@@ -271,6 +271,7 @@ _UNKEYED_JOIN_OK = {
     "ann_sq8_adc",              # 1-row dim-stats array broadcast
     "ann_two_stage_rerank",     # 1-row dim-stats array broadcast
     "text_bm25_topk",           # 1-row (N, avgdl) scalar broadcast
+    "bpe_learn_merges",         # 4x 1-row argmax merge-choice broadcasts
 }
 
 # Queries whose construction triggers eager execution (iterative

@@ -1,0 +1,104 @@
+"""BPE merge learning: the distributed operator must agree with a
+from-scratch Python reference implementation of canonical BPE
+(Sennrich et al. 2016) — leftmost-non-overlapping merge, count-desc
+/ pair-asc tie-break.  This is the check the DuckDB oracle cannot
+provide: both engines share the spaced-symbol string encoding, so
+an encoding-level bug would pass parity on both sides."""
+
+from collections import Counter
+
+from db_mapreduce_project_spark import registry
+from db_mapreduce_project_spark.operators.tokenizer import (
+    BPE_MERGES,
+    bpe_merges_from,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Canonical BPE on a (word -> freq) vocabulary.  Tie-break on
+    the encoded pair string (identical to the engine's ORDER BY)."""
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        best = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}; {kv[0][1]};")
+        )
+        (a, b), cnt = best
+        merges.append((a, b, a + b, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_against_python_reference_synthetic(spark):
+    """Adversarial vocabulary: runs of one letter (leftmost-pairing
+    semantics), the classic low/lower/newest/widest example, and a
+    repeated-bigram word."""
+    rows = []
+    doc_id = 0
+    for w, f in [
+        ("aaaaa", 4),
+        ("banana", 3),
+        ("low", 5),
+        ("lower", 2),
+        ("newest", 6),
+        ("widest", 3),
+        ("a", 7),
+    ]:
+        for _ in range(f):
+            rows.append((doc_id, w))
+            doc_id += 1
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merges_from(d).collect()
+    ]
+    freqs: Counter = Counter(w for _, w in rows)
+    want = _ref_bpe(dict(freqs), BPE_MERGES)
+    assert got == want
+    # the run-of-a word must have contributed leftmost pairings:
+    # 'aaaaa' x4 + 'banana' x3 contain (a,a) pairs 4*4=16 times;
+    # sanity that the reference itself saw them
+    all_pairs = {(m[0], m[1]) for m in want}
+    assert len(all_pairs) == len(want)  # merges are distinct
+
+
+def test_bpe_against_python_reference_fixture(spark):
+    """Same agreement on the real documents fixture: rebuild the
+    normalized vocabulary in Python and compare all learned
+    merges."""
+    from db_mapreduce_project_spark.functions.text import words
+    from db_mapreduce_project_spark.io import load_table
+
+    vocab = {
+        r["word"]: r["freq"]
+        for r in words(load_table(spark, SF, "documents"), "text")
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "freq")
+        .collect()
+    }
+    want = _ref_bpe(vocab, BPE_MERGES)
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in registry.QUERIES["bpe_learn_merges"](spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) == BPE_MERGES
