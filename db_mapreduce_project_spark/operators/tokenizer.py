@@ -207,3 +207,100 @@ ORDER BY rank
 BPE_LEARN_MERGES_ORACLE = _bpe_oracle_sql()
 
 register("bpe_learn_merges", bpe_learn_merges, BPE_LEARN_MERGES_ORACLE)
+
+
+BPE_VOCAB_TOPK = 25
+
+
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned merges: segment every corpus word with the
+    BPE_MERGES-round merge table and return the resulting subword
+    vocabulary distribution (top BPE_VOCAB_TOPK subwords by corpus
+    occurrences, then subword asc) — the learn->apply round trip a
+    tokenizer ships.
+
+    Application cost at 100 TB is the point: segmentation happens
+    on the VOCAB table (one row per distinct word), and per-word
+    subword counts rejoin the corpus only as (word, subword, k)
+    rows — the corpus itself is touched exactly once by the word
+    count.  Here application reuses the same unrolled rounds as
+    bpe_learn_merges (the final `cur` state IS the segmented
+    vocab), so learn and apply cannot drift."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = words(d, "text").groupBy("word").agg(F.count("*").alias("freq"))
+    sym0 = F.array_join(
+        F.transform(
+            F.split("word", ""),
+            lambda c: F.concat(F.lit(" "), c, F.lit(";")),
+        ),
+        "",
+    )
+    cur = vocab.select("word", "freq", sym0.alias("sym"))
+    for _ in range(BPE_MERGES):
+        best = (
+            cur.select(
+                "freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .select("pair")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit(" "), F.col("pair")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit("; "), F.lit("")),
+                    ),
+                ).alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.select("freq", F.explode(_symbols(F.col("sym"))).alias("_s"))
+        .select(
+            "freq", F.replace(F.col("_s"), F.lit(";"), F.lit("")).alias("subword")
+        )
+        .groupBy("subword")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("subword").asc())
+        .limit(BPE_VOCAB_TOPK)
+    )
+
+
+def _bpe_tokenize_oracle_sql() -> str:
+    """Reuses the learn oracle's unrolled CTE chain; the final
+    segmented vocab s{M} explodes into the subword distribution."""
+    learn = _bpe_oracle_sql()
+    # strip the learn oracle's final SELECT (everything after the
+    # closing of the last CTE block `all_b AS (...)`), keep the CTEs
+    cte_part = learn[: learn.rindex(")") + 1]
+    cte_part = cte_part[: cte_part.rindex("all_b AS (")].rstrip().rstrip(",")
+    return (
+        cte_part
+        + f""",
+subwords AS (
+  SELECT replace(unnest(list_filter(string_split(sym, ' '), s -> s <> '')),
+                 ';', '') AS subword,
+         freq
+  FROM s{BPE_MERGES}
+)
+SELECT subword, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM subwords
+GROUP BY subword
+ORDER BY n_occurrences DESC, subword ASC
+LIMIT {BPE_VOCAB_TOPK}
+"""
+    )
+
+
+BPE_TOKENIZE_CORPUS_ORACLE = _bpe_tokenize_oracle_sql()
+
+register("bpe_tokenize_corpus", bpe_tokenize_corpus, BPE_TOKENIZE_CORPUS_ORACLE)

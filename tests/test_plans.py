@@ -272,6 +272,7 @@ _UNKEYED_JOIN_OK = {
     "ann_two_stage_rerank",     # 1-row dim-stats array broadcast
     "text_bm25_topk",           # 1-row (N, avgdl) scalar broadcast
     "bpe_learn_merges",         # 4x 1-row argmax merge-choice broadcasts
+    "bpe_tokenize_corpus",      # same unrolled argmax broadcasts
 }
 
 # Queries whose construction triggers eager execution (iterative

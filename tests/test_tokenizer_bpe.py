@@ -102,3 +102,48 @@ def test_bpe_against_python_reference_fixture(spark):
     ]
     assert got == want
     assert len(got) == BPE_MERGES
+
+
+def test_bpe_tokenize_against_python_reference(spark):
+    """The learn->apply round trip: segment the fixture vocabulary
+    with the Python-reference merges and compare the top-K subword
+    distribution with the distributed operator's."""
+    from collections import Counter as C
+
+    from db_mapreduce_project_spark.functions.text import words
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.operators.tokenizer import (
+        BPE_VOCAB_TOPK,
+    )
+
+    vocab = {
+        r["word"]: r["freq"]
+        for r in words(load_table(spark, SF, "documents"), "text")
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "freq")
+        .collect()
+    }
+    merges = _ref_bpe(vocab, BPE_MERGES)
+    seqs = {w: list(w) for w in vocab}
+    for a, b, _m, _c in merges:
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    dist: C = C()
+    for w, s in seqs.items():
+        for sub in s:
+            dist[sub] += vocab[w]
+    want = sorted(dist.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_VOCAB_TOPK]
+    got = [
+        (r["subword"], r["n_occurrences"])
+        for r in registry.QUERIES["bpe_tokenize_corpus"](spark, SF).collect()
+    ]
+    assert got == want
