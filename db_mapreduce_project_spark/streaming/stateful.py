@@ -166,7 +166,12 @@ def _update_sessions(
 
     ts_parts, val_parts = [], []
     for pdf in pdfs:
-        ts_parts.append(pdf["ts"].astype("int64").to_numpy() // 1000)  # us
+        # unit-explicit: Arrow->pandas may deliver datetime64[ns] or
+        # [us] depending on conversion defaults; casting through
+        # datetime64[us] is correct for both
+        ts_parts.append(
+            pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        )
         val_parts.append(
             np.floor(pdf["value"].to_numpy() * 10.0**QSCALE + 0.5).astype(
                 "int64"
