@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.stable import duck_qavg, duck_qsum, qavg, qsum
+from ..functions.stable import duck_qsum, qavg, qsum
 from ..io import load_table
 from ..registry import register
 
