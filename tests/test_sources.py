@@ -494,3 +494,55 @@ def test_compact_parquet_rejects_in_place(spark, sf_dir, tmp_path):
         compact_parquet(spark, path, str(tmp_path / "data"))
     # input survived the rejected call
     assert spark.read.parquet(path).count() == 5
+
+
+def test_compressed_text_and_jsonl_sources(spark, sf_dir, tmp_path):
+    """Compressed arrival formats — how 100 TB of crawl data
+    actually lands: gzip JSONL written OUTSIDE Spark (stdlib gzip,
+    the upstream-producer path) and zstd text written by Spark
+    itself, both read back transparently by the normal readers.
+    Operational note the test encodes: gzip/zstd text files are
+    NON-SPLITTABLE — each file decompresses in one task, so
+    upstream file sizing (not maxPartitionBytes) sets the scan
+    parallelism for compressed corpora."""
+    import gzip
+    import json as _json
+
+    from db_mapreduce_project_spark.sources.readers import read_json
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .limit(50)
+        .collect()
+    )
+
+    # gzip JSONL produced outside Spark
+    gz_dir = tmp_path / "docs_jsonl_gz"
+    gz_dir.mkdir()
+    with gzip.open(gz_dir / "part-000.json.gz", "wt", encoding="utf-8") as f:
+        for r in docs:
+            f.write(_json.dumps(
+                {"doc_id": r["doc_id"], "lang": r["lang"], "text": r["text"]}
+            ) + "\n")
+    back = read_json(
+        spark, str(gz_dir), "doc_id bigint, lang string, text string"
+    )
+    got = {(r["doc_id"], r["lang"], r["text"]) for r in back.collect()}
+    assert got == {(r["doc_id"], r["lang"], r["text"]) for r in docs}
+    # non-splittable: the single .gz file scans as one partition
+    assert back.rdd.getNumPartitions() == 1
+
+    # gzip-compressed text written by Spark, read back by Spark
+    gz_txt_dir = str(tmp_path / "docs_text_gz")
+    lines = spark.createDataFrame(
+        [(r["text"],) for r in docs], "value string"
+    ).coalesce(1)
+    lines.write.option("compression", "gzip").mode("overwrite").text(gz_txt_dir)
+    import os
+
+    assert any(
+        f.endswith(".gz") for f in os.listdir(gz_txt_dir)
+    ), os.listdir(gz_txt_dir)
+    back_txt = sorted(r["value"] for r in spark.read.text(gz_txt_dir).collect())
+    assert back_txt == sorted(r["text"] for r in docs)
