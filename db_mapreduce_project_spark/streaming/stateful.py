@@ -177,8 +177,22 @@ def _update_sessions(
                 "int64"
             )
         )
-    ts = np.concatenate(ts_parts)
-    vals = np.concatenate(val_parts)
+    ts = np.concatenate(ts_parts) if ts_parts else np.empty(0, dtype="int64")
+    vals = (
+        np.concatenate(val_parts) if val_parts else np.empty(0, dtype="int64")
+    )
+    if len(ts) == 0:
+        # defensive: invoked with neither data nor timeout — keep the
+        # open session and its timer as they were
+        if state.exists:
+            st, en, n, qv = state.get
+            state.setTimeoutTimestamp(
+                max(
+                    en // 1000 + SESSION_GAP_S * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        return
     order = np.argsort(ts, kind="stable")
     ts, vals = ts[order], vals[order]
 
