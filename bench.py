@@ -144,6 +144,10 @@ def main() -> None:
         "spread": spreads,
         "n": n_iter,
         "sf": sf,
+        # self-describing methodology stamp: a non-isolated (A/B) run
+        # must be distinguishable from a proper BENCH_LOCAL artifact,
+        # or it could silently be compared against isolated baselines
+        "isolation": not os.environ.get("SPARK_GRAFT_BENCH_NO_ISOLATION"),
     }
     # Self-archive the COMPLETE per-query artifact in-repo: the
     # driver's BENCH_r*.json captures only the tail of stdout, which

@@ -214,6 +214,11 @@ def decode_png(buf: bytes) -> tuple[int, int, bytes]:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            # validate the declared length BEFORE unpacking: a
+            # 13-byte format string on non-13 data raises
+            # struct.error, breaking the ValueError-only contract
+            if length != 13:
+                raise ValueError(f"IHDR length must be 13, got {length}")
             width, height, depth, color, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -223,6 +228,9 @@ def decode_png(buf: bytes) -> tuple[int, int, bytes]:
                     f"depth={depth} color={color} interlace={inter}"
                 )
         elif ctype == b"IDAT":
+            # spec §5.6: IDAT must come after IHDR
+            if width is None:
+                raise ValueError("IDAT chunk before IHDR")
             idat.extend(data)
         elif ctype == b"IEND":
             saw_iend = True

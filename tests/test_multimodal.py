@@ -132,6 +132,25 @@ def test_png_rejects_malformed():
     )
     with pytest.raises(ValueError, match="8-bit RGB"):
         decode_png(bad_ihdr)
+    # an IHDR whose declared length is not 13 (valid CRC) must raise
+    # ValueError, not struct.error (advice item: the docstring
+    # promises ValueError for every malformed payload)
+    short_ihdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBB", 2, 2, 8, 2, 0))
+        + chunk(b"IDAT", _z.compress(bytes(26)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(short_ihdr)
+    # chunk-order violation: IDAT before IHDR
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    idat = chunk(b"IDAT", _z.compress(bytes(26)))
+    out_of_order = (
+        b"\x89PNG\r\n\x1a\n" + idat + ihdr + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT chunk before IHDR"):
+        decode_png(out_of_order)
 
 
 def test_png_payloads_are_valid_images(spark, sf_dir):
