@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_containment_lsh",
     "dedup_containment_bottomk",
+    "dedup_containment_ensemble",
     "multimodal_decode_png_stats",
     "bpe_learn_merges",
     "ohlc_bars",

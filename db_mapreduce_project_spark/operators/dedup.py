@@ -840,6 +840,228 @@ register(
 )
 
 
+# Size-stratum ladder bound for the stratified containment index:
+# strata are floor(log2(n_sh)), so 40 covers sets up to 2^40
+# shingles — far beyond any real document.
+CONTAIN_STRATUM_MAX = 40
+
+
+def _stratum_case_sum_sql(n_expr: str) -> str:
+    """DuckDB fragment for floor(log2(n)) as exact integer
+    arithmetic — a CASE ladder over powers of two, immune to the
+    float-log boundary hazard (log2(2^k) returning 2.999... would
+    silently shift a stratum on one engine only)."""
+    terms = " + ".join(
+        f"(CASE WHEN {n_expr} >= {1 << k} THEN 1 ELSE 0 END)"
+        for k in range(1, CONTAIN_STRATUM_MAX + 1)
+    )
+    return f"({terms})"
+
+
+def containment_pairs_ensemble_from(d: DataFrame) -> DataFrame:
+    """Directional containment with SIZE-STRATIFIED, DETERMINISTIC-
+    RECALL candidates — the production path that closes the last
+    recall gap in the containment family.
+
+    The structure follows LSH Ensemble's central insight
+    (Zhu, Nandi & Miller, "LSH Ensemble: Internet-Scale Domain
+    Search", VLDB 2016): a containment index must be PARTITIONED BY
+    SET SIZE, because a single corpus-wide signature scheme keyed on
+    Jaccard goes blind exactly as |container|/|contained| grows.
+    Docs are bucketed into geometric strata a = floor(log2(|S|)),
+    and the posting index is built PER QUERY STRATUM — but where
+    LSH Ensemble tunes per-stratum MinHash banding (recall still
+    probabilistic), the per-stratum signature here is an exact
+    PREFIX FILTER (Chaudhuri, Ganti & Kaushik, "A Primitive
+    Operator for Similarity Joins", ICDE 2006; Xiao et al.'s ppjoin
+    prefix lemma), which makes candidate recall EXACTLY 1 — the
+    shape a 100 TB dedup with a hard recall SLA needs.
+
+    Scheme (all under the shared global order (h1, h2) on the
+    DF-capped shingle universe — the same universe every containment
+    form scores, so results are comparable row-for-row):
+    - PROBES: doc A with |A| = n exposes its first
+      n - ceil(t*n) + 1 shingles, tagged with A's stratum a.
+    - POSTINGS: doc B (stratum b) exposes, for EACH stratum a <= b,
+      its first |B| - ceil(t*2^a) + 1 shingles under the key
+      (q_stratum = a) — longer prefixes for smaller query strata,
+      shorter for same-size queries.  Only strata >= a are indexed
+      for a because the contained side is never the larger set.
+    - Candidates: probes join postings on (q_stratum, h1, h2) with
+      the min-side orientation (n, doc_id) tiebreak; the shared
+      exact verify (:func:`_verify_containment`) scores them.
+
+    WHY RECALL IS 1 (prefix lemma with mixed thresholds): for a
+    qualifying pair, |A n B| >= ceil(t*|A|) =: alpha_A.  Let c be
+    the smallest common shingle in the global order.  At least
+    alpha_A - 1 common shingles follow c in BOTH sets, so
+    pos_A(c) <= |A| - alpha_A + 1 (c is in A's probe prefix) and
+    pos_B(c) <= |B| - alpha_A + 1 <= |B| - ceil(t*2^a) + 1 (c is in
+    B's stratum-a posting prefix, since |A| >= 2^a implies
+    alpha_A >= ceil(t*2^a)).  The pair therefore collides on c —
+    deterministically, unlike the bottom-K path's 1-(1-c)^K bound
+    or the Jaccard-banded path's size-ratio blindness.  Because the
+    verify is exact too, the output EQUALS the exact inverted-index
+    form (dedup_containment, the oracle twin) on every input —
+    asserted on fixtures AND the planted tiny-doc-in-huge-doc case.
+
+    Scale shape: probe volume is (1-t)*|corpus shingles| + n_docs;
+    posting volume is at most num_strata * |corpus shingles| but
+    each per-stratum prefix shrinks as the stratum rises, and every
+    probe meets at most SHINGLE_DF_CAP postings per shingle — the
+    candidate join is linear in the corpus with a fixed constant,
+    and only distinct candidate pairs (not every co-occurrence, the
+    exact form's quadratic hazard) reach the verify."""
+    from pyspark.sql.window import Window
+
+    t = CONTAIN_THRESHOLD
+    sh = _capped_shingle_hashes(d).cache()
+    ranked = (
+        sh.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("h1", "h2")
+            ),
+        )
+        # floor(log2(n)) via the binary-string length — exact integer
+        # arithmetic (see _stratum_case_sum_sql for the float hazard)
+        .withColumn("stratum", F.length(F.bin(F.col("n_sh"))) - 1)
+        .cache()  # consumed by probes AND the stratified posting index
+    )
+    strata = (
+        ranked.select(F.col("stratum").alias("q_stratum"))
+        .distinct()
+        .withColumn(
+            "alpha",
+            F.ceil(F.lit(t) * F.pow(F.lit(2.0), F.col("q_stratum"))).cast(
+                "long"
+            ),
+        )
+    )
+    probes = ranked.where(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    ).select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("n_sh").alias("p_n"),
+        F.col("stratum").alias("q_stratum"),
+        "h1",
+        "h2",
+    )
+    # the strata table is tiny (<= CONTAIN_STRATUM_MAX rows) — the
+    # range join is a broadcast nested loop by construction
+    postings = (
+        ranked.join(F.broadcast(strata), F.col("stratum") >= F.col("q_stratum"))
+        .where(F.col("rk") <= F.col("n_sh") - F.col("alpha") + 1)
+        .select(
+            F.col("doc_id").alias("s_doc"),
+            F.col("n_sh").alias("s_n"),
+            "q_stratum",
+            "h1",
+            "h2",
+        )
+    )
+    cand = (
+        probes.join(postings, ["q_stratum", "h1", "h2"])
+        .where(
+            (F.col("p_n") < F.col("s_n"))
+            | ((F.col("p_n") == F.col("s_n")) & (F.col("p_doc") < F.col("s_doc")))
+        )
+        .select(
+            F.least("p_doc", "s_doc").alias("doc_a"),
+            F.greatest("p_doc", "s_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_containment(cand, sh)
+
+
+def dedup_containment_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`containment_pairs_ensemble_from`
+    over the documents fixture."""
+    return containment_pairs_ensemble_from(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _containment_ensemble_oracle_sql() -> str:
+    """DuckDB mirror of the size-stratified prefix pipeline: same
+    hash order, same strata (exact CASE-ladder log2), same probe and
+    per-stratum posting prefixes, same orientation rule, same
+    verify."""
+    h1 = duck_charhash("shingle", FP_CHAR_BASE, FP_MOD)
+    h2 = duck_charhash("shingle", FP_WORD_BASE, FP_MOD2)
+    t = CONTAIN_THRESHOLD
+    return f"""
+WITH {_SHINGLES_CTE},
+ranked AS (
+  SELECT doc_id, shingle, n_sh,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h1, h2) AS rk,
+         {_stratum_case_sum_sql("n_sh")} AS stratum
+  FROM (
+    SELECT doc_id, shingle, {h1} AS h1, {h2} AS h2,
+           count(*) OVER (PARTITION BY doc_id) AS n_sh
+    FROM shingles
+  ) h
+),
+strata AS (
+  SELECT DISTINCT stratum AS q_stratum,
+         CAST(ceil({t} * power(2, stratum)) AS BIGINT) AS alpha
+  FROM ranked
+),
+probes AS (
+  SELECT doc_id AS p_doc, n_sh AS p_n, stratum AS q_stratum, shingle
+  FROM ranked
+  WHERE rk <= n_sh - CAST(ceil({t} * n_sh) AS BIGINT) + 1
+),
+postings AS (
+  SELECT r.doc_id AS s_doc, r.n_sh AS s_n, q.q_stratum, r.shingle
+  FROM ranked r JOIN strata q ON r.stratum >= q.q_stratum
+  WHERE r.rk <= r.n_sh - q.alpha + 1
+),
+cand AS (
+  SELECT DISTINCT least(p.p_doc, o.s_doc) AS doc_a,
+                  greatest(p.p_doc, o.s_doc) AS doc_b
+  FROM probes p JOIN postings o USING (q_stratum, shingle)
+  WHERE (p.p_n < o.s_n) OR (p.p_n = o.s_n AND p.p_doc < o.s_doc)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END
+           AS contained_id,
+         CASE WHEN sa.n_sh <= sb.n_sh THEN doc_b ELSE doc_a END
+           AS container_id,
+         n_common,
+         CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT contained_id, container_id, n_common, containment
+FROM scored
+WHERE containment >= {CONTAIN_THRESHOLD}
+ORDER BY contained_id, container_id
+"""
+
+
+DEDUP_CONTAINMENT_ENSEMBLE_ORACLE = _containment_ensemble_oracle_sql()
+
+register(
+    "dedup_containment_ensemble",
+    dedup_containment_ensemble,
+    DEDUP_CONTAINMENT_ENSEMBLE_ORACLE,
+)
+
+
 def dedup_containment_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental directional containment: tonight's delta docs vs
     the established base corpus via bottom-K probes — completing

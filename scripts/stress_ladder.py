@@ -35,6 +35,7 @@ sys.path.insert(
 from db_mapreduce_project_spark.io import load_table
 from db_mapreduce_project_spark.operators.dedup import (
     containment_pairs_bottomk_from,
+    containment_pairs_ensemble_from,
     containment_pairs_from,
     containment_pairs_lsh_from,
     jaccard_pairs_from,
@@ -53,14 +54,26 @@ FAMILIES = {
     "containment_exact": containment_pairs_from,
     "containment_lsh": containment_pairs_lsh_from,
     "containment_bottomk": containment_pairs_bottomk_from,
+    "containment_ensemble": containment_pairs_ensemble_from,
 }
 
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    # optional overrides for big single rungs (e.g. the 500k-doc
+    # runs at sf0.1 x 100): comma-separated family and copies lists
+    fams = os.environ.get("SPARK_GRAFT_LADDER_FAMILIES")
+    families = (
+        {k: FAMILIES[k] for k in fams.split(",")} if fams else FAMILIES
+    )
+    rungs = tuple(
+        int(c)
+        for c in os.environ.get("SPARK_GRAFT_LADDER_COPIES", "1,10,100").split(",")
+    )
     spark = get_spark("stress_ladder")
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_base = base.count()
 
     # warm-up absorbs JVM/session startup + parquet footer reads so
     # the 1x rung measures the operator, not process boot
@@ -68,15 +81,16 @@ def main() -> None:
     spark.catalog.clearCache()
 
     records = []
-    for copies in (1, 10, 100):
+    for copies in rungs:
         docs = base if copies == 1 else expand(base, ["doc_id"], copies)
-        for fam, fn in FAMILIES.items():
+        for fam, fn in families.items():
             t0 = time.perf_counter()
             n = fn(docs).count()
             sec = round(time.perf_counter() - t0, 2)
             rec = {
                 "family": fam,
                 "copies": copies,
+                "docs": n_base * copies,
                 "sec": sec,
                 "out_rows": n,
                 "sf": SF_DIR,
