@@ -458,7 +458,13 @@ def test_stateful_sessionize_timeout_eviction(spark, sf_dir):
     max_ts = ev.agg(F.max("ts")).first()[0]
     import datetime
 
-    wm = max_ts - datetime.timedelta(minutes=10)
+    # Spark tracks event-time stats ms-TRUNCATED (EventTimeStats
+    # adds eventTime/1000), so mirror that before subtracting the
+    # delay; emission requires end + gap < wm STRICTLY (an event at
+    # ts = wm with ts - end = gap would still merge)
+    wm = max_ts.replace(
+        microsecond=(max_ts.microsecond // 1000) * 1000
+    ) - datetime.timedelta(minutes=10)
     batch = sessionize(ev).collect()
     want = {
         (r["user_id"], r["session_start"]): (
@@ -469,12 +475,134 @@ def test_stateful_sessionize_timeout_eviction(spark, sf_dir):
         for r in batch
         if r["session_end"] + datetime.timedelta(seconds=SESSION_GAP_S) < wm
     }
-    # every closable batch session was emitted with identical values
-    for k, v in want.items():
-        assert k in got, k
-        assert got[k] == v, (k, got[k], v)
-    # nothing extra beyond batch sessions (an emitted session may be
-    # a still-open batch session only if the timeout raced the tail)
-    batch_keys = {(r["user_id"], r["session_start"]) for r in batch}
-    assert set(got) <= batch_keys
+    # watermark-safe emission is deterministic: the emitted set
+    # EQUALS the closable batch sessions, value-for-value
+    assert got == want
     assert want  # non-vacuous: the fixture closes real sessions
+
+
+def test_stateful_sessionize_cross_batch_bridging(spark, tmp_path):
+    """The append-mode hazard watermark-safe emission exists for: a
+    later micro-batch legally delivers an event (ts >= watermark)
+    that BRIDGES a gap between two segments an earlier batch saw
+    separated.  A sessionizer that emits intra-batch-gap segments
+    immediately can never retract them; the watermark-safe design
+    must instead emit the single merged session the batch semantics
+    define, and nothing else."""
+    import datetime
+    import os
+    import shutil
+
+    from db_mapreduce_project_spark.streaming.stateful import (
+        read_session_sink,
+        stream_sessions_to_sink,
+    )
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m, 0)
+
+    # batch 0: user 1 at 12:00 and 12:35 — a 35-min intra-batch gap
+    # (> the 30-min session gap).  After it, watermark = 12:25.
+    # batch 1: user 1 at 12:28 (>= wm, legal) bridges both segments
+    # (28 min from the left, 7 min from the right); user 2 at 13:30
+    # pushes the final watermark to 13:20 > 12:35 + 30 min, making
+    # the merged session provably closed.
+    batches = [
+        [(1, 1, ts(12, 0), 1.0), (1, 2, ts(12, 35), 2.0)],
+        [(1, 3, ts(12, 28), 4.0), (2, 4, ts(13, 30), 8.0)],
+    ]
+    src = str(tmp_path / "bridge_src")
+    os.makedirs(src)
+    now = __import__("time").time()
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+        ).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        # the file source orders batches by modification time
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+
+    out = str(tmp_path / "bridge_out")
+    ckpt = str(tmp_path / "bridge_ckpt")
+    q = stream_sessions_to_sink(spark, None, out, ckpt, source_dir=src)
+    assert q.awaitTermination(120)
+    got = [
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 4),
+        )
+        for r in read_session_sink(spark, out).collect()
+    ]
+    # exactly ONE emitted session: the bridged 12:00-12:35 triple;
+    # user 2's open session stays in state (not closable at 13:20)
+    assert got == [(1, ts(12, 0), ts(12, 35), 3, 7.0)]
+
+
+def test_session_sink_exactly_once_across_crash_restart(
+    spark, sf_dir, tmp_path
+):
+    """Crash/restart protocol for the stateful session sink: kill
+    the stream after batch 1's parquet write landed but before its
+    offset commit, restart from the same checkpoint, and assert the
+    sink equals the single-run result — the replayed batch reloads
+    the checkpointed state version and the LOGGED watermark, so it
+    re-emits byte-identical sessions into its own overwritten
+    subdirectory.  This is exactly the recovery path EventTimeTimeout
+    state must survive (the round-5 verdict's ask)."""
+    import os
+
+    from db_mapreduce_project_spark.streaming.stateful import (
+        read_session_sink,
+        session_sink_emitter,
+        stream_sessions_to_sink,
+    )
+
+    src = _staged_multibatch_events(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    crash_flag = str(tmp_path / "sess_crashed")
+
+    from db_mapreduce_project_spark.streaming.stateful import _sessionized
+
+    emitter = session_sink_emitter(out)
+
+    def crashing(df, batch_id):
+        emitter(df, batch_id)
+        if batch_id == 1 and not os.path.exists(crash_flag):
+            with open(crash_flag, "w") as f:
+                f.write("crashed")
+            raise RuntimeError("injected crash after sink write")
+
+    q = (
+        _sessionized(spark, None, src)
+        .writeStream.foreachBatch(crashing)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert os.path.exists(crash_flag)
+    # restart from the same checkpoint: batch 1 replays (offset
+    # never committed), then the stream runs to completion
+    q2 = stream_sessions_to_sink(spark, None, out, ckpt, source_dir=src)
+    assert q2.awaitTermination(120)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    got = _rows(read_session_sink(spark, out), cols)
+
+    # reference: the same staged source run cleanly end-to-end
+    out2 = str(tmp_path / "sess_out_clean")
+    ckpt2 = str(tmp_path / "sess_ckpt_clean")
+    q3 = stream_sessions_to_sink(spark, None, out2, ckpt2, source_dir=src)
+    assert q3.awaitTermination(120)
+    want = _rows(read_session_sink(spark, out2), cols)
+    assert got == want
+    assert got  # non-vacuous: real sessions were emitted
