@@ -70,11 +70,9 @@ def _adjacent_pairs(sym: Column) -> Column:
     )
 
 
-def bpe_merges_from(d: DataFrame) -> DataFrame:
-    """Learn the first BPE_MERGES merges from a (text) relation.
-    Returns (rank, left, right, merged, pair_count) — the merge
-    table a tokenizer would persist, in learned order."""
-    vocab = words(d, "text").groupBy("word").agg(F.count("*").alias("freq"))
+def bpe_symbolized_vocab(vocab: DataFrame) -> DataFrame:
+    """(word, freq) -> (word, freq, sym): the spaced-and-terminated
+    symbol encoding every merge round rewrites."""
     sym0 = F.array_join(
         F.transform(
             F.split("word", ""),
@@ -82,38 +80,54 @@ def bpe_merges_from(d: DataFrame) -> DataFrame:
         ),
         "",
     )
-    cur = vocab.select("word", "freq", sym0.alias("sym"))
+    return vocab.select("word", "freq", sym0.alias("sym"))
+
+
+def bpe_best_pair(cur: DataFrame) -> DataFrame:
+    """The round's argmax: one (pair, pair_count) row, deterministic
+    tie-break (count desc, pair asc); empty when no adjacent pairs
+    remain (fully merged vocabulary)."""
+    return (
+        cur.select("freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(1)
+    )
+
+
+def bpe_apply_merge(cur: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply the winning merge everywhere: leftmost-non-overlapping
+    by the replace() scan order; 1-row broadcast join (no collect)."""
+    return cur.crossJoin(F.broadcast(best.select("pair"))).select(
+        "word",
+        "freq",
+        F.replace(
+            F.col("sym"),
+            F.concat(F.lit(" "), F.col("pair")),
+            F.concat(
+                F.lit(" "),
+                F.replace(F.col("pair"), F.lit("; "), F.lit("")),
+            ),
+        ).alias("sym"),
+    )
+
+
+def bpe_merges_from(d: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn the first `n_merges` BPE merges from a (text) relation.
+    Returns (rank, left, right, merged, pair_count) — the merge
+    table a tokenizer would persist, in learned order."""
+    vocab = words(d, "text").groupBy("word").agg(F.count("*").alias("freq"))
+    cur = bpe_symbolized_vocab(vocab)
     bests = []
-    for rank in range(1, BPE_MERGES + 1):
-        best = (
-            cur.select("freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-            .limit(1)
-            .select(F.lit(rank).alias("rank"), "pair", "pair_count")
+    for rank in range(1, n_merges + 1):
+        best = bpe_best_pair(cur).select(
+            F.lit(rank).alias("rank"), "pair", "pair_count"
         )
         bests.append(best)
-        # apply the winning merge everywhere: leftmost-non-overlapping
-        # by the replace() scan order; 1-row broadcast join
-        cur = (
-            cur.crossJoin(F.broadcast(best.select("pair")))
-            .select(
-                "word",
-                "freq",
-                F.replace(
-                    F.col("sym"),
-                    F.concat(F.lit(" "), F.col("pair")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("pair"), F.lit("; "), F.lit("")),
-                    ),
-                ).alias("sym"),
-            )
-            # cut the per-round lineage LAZILY (plan depth grows per
-            # round; eager would run jobs at construction time)
-            .localCheckpoint(eager=False)
-        )
+        # cut the per-round lineage LAZILY (plan depth grows per
+        # round; eager would run jobs at construction time)
+        cur = bpe_apply_merge(cur, best).localCheckpoint(eager=False)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -228,40 +242,10 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab), so learn and apply cannot drift."""
     d = load_table(spark, sf_dir, "documents")
     vocab = words(d, "text").groupBy("word").agg(F.count("*").alias("freq"))
-    sym0 = F.array_join(
-        F.transform(
-            F.split("word", ""),
-            lambda c: F.concat(F.lit(" "), c, F.lit(";")),
-        ),
-        "",
-    )
-    cur = vocab.select("word", "freq", sym0.alias("sym"))
+    cur = bpe_symbolized_vocab(vocab)
     for _ in range(BPE_MERGES):
-        best = (
-            cur.select(
-                "freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("pair")
-            )
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-            .limit(1)
-            .select("pair")
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(best))
-            .select(
-                "word",
-                "freq",
-                F.replace(
-                    F.col("sym"),
-                    F.concat(F.lit(" "), F.col("pair")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("pair"), F.lit("; "), F.lit("")),
-                    ),
-                ).alias("sym"),
-            )
-            .localCheckpoint(eager=False)
+        cur = bpe_apply_merge(cur, bpe_best_pair(cur)).localCheckpoint(
+            eager=False
         )
     return (
         cur.select("freq", F.explode(_symbols(F.col("sym"))).alias("_s"))

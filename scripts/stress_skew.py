@@ -176,6 +176,89 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
+    # ---- scenario 3: planted hot band in the MinHash band index ----
+    # A boilerplate-heavy corpus makes a few (band, band_hash) keys
+    # hot: when a long shared phrase dominates a document's minimum
+    # hashes, every doc carrying it lands in the SAME band buckets,
+    # and the band self-join does k^2 work on one key.  The engine's
+    # defense is the SHINGLE_DF_CAP prefilter: shingles shared by
+    # more than DF_CAP docs are dropped BEFORE signatures exist, so
+    # a phrase shared by 10% of the corpus (DF 500 here) can never
+    # form a band group — while a phrase at the cap boundary
+    # (DF = 100 <= cap) survives and bounds the worst band group (and
+    # its join output) at cap and cap^2/2.  Both plants are measured
+    # with the cap ON and OFF; the uncapped run is the counterfactual
+    # showing the hazard is real, not hypothetical.
+    from db_mapreduce_project_spark.functions.hashing import (
+        lsh_bands_portable,
+        minhash_signature_from_pairs,
+        token_shingle_hash_pairs,
+    )
+    from db_mapreduce_project_spark.operators.dedup import (
+        _MH_BANDS,
+        _MH_HASHES,
+        _capped_shingle_hashes,
+        SHINGLE_DF_CAP,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    boiler = " ".join(f"boilerw{j}" for j in range(500))
+    edge = " ".join(f"edgew{j}" for j in range(500))
+    # doc_ids are dense 0..n-1: % 10 == 0 plants the hot phrase on
+    # 10% of docs (DF >> cap); % 50 == 1 plants the boundary phrase
+    # on exactly n/50 docs (DF <= cap); the two sets are disjoint
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(boiler)),
+        )
+        .when(
+            F.col("doc_id") % 50 == 1,
+            F.concat_ws(" ", F.col("text"), F.lit(edge)),
+        )
+        .otherwise(F.col("text")),
+    ).localCheckpoint(eager=True)
+    emit({"scenario": "hot_band_fixture", "docs": n_docs,
+          "hot_df": n_docs // 10, "edge_df": n_docs // 50,
+          "df_cap": SHINGLE_DF_CAP})
+
+    def band_join_stats(sh, label):
+        sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=_MH_HASHES)
+        bands = lsh_bands_portable(
+            sig, "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
+        ).localCheckpoint(eager=True)
+        top = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.max("k").alias("k"))
+            .first()
+        )
+        k = top["k"]
+        emit({"scenario": f"hot_band_{label}_maxgroup",
+              "max_band_group": k,
+              "pairs_from_max_group": k * (k - 1) // 2,
+              **partition_balance(bands, N_SHUFFLE, "band", "band_hash")})
+        cand = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "band_hash"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+            .distinct()
+        )
+        t0 = time.perf_counter()
+        n_cand = cand.count()
+        emit({"scenario": f"hot_band_{label}_candidates",
+              "n_candidates": n_cand,
+              "sec": round(time.perf_counter() - t0, 2)})
+        spark.catalog.clearCache()
+
+    band_join_stats(_capped_shingle_hashes(planted), "capped")
+    band_join_stats(
+        token_shingle_hash_pairs(planted, "doc_id", "text", n=3), "uncapped"
+    )
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SKEWSTRESS.json",

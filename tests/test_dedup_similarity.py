@@ -334,6 +334,72 @@ def test_containment_bottomk_survives_size_asymmetry(spark):
     assert not (planted & banded)  # Jaccard-banded: blind to all of them
 
 
+def test_df_cap_dissolves_planted_hot_band(spark):
+    """The band-index self-join's skew defense, asserted: a long
+    boilerplate phrase shared by MORE than SHINGLE_DF_CAP documents
+    would dominate those documents' minimum hashes and collapse them
+    into one (band, band_hash) bucket — k^2 join work on a single
+    key.  The DF-cap prefilter drops such shingles BEFORE signatures
+    exist, so the capped band index's worst bucket stays bounded by
+    the cap (here: the 50-doc edge phrase, which is genuine near-dup
+    signal and SHOULD band together); the uncapped index, built from
+    the same corpus, demonstrably develops a bucket larger than the
+    cap — the hazard is real, the cap is what removes it."""
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.functions.hashing import (
+        lsh_bands_portable,
+        minhash_signature_from_pairs,
+        token_shingle_hash_pairs,
+    )
+    from db_mapreduce_project_spark.operators.dedup import (
+        _MH_BANDS,
+        _MH_HASHES,
+        _capped_shingle_hashes,
+        SHINGLE_DF_CAP,
+    )
+
+    boiler = " ".join(f"boilerw{j}" for j in range(400))
+    edge = " ".join(f"edgew{j}" for j in range(400))
+    rows = []
+    for i in range(300):
+        body = " ".join(f"doc{i}w{j}" for j in range(30))
+        if i < 150:  # DF 150 > cap: must be dissolved
+            rows.append((i, body + " " + boiler))
+        elif i < 200:  # DF 50 <= cap: survives, bounded by the cap
+            rows.append((i, body + " " + edge))
+        else:
+            rows.append((i, body))
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def max_band_group(sh):
+        sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=_MH_HASHES)
+        bands = lsh_bands_portable(
+            sig, "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
+        )
+        return (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.max("k").alias("k"))
+            .first()["k"]
+        )
+
+    capped_max = max_band_group(_capped_shingle_hashes(d))
+    uncapped_max = max_band_group(
+        token_shingle_hash_pairs(d, "doc_id", "text", n=3)
+    )
+    # the worst capped bucket is bounded by the cap (so the worst
+    # single-key join output is bounded by cap^2/2)...
+    assert capped_max <= SHINGLE_DF_CAP, capped_max
+    # ...and the bound is LOAD-BEARING: without the cap the planted
+    # phrase exceeds it on the very same corpus
+    assert uncapped_max > SHINGLE_DF_CAP, uncapped_max
+    # the edge phrase (DF 50) still bands (most of its docs share a
+    # band; body shingles occasionally win the argmin) — the cap
+    # removes quadratic hot keys, not genuine near-dup signal
+    assert capped_max >= 30, capped_max
+
+
 def test_containment_ensemble_matches_exact(spark):
     """The size-stratified prefix path has DETERMINISTIC candidate
     recall (prefix-filter lemma), so its output must EQUAL the exact
