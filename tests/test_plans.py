@@ -273,6 +273,9 @@ _UNKEYED_JOIN_OK = {
     "text_bm25_topk",           # 1-row (N, avgdl) scalar broadcast
     "bpe_learn_merges",         # 4x 1-row argmax merge-choice broadcasts
     "bpe_tokenize_corpus",      # same unrolled argmax broadcasts
+    # <= CONTAIN_STRATUM_MAX-row strata table range-joined (stratum >=
+    # q_stratum) onto the posting index — broadcast NLJ by construction
+    "dedup_containment_ensemble",
 }
 
 # Queries whose construction triggers eager execution (iterative
@@ -286,6 +289,7 @@ _EAGER = {
     "dedup_semantic_clusters",  # runs the Lloyd loop eagerly
     "stream_sink_latest_per_user",  # runs a streaming job eagerly
     "stream_sink_hourly_counts",  # runs a streaming job eagerly
+    "stream_sink_sessions",  # runs a streaming job eagerly
     "bfs_hops_trade",  # frontier loop counts per round
 }
 
