@@ -1162,20 +1162,33 @@ def dedup_containment_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("delta_id"), "h1", "h2")
-    b = sh.select(F.col("doc_id").alias("base_id"), "h1", "h2")
-    inter = (
-        cand.join(a, "delta_id")
-        .join(b, ["base_id", "h1", "h2"])
-        .groupBy("delta_id", "base_id")
-        .agg(F.count("*").alias("n_common"))
+    # array-set verify (same shape as _verify_containment, keeping
+    # the delta/base orientation instead of contained/container)
+    docarr = sh.select(
+        "doc_id", (F.col("h1") * F.lit(1 << 30) + F.col("h2")).alias("h")
+    ).groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"), F.count("*").alias("n_sh")
     )
-    sa = sizes.select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "delta_id")
-        .join(sb, "base_id")
+        cand.join(
+            docarr.select(
+                F.col("doc_id").alias("delta_id"),
+                F.col("hs").alias("hs_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "delta_id",
+        )
+        .join(
+            docarr.select(
+                F.col("doc_id").alias("base_id"),
+                F.col("hs").alias("hs_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "base_id",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+        )
         .select(
             "delta_id",
             "base_id",

@@ -337,12 +337,18 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sessionize(e: DataFrame, gap_s: int = 1800) -> DataFrame:
-    """DataFrame-level sessionization (see sessionize_events)."""
+    """DataFrame-level sessionization (see sessionize_events).
+
+    Gap arithmetic is MICROSECOND-exact (unix_micros), matching the
+    stateful streaming sessionizer bit-for-bit — second-truncated
+    timestamps would silently merge/split sessions whose gaps
+    straddle the 1800 s boundary by a fraction of a second, making
+    batch and stream disagree on exactly those events."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.unix_timestamp("ts")
+    us = F.unix_micros("ts")
     gap_marker = (
         F.when(
-            sec - F.lag(sec).over(w) > gap_s,
+            us - F.lag(us).over(w) > gap_s * 1_000_000,
             1,
         )
         .otherwise(0)
@@ -370,7 +376,7 @@ def sessionize(e: DataFrame, gap_s: int = 1800) -> DataFrame:
 SESSIONIZE_ORACLE = f"""
 WITH marked AS (
     SELECT user_id, ts, event_id, value,
-           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
