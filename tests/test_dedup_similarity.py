@@ -468,8 +468,8 @@ def test_containment_delta_consistent_with_full(spark):
     """The incremental delta/base containment must equal the full
     exact containment restricted to cross (delta, base) pairs —
     same thresholds, same verify, only the candidate scope differs
-    (and bottom-K probe recall is ~certain on these high-overlap
-    fixture pairs)."""
+    (and the size-adaptive prefix probes make recall deterministic,
+    so this equality holds by construction, not by fixture luck)."""
     from db_mapreduce_project_spark.operators.dedup import _is_delta
     from pyspark.sql import functions as F
 
