@@ -1405,6 +1405,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components with a recursive CTE, so even this iterative,
     'non-SQL' operator is differentially tested.
     """
+    return _cluster_rollup(_min_label_assignments(spark, sf_dir))
+
+
+def _min_label_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) component assignments by min-label
+    propagation over the ngram-jaccard pair graph — the shared core
+    of dedup_clusters (dup-group summary) and dedup_apply_keepers
+    (the apply step)."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     # undirected edge list, both directions; localCheckpoint cuts
     # the lineage so the LSH pipeline plans once, not per iteration
@@ -1480,7 +1488,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_clusters: fingerprint collision — assignments "
             "matched hashes but differ; raise hash width"
         )
-    return _cluster_rollup(labels)
+    return labels
+
+
+def dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step: turn component assignments into the
+    keeper ledger a pipeline acts on — one row per SURVIVING
+    document (its component's minimum doc_id, which is the doc
+    itself for singletons) with the number of near-duplicates
+    suppressed under it.  Anti-joining the corpus against the
+    suppressed ids (all docs whose label != doc_id) is then a plain
+    map-side filter; the ledger itself is what gets persisted for
+    provenance ("why is doc X gone, who absorbed it").
+
+    Covers the WHOLE corpus (singletons included, n_suppressed=0),
+    unlike dedup_clusters' dup-groups-only summary — the row count
+    equals the post-dedup corpus size, the first number any corpus
+    report states.  Same component core (_min_label_assignments),
+    same recursive-CTE oracle family."""
+    labels = _min_label_assignments(spark, sf_dir)
+    return (
+        labels.groupBy("label")
+        .agg((F.count(F.lit(1)) - 1).alias("n_suppressed"))
+        .select(F.col("label").alias("keeper_doc_id"), "n_suppressed")
+        .orderBy("keeper_doc_id")
+    )
 
 
 def _cluster_rollup(labels: DataFrame) -> DataFrame:
@@ -1628,7 +1660,10 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return largestar_clusters_from(load_table(spark, sf_dir, "documents"))
 
 
-DEDUP_CLUSTERS_ORACLE = f"""
+# Shared recursive-CTE component computation (documents -> comp of
+# (doc_id, label)); the clusters and apply oracles differ only in
+# the final rollup.
+_CC_COMP_CTES = f"""
 WITH RECURSIVE
 {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
@@ -1655,7 +1690,9 @@ reach(v, l) AS (
   UNION
   SELECT e.doc_b, r.l FROM reach r JOIN edges e ON e.doc_a = r.v
 ),
-comp AS (SELECT v AS doc_id, min(l) AS label FROM reach GROUP BY v)
+comp AS (SELECT v AS doc_id, min(l) AS label FROM reach GROUP BY v)"""
+
+DEDUP_CLUSTERS_ORACLE = f"""{_CC_COMP_CTES}
 SELECT label AS cluster_id,
        count(*) AS cluster_size,
        array_to_string(list_sort(list(doc_id)), ',') AS members
@@ -1665,10 +1702,20 @@ HAVING count(*) > 1
 ORDER BY cluster_id
 """
 
+DEDUP_APPLY_KEEPERS_ORACLE = f"""{_CC_COMP_CTES}
+SELECT label AS keeper_doc_id, count(*) - 1 AS n_suppressed
+FROM comp
+GROUP BY label
+ORDER BY keeper_doc_id
+"""
+
 
 register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
 register(
     "dedup_clusters_largestar", dedup_clusters_largestar, DEDUP_CLUSTERS_ORACLE
+)
+register(
+    "dedup_apply_keepers", dedup_apply_keepers, DEDUP_APPLY_KEEPERS_ORACLE
 )
 
 

@@ -216,6 +216,31 @@ def test_incremental_delta_consistent_with_full_lsh(spark):
         assert abs(full[key] - r.jaccard) < 1e-12, key
 
 
+def test_apply_keepers_consistent_with_clusters(spark):
+    """The apply ledger must reconcile exactly with the dup-group
+    summary AND the corpus: every dup group's keeper suppresses
+    cluster_size - 1 docs, every other doc is its own keeper with 0
+    suppressed, and keepers + suppressed partition the corpus."""
+    from db_mapreduce_project_spark.io import load_table
+
+    clusters = {
+        r["cluster_id"]: r["cluster_size"]
+        for r in registry.QUERIES["dedup_clusters"](spark, SF).collect()
+    }
+    keepers = {
+        r["keeper_doc_id"]: r["n_suppressed"]
+        for r in registry.QUERIES["dedup_apply_keepers"](spark, SF).collect()
+    }
+    n_docs = load_table(spark, SF, "documents").count()
+    for cid, size in clusters.items():
+        assert keepers[cid] == size - 1
+    assert all(
+        n == 0 for k, n in keepers.items() if k not in clusters
+    )
+    assert len(keepers) + sum(keepers.values()) == n_docs
+    assert clusters  # non-vacuous: real dup groups exist
+
+
 def test_containment_supersets_jaccard_pairs(spark):
     """Containment >= 0.5 is strictly weaker than Jaccard >= 0.05
     only when sets differ wildly in size; every high-Jaccard pair

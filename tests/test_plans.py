@@ -283,6 +283,7 @@ _UNKEYED_JOIN_OK = {
 _EAGER = {
     "dedup_clusters",
     "dedup_clusters_largestar",
+    "dedup_apply_keepers",  # runs the label-propagation loop eagerly
     "ann_cosine_topk_matmul",
     "pagerank_trade",
     "kmeans_embeddings",
