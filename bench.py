@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_containment_bottomk",
     "dedup_containment_ensemble",
     "multimodal_decode_png_stats",
+    "multimodal_decode_wav_stats",
     "bpe_learn_merges",
     "ohlc_bars",
     "time_weighted_avg_per_user",

@@ -1,7 +1,7 @@
 """Multimodal column handling: opaque binary payloads with typed
 metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
 
-The decode path is REAL for two containers:
+The decode path is REAL for three containers:
 - netpbm P6 (binary PPM): `decode_ppm` is a from-scratch
   pure-Python parser (header tokenizer with comment handling,
   maxval validation, exact-length raw sample read);
@@ -14,10 +14,16 @@ The decode path is REAL for two containers:
   `multimodal_decode_png_stats` round-trips real deflate-compressed
   payloads (built by the independent `encode_png`, cycling every
   filter type) under the same value-hash oracle.
-JPEG/audio/video entropy codecs genuinely need native libraries
-this container doesn't ship; those formats would plug into the
-same kernel via the identical (binary -> parsed array -> stats)
-shape.  `fake_features` remains the deterministic stand-in
+- RIFF/WAVE (PCM16): `decode_wav` is a from-scratch RIFF chunk
+  walker (magic + form validation, odd-chunk pad bytes, unknown
+  chunks skipped, fmt-before-data ordering, PCM16 contract
+  enforcement); `multimodal_decode_wav_stats` round-trips real
+  stereo payloads built by the independent `encode_wav` under a
+  value-hash oracle on the sample plane.
+JPEG/video and entropy-coded audio (FLAC/MP3) genuinely need
+native libraries this container doesn't ship; those formats would
+plug into the same kernel via the identical (binary -> parsed
+array -> stats) shape.  `fake_features` remains the deterministic stand-in
 featurizer for the generic-binary queries.
 
 Scale: mapInPandas streams Arrow record batches — constant memory
@@ -516,7 +522,203 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------- WAV
+# multimodal_decode_wav_stats audio geometry: 64 body bytes -> 32
+# stereo PCM16 frames at 8 kHz; byte j (1-based) feeds channel
+# (j-1) % 2 with the portable sample map (byte - 96) * 257
+# (ASCII 32..126 -> samples in [-16448, 7710], well inside int16).
+WAV_BODY_LEN = 64
+WAV_CHANNELS = 2
+WAV_RATE = 8000
+WAV_FRAMES = WAV_BODY_LEN // WAV_CHANNELS
+_WAV_SAMPLE_BIAS = 96
+_WAV_SAMPLE_GAIN = 257
+
+
+def encode_wav(samples: "np.ndarray", n_channels: int, rate: int) -> bytes:
+    """Minimal RIFF/WAVE PCM16 writer (public container spec):
+    'fmt ' chunk, a deliberately ODD-sized junk chunk (so decoders
+    must honor RIFF's pad-to-even rule and skip unknown chunk ids),
+    then interleaved little-endian 'data'.  Independent of
+    :func:`decode_wav` — a bug in either side breaks the oracle."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate, byte_rate, n_channels * 2, 16
+    )
+    junk = b"odd"  # 3 bytes: exercises the odd-chunk pad path
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    body = chunk(b"fmt ", fmt) + chunk(b"JUNK", junk) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, "np.ndarray"]:
+    """From-scratch RIFF/WAVE PCM16 reader: validates the RIFF
+    magic and WAVE form, walks chunks honoring the pad-to-even
+    rule, skips unknown chunk ids, requires 'fmt ' before 'data',
+    and enforces the PCM16 contract (format tag 1, 16 bits, data
+    length divisible by the frame size).  Returns (n_channels,
+    rate, interleaved int16 samples).  Malformed payloads raise
+    ValueError — garbage stats must be impossible."""
+    if buf[:4] != b"RIFF":
+        raise ValueError(f"not a RIFF file: magic={buf[:4]!r}")
+    if len(buf) < 12 or buf[8:12] != b"WAVE":
+        raise ValueError("RIFF form is not WAVE")
+    (riff_len,) = struct.unpack("<I", buf[4:8])
+    if riff_len + 8 > len(buf):
+        raise ValueError("truncated RIFF payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        payload = buf[pos + 8 : pos + 8 + clen]
+        if len(payload) != clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"fmt chunk too short: {clen}")
+            fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            data = payload
+            break
+        # unknown chunks (JUNK, LIST, ...) are skipped
+        pos += 8 + clen + (clen % 2)  # RIFF pads odd chunks to even
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, n_channels, rate, _brate, _align, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported, got tag={tag} bits={bits}")
+    if n_channels < 1 or len(data) % (2 * n_channels):
+        raise ValueError(
+            f"data length {len(data)} not a whole number of "
+            f"{n_channels}-channel frames"
+        )
+    return n_channels, rate, np.frombuffer(data, dtype="<i2")
+
+
+def _encode_wav_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        wavs = []
+        for b in pdf["body"]:
+            samples = (
+                np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                - _WAV_SAMPLE_BIAS
+            ) * _WAV_SAMPLE_GAIN
+            wavs.append(
+                encode_wav(samples.astype(np.int16), WAV_CHANNELS, WAV_RATE)
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs})
+
+
+def build_wav_payloads(d: DataFrame) -> DataFrame:
+    """Assemble a REAL stereo WAV per document: the first
+    WAV_BODY_LEN rpad'ed text bytes become interleaved PCM16
+    samples under the portable map (byte - 96) * 257, packed into a
+    RIFF container with fmt/JUNK/data chunks (encode_wav).  The
+    binary column flows Arrow-batched between kernels, never
+    row-by-row through Python between operators."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    body = F.rpad(F.substring(text, 1, WAV_BODY_LEN), WAV_BODY_LEN, "x")
+    src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
+    return src.mapInPandas(
+        _encode_wav_batches, schema="doc_id bigint, wav binary"
+    )
+
+
+WAV_STATS_SCHEMA = (
+    "doc_id bigint, n_frames int, rate int, "
+    "l_sum bigint, r_sum bigint, peak bigint"
+)
+
+
+def _decode_wav_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+            n_ch, rate, samples = decode_wav(bytes(wav))
+            frames = samples.reshape(-1, n_ch).astype(np.int64)
+            out.append(
+                (
+                    doc_id,
+                    frames.shape[0],
+                    rate,
+                    int(frames[:, 0].sum()),
+                    int(frames[:, 1].sum()),
+                    int(np.abs(frames).max()),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_frames", "rate", "l_sum", "r_sum", "peak"],
+        )
+
+
+def multimodal_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio-container decode: documents -> real stereo
+    RIFF/WAVE PCM16 payloads (independent encode_wav, with a
+    planted odd-length JUNK chunk) -> from-scratch RIFF walk +
+    PCM16 unpack inside an Arrow kernel (decode_wav) -> per-channel
+    sample sums and the absolute peak.  The sample plane is defined
+    by portable integer arithmetic over the same rpad'ed text bytes
+    the image pipelines use, so the oracle recomputes the expected
+    stats from that independent definition — certifying that
+    pack -> chunk-walk -> unpack is lossless end-to-end, including
+    the odd-chunk padding and unknown-chunk skipping a real RIFF
+    parser must get right.  Entropy-coded audio (FLAC/MP3) remains
+    env-gated; it would replace decode_wav inside the identical
+    kernel shape."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = build_wav_payloads(d).mapInPandas(
+        _decode_wav_stats_batches, schema=WAV_STATS_SCHEMA
+    )
+    return stats.orderBy("doc_id")
+
+
+# Oracle rebuilds the sample plane from first principles: byte j
+# (1-based, 1..64) of the rpad'ed text is sample ((ascii-96)*257)
+# on channel (j-1)%2; frames = body_len / channels.  ASCII fixture
+# => ascii(char) == payload byte.
+MULTIMODAL_DECODE_WAV_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST({WAV_FRAMES} AS INTEGER) AS n_frames,
+       CAST({WAV_RATE} AS INTEGER) AS rate,
+       CAST(sum(CASE WHEN (j - 1) % {WAV_CHANNELS} = 0
+                THEN (ascii(substring(px, j, 1)) - {_WAV_SAMPLE_BIAS})
+                     * {_WAV_SAMPLE_GAIN} END) AS BIGINT) AS l_sum,
+       CAST(sum(CASE WHEN (j - 1) % {WAV_CHANNELS} = 1
+                THEN (ascii(substring(px, j, 1)) - {_WAV_SAMPLE_BIAS})
+                     * {_WAV_SAMPLE_GAIN} END) AS BIGINT) AS r_sum,
+       CAST(max(abs((ascii(substring(px, j, 1)) - {_WAV_SAMPLE_BIAS})
+                    * {_WAV_SAMPLE_GAIN})) AS BIGINT) AS peak
+FROM (
+  SELECT doc_id,
+         rpad(substring(coalesce(text, ''), 1, {WAV_BODY_LEN}),
+              {WAV_BODY_LEN}, 'x') AS px
+  FROM documents
+) p, generate_series(1, {WAV_BODY_LEN}) AS g(j)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 register("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_ORACLE)
+register(
+    "multimodal_decode_wav_stats",
+    multimodal_decode_wav_stats,
+    MULTIMODAL_DECODE_WAV_STATS_ORACLE,
+)
 register(
     "multimodal_decode_stats",
     multimodal_decode_stats,

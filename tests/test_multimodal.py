@@ -153,6 +153,83 @@ def test_png_rejects_malformed():
         decode_png(out_of_order)
 
 
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_with_junk_chunk():
+    import numpy as np
+
+    from db_mapreduce_project_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.arange(-32, 32, dtype=np.int16) * 257
+    wav = encode_wav(samples, 2, 8000)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert b"JUNK" in wav  # the odd-length skip-path chunk is planted
+    n_ch, rate, got = decode_wav(wav)
+    assert (n_ch, rate) == (2, 8000)
+    assert (got == samples).all()
+
+
+def test_wav_rejects_malformed():
+    import struct as _s
+
+    import numpy as np
+
+    from db_mapreduce_project_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = encode_wav(np.zeros(8, dtype=np.int16), 2, 8000)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS" + wav[4:])
+    with pytest.raises(ValueError, match="not WAVE"):
+        decode_wav(wav[:8] + b"AVI " + wav[12:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:-10])
+    # data before fmt violates the required ordering
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + _s.pack("<I", len(payload)) + payload + pad
+
+    fmt = _s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = chunk(b"data", bytes(8)) + chunk(b"fmt ", fmt)
+    oo = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="data chunk before fmt"):
+        decode_wav(oo)
+    # non-PCM format tag
+    fmt_f32 = _s.pack("<HHIIHH", 3, 2, 8000, 64000, 8, 32)
+    body = chunk(b"fmt ", fmt_f32) + chunk(b"data", bytes(16))
+    f32 = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="only PCM16"):
+        decode_wav(f32)
+    # ragged data (not a whole number of stereo frames)
+    body = chunk(b"fmt ", fmt) + chunk(b"data", bytes(6))
+    ragged = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="whole number"):
+        decode_wav(ragged)
+
+
+def test_wav_payloads_are_valid_audio(spark, sf_dir):
+    from db_mapreduce_project_spark.operators.multimodal import (
+        WAV_CHANNELS,
+        WAV_FRAMES,
+        WAV_RATE,
+        build_wav_payloads,
+        decode_wav,
+    )
+    from db_mapreduce_project_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    for r in build_wav_payloads(d).collect():
+        n_ch, rate, samples = decode_wav(bytes(r["wav"]))
+        assert (n_ch, rate) == (WAV_CHANNELS, WAV_RATE)
+        assert len(samples) == WAV_FRAMES * WAV_CHANNELS
+
+
 def test_png_payloads_are_valid_images(spark, sf_dir):
     from db_mapreduce_project_spark.operators.multimodal import (
         build_png_payloads,
