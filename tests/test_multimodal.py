@@ -153,6 +153,40 @@ def test_png_rejects_malformed():
         decode_png(out_of_order)
 
 
+def test_png_roundtrip_property():
+    """Property form of the PNG round-trip: arbitrary geometries and
+    pixel bytes must survive encode -> decode bit-for-bit.  Heights
+    above 5 cycle through every filter type; widths below the 3-byte
+    pixel exercise the x < bpp branches of Sub/Average/Paeth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from db_mapreduce_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    def inner(w, h, data):
+        samples = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        assert decode_png(encode_png(w, h, samples)) == (w, h, samples)
+
+    inner()
+
+
 # ---------------------------------------------------------------- WAV
 
 
@@ -211,6 +245,43 @@ def test_wav_rejects_malformed():
     ragged = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
     with pytest.raises(ValueError, match="whole number"):
         decode_wav(ragged)
+
+
+def test_wav_roundtrip_property():
+    """Property form of the WAV round-trip: arbitrary sample values
+    (full int16 range, including -32768), channel counts, and frame
+    counts (including zero frames) survive encode -> decode
+    bit-for-bit, with the planted odd JUNK chunk always skipped."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from db_mapreduce_project_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        n_ch=st.integers(min_value=1, max_value=4),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        frames=st.integers(min_value=0, max_value=32),
+        data=st.data(),
+    )
+    def inner(n_ch, rate, frames, data):
+        vals = data.draw(
+            st.lists(
+                st.integers(-32768, 32767),
+                min_size=frames * n_ch,
+                max_size=frames * n_ch,
+            )
+        )
+        samples = np.array(vals, dtype=np.int16)
+        got_ch, got_rate, got = decode_wav(encode_wav(samples, n_ch, rate))
+        assert (got_ch, got_rate) == (n_ch, rate)
+        assert (got == samples).all()
+
+    inner()
 
 
 def test_wav_payloads_are_valid_audio(spark, sf_dir):
