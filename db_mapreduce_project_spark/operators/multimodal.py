@@ -713,11 +713,163 @@ ORDER BY doc_id
 """
 
 
+# -------------------------------------------------------------- μ-law
+# G.711 μ-law companding constants (public ITU-T spec / the classic
+# linear2ulaw implementation): clamp, bias, 8 exponent segments.
+_ULAW_CLIP = 32635
+_ULAW_BIAS = 132
+
+
+def mulaw_encode(x: "np.ndarray") -> "np.ndarray":
+    """G.711 μ-law compress: int16 linear samples -> uint8 codes.
+    Pure integer arithmetic (the exponent ladder is 7 vectorized
+    comparisons, not a float log), so the DuckDB oracle reproduces
+    every code exactly."""
+    x = x.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    v = mag >> 7
+    exponent = (
+        (v >= 2).astype(np.int64)
+        + (v >= 4)
+        + (v >= 8)
+        + (v >= 16)
+        + (v >= 32)
+        + (v >= 64)
+        + (v >= 128)
+    )
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (255 - (sign + (exponent << 4) + mantissa)).astype(np.uint8)
+
+
+def mulaw_decode(code: "np.ndarray") -> "np.ndarray":
+    """G.711 μ-law expand (the classic ulaw2linear): uint8 codes ->
+    linear samples, reconstructing each code's quantization-cell
+    base point (((mantissa<<3) + BIAS) << exponent) - BIAS, so
+    encode(decode(code)) == code for every code — the lattice
+    idempotence the tests pin."""
+    y = 255 - code.astype(np.int64)
+    sign = y & 0x80
+    exponent = (y >> 4) & 0x07
+    mantissa = y & 0x0F
+    mag = (((mantissa << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int64)
+
+
+MULAW_STATS_SCHEMA = (
+    "doc_id bigint, n_samples int, code_sum bigint, "
+    "min_code int, max_code int, n_codes bigint"
+)
+
+
+def _mulaw_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+            _n_ch, _rate, samples = decode_wav(bytes(wav))
+            codes = mulaw_encode(samples)
+            out.append(
+                (
+                    doc_id,
+                    len(codes),
+                    int(codes.astype(np.int64).sum()),
+                    int(codes.min()),
+                    int(codes.max()),
+                    int(np.unique(codes).size),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "n_samples", "code_sum",
+                "min_code", "max_code", "n_codes",
+            ],
+        )
+
+
+def multimodal_audio_mulaw_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio FEATURE-EXTRACT over decoded samples: real WAV payloads
+    -> RIFF decode -> G.711 μ-law companding (the telephony
+    compander every DSP toolchain ships) -> per-doc code statistics.
+    The compander is pure integer arithmetic, so the whole
+    decode -> transform -> aggregate pipeline sits under the
+    value-hash oracle, which recomputes the expected codes from the
+    independent generative sample definition via the same clamp /
+    bias / exponent-segment ladder in SQL.  This is the
+    'feature-extract over an audio column' kernel shape of the
+    target pipeline — swap the compander for an MFCC or codec
+    frontend and the plumbing is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = build_wav_payloads(d).mapInPandas(
+        _mulaw_stats_batches, schema=MULAW_STATS_SCHEMA
+    )
+    return stats.orderBy("doc_id")
+
+
+def _mulaw_oracle_sql() -> str:
+    """DuckDB mirror: regenerate the sample plane, compand with the
+    identical integer ladder, aggregate the same stats."""
+    e_ladder = " + ".join(
+        f"(CASE WHEN v >= {1 << k} THEN 1 ELSE 0 END)" for k in range(1, 8)
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         rpad(substring(coalesce(text, ''), 1, {WAV_BODY_LEN}),
+              {WAV_BODY_LEN}, 'x') AS px
+  FROM documents
+),
+samples AS (
+  SELECT doc_id,
+         (ascii(substring(px, j, 1)) - {_WAV_SAMPLE_BIAS})
+             * {_WAV_SAMPLE_GAIN} AS s
+  FROM px, generate_series(1, {WAV_BODY_LEN}) AS g(j)
+),
+m1 AS (
+  SELECT doc_id,
+         CASE WHEN s < 0 THEN 128 ELSE 0 END AS sgn,
+         least(abs(s), {_ULAW_CLIP}) + {_ULAW_BIAS} AS mag
+  FROM samples
+),
+m2 AS (
+  SELECT doc_id, sgn, mag, ({e_ladder}) AS e
+  FROM (SELECT doc_id, sgn, mag, mag // 128 AS v FROM m1) q
+),
+codes AS (
+  SELECT doc_id,
+         255 - (sgn + 16 * e
+                + (mag // (8 * CAST(power(2, e) AS BIGINT))) % 16) AS code
+  FROM m2
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(min(code) AS INTEGER) AS min_code,
+       CAST(max(code) AS INTEGER) AS max_code,
+       count(DISTINCT code) AS n_codes
+FROM codes
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+MULTIMODAL_AUDIO_MULAW_STATS_ORACLE = _mulaw_oracle_sql()
+
+
 register("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_ORACLE)
 register(
     "multimodal_decode_wav_stats",
     multimodal_decode_wav_stats,
     MULTIMODAL_DECODE_WAV_STATS_ORACLE,
+)
+register(
+    "multimodal_audio_mulaw_stats",
+    multimodal_audio_mulaw_stats,
+    MULTIMODAL_AUDIO_MULAW_STATS_ORACLE,
 )
 register(
     "multimodal_decode_stats",

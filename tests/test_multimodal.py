@@ -284,6 +284,47 @@ def test_wav_roundtrip_property():
     inner()
 
 
+def test_mulaw_compander_properties():
+    """The G.711 compander over the ENTIRE domain: every one of the
+    65536 int16 inputs reconstructs within its segment's half-step
+    (the μ-law quantization bound), encode(decode(code)) == code for
+    all 256 codes (idempotence on the code lattice), and negation
+    flips exactly the sign bit."""
+    import numpy as np
+
+    from db_mapreduce_project_spark.operators.multimodal import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int64).astype(np.int16)
+    codes = mulaw_encode(x)
+    back = mulaw_decode(codes)
+    y = 255 - codes.astype(np.int64)
+    exponent = (y >> 4) & 0x07
+    # reconstruction is the cell's base point: the true (clipped)
+    # sample lies within one mantissa step (8 << exponent) above it
+    clipped = np.clip(x.astype(np.int64), -32635, 32635)
+    err = np.abs(back - clipped)
+    assert (err < (1 << (exponent + 3))).all()
+    # idempotence: re-encoding every code's reconstruction yields
+    # the same code — except the format's famous NEGATIVE ZERO
+    # (0x7F), which decodes to 0 and re-encodes as positive zero
+    # (0xFF); G.711 defines both codes for the same sample value
+    all_codes = np.arange(256, dtype=np.uint8)
+    recon = mulaw_decode(all_codes)
+    re2 = mulaw_encode(np.clip(recon, -32768, 32767).astype(np.int16))
+    mismatch = np.where(re2 != all_codes)[0]
+    assert mismatch.tolist() == [0x7F]
+    assert recon[0x7F] == 0 and re2[0x7F] == 0xFF
+    # sign symmetry: negation flips only the sign bit
+    pos = np.arange(1, 32768, dtype=np.int64)
+    assert (
+        mulaw_encode((-pos).astype(np.int16))
+        == (mulaw_encode(pos.astype(np.int16)) ^ 0x80)
+    ).all()
+
+
 def test_wav_payloads_are_valid_audio(spark, sf_dir):
     from db_mapreduce_project_spark.operators.multimodal import (
         WAV_CHANNELS,
