@@ -20,10 +20,14 @@ The decode path is REAL for three containers:
   enforcement); `multimodal_decode_wav_stats` round-trips real
   stereo payloads built by the independent `encode_wav` under a
   value-hash oracle on the sample plane.
-JPEG/video and entropy-coded audio (FLAC/MP3) genuinely need
-native libraries this container doesn't ship; those formats would
-plug into the same kernel via the identical (binary -> parsed
-array -> stats) shape.  `fake_features` remains the deterministic stand-in
+Entropy coding is real on both media paths: PNG rides stdlib
+zlib's DEFLATE, and the Rice audio codec (order-1 prediction +
+Golomb-Rice bitstream, the FLAC residual-coder shape) is written
+bit-for-bit in this module.  JPEG/video and the full FLAC/MP3
+container stack genuinely need native libraries this environment
+doesn't ship; they would plug into the same kernels via the
+identical (binary -> parsed array -> stats) shape.
+`fake_features` remains the deterministic stand-in
 featurizer for the generic-binary queries.
 
 Scale: mapInPandas streams Arrow record batches — constant memory
@@ -713,6 +717,183 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------- Rice
+# From-scratch LOSSLESS audio compression (the FLAC-family shape):
+# order-1 linear prediction -> zigzag -> Rice/Golomb entropy coding
+# with an escape for pathological residuals (Rice, "Some practical
+# universal noiseless coding techniques", JPL 1979; the residual
+# coder FLAC ships).  Pure stdlib bit twiddling — a REAL entropy
+# codec, not a container: every bit of the stream is produced and
+# consumed by this module.
+_RICE_MAGIC = b"RAU1"
+_RICE_ESCAPE_Q = 30  # unary quotients cap here; then 18 raw bits
+_RICE_RAW_BITS = 18  # zigzagged int16 residuals fit in 17 bits
+
+
+class _BitWriter:
+    def __init__(self):
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            self._out.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def getvalue(self) -> bytes:
+        if self._n:
+            return bytes(self._out) + bytes(
+                [(self._acc << (8 - self._n)) & 0xFF]
+            )
+        return bytes(self._out)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes):
+        self._buf = buf
+        self._pos = 0  # bit position
+
+    def read(self, nbits: int) -> int:
+        end = self._pos + nbits
+        if end > len(self._buf) * 8:
+            raise ValueError("rice stream truncated")
+        v = 0
+        pos = self._pos
+        while nbits:
+            byte = self._buf[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, nbits)
+            v = (v << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            pos += take
+            nbits -= take
+        self._pos = pos
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1):
+            q += 1
+            if q > _RICE_ESCAPE_Q:
+                raise ValueError("rice unary run exceeds escape cap")
+        return q
+
+
+def rice_encode_audio(
+    samples: "np.ndarray", n_channels: int, rate: int
+) -> bytes:
+    """Compress int16 samples losslessly: order-1 residuals, zigzag
+    to non-negative, Rice parameter k fit to the mean residual
+    magnitude, quotients above the escape cap stored raw."""
+    s = samples.astype(np.int64)
+    resid = np.diff(s, prepend=0)
+    zz = (resid << 1) ^ (resid >> 63)  # zigzag
+    mean = int(zz.mean()) if zz.size else 0
+    k = max(0, mean.bit_length() - 1)
+    k = min(k, 15)
+    w = _BitWriter()
+    for v in zz.tolist():
+        q = v >> k
+        if q >= _RICE_ESCAPE_Q:
+            w.write((1 << _RICE_ESCAPE_Q) - 1, _RICE_ESCAPE_Q)
+            w.write(0, 1)
+            w.write(v, _RICE_RAW_BITS)
+        else:
+            w.write((1 << q) - 1, q)  # q ones
+            w.write(0, 1)  # terminator
+            w.write(v, k)
+    body = w.getvalue()
+    header = _RICE_MAGIC + struct.pack(
+        "<IHIB", len(s), n_channels, rate, k
+    )
+    return header + body
+
+
+def rice_decode_audio(buf: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decompress a rice_encode_audio stream: header validation,
+    unary+remainder (or escaped raw) residuals, un-zigzag, prefix
+    sum.  Malformed streams raise ValueError."""
+    if buf[:4] != _RICE_MAGIC:
+        raise ValueError(f"not a rice-audio stream: magic={buf[:4]!r}")
+    if len(buf) < 4 + 11:
+        raise ValueError("truncated rice header")
+    n, n_channels, rate, k = struct.unpack("<IHIB", buf[4:15])
+    if k > 15:
+        raise ValueError(f"rice parameter out of range: {k}")
+    r = _BitReader(buf[15:])
+    zz = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        q = r.read_unary()
+        if q == _RICE_ESCAPE_Q:
+            zz[i] = r.read(_RICE_RAW_BITS)
+        else:
+            zz[i] = (q << k) | r.read(k)
+    resid = (zz >> 1) ^ -(zz & 1)  # un-zigzag
+    samples = np.cumsum(resid)
+    if samples.size and (
+        samples.max(initial=0) > 32767 or samples.min(initial=0) < -32768
+    ):
+        raise ValueError("decoded samples exceed int16 range")
+    return n_channels, rate, samples.astype(np.int16)
+
+
+def _rice_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+            n_ch, rate, samples = decode_wav(bytes(wav))
+            packed = rice_encode_audio(samples, n_ch, rate)
+            got_ch, got_rate, got = rice_decode_audio(packed)
+            # in-kernel contract check: the entropy loop is lossless
+            # (the oracle certifies it again from first principles)
+            if got_ch != n_ch or got_rate != rate or not (got == samples).all():
+                raise ValueError(
+                    f"rice round-trip mismatch for doc {doc_id}"
+                )
+            frames = got.reshape(-1, got_ch).astype(np.int64)
+            out.append(
+                (
+                    doc_id,
+                    frames.shape[0],
+                    got_rate,
+                    int(frames[:, 0].sum()),
+                    int(frames[:, 1].sum()),
+                    int(np.abs(frames).max()),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_frames", "rate", "l_sum", "r_sum", "peak"],
+        )
+
+
+def multimodal_decode_rice_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END entropy-coded audio: real WAV payloads -> RIFF
+    decode -> from-scratch Rice compression (order-1 prediction +
+    zigzag + Golomb-Rice bitstream with escape codes) -> from-
+    scratch bit-level decode -> per-channel stats.  The stats equal
+    the plain WAV pipeline's by construction, so the SAME value-hash
+    oracle certifies the whole predict -> entropy-code -> decode ->
+    reconstruct loop lossless (the PNG/PPM discipline applied to
+    audio) — encoder and decoder share no state beyond the public
+    stream format, and every bit of that stream is produced by this
+    module, no codec library involved."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = build_wav_payloads(d).mapInPandas(
+        _rice_stats_batches, schema=WAV_STATS_SCHEMA
+    )
+    return stats.orderBy("doc_id")
+
+
 # -------------------------------------------------------------- μ-law
 # G.711 μ-law companding constants (public ITU-T spec / the classic
 # linear2ulaw implementation): clamp, bias, 8 exponent segments.
@@ -870,6 +1051,13 @@ register(
     "multimodal_audio_mulaw_stats",
     multimodal_audio_mulaw_stats,
     MULTIMODAL_AUDIO_MULAW_STATS_ORACLE,
+)
+register(
+    "multimodal_decode_rice_stats",
+    multimodal_decode_rice_stats,
+    # same sample-plane arithmetic: the Rice pipeline must
+    # reconstruct the identical samples the WAV pipeline reads raw
+    MULTIMODAL_DECODE_WAV_STATS_ORACLE,
 )
 register(
     "multimodal_decode_stats",

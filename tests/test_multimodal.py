@@ -284,6 +284,50 @@ def test_wav_roundtrip_property():
     inner()
 
 
+def test_rice_codec_roundtrip_property():
+    """The from-scratch Rice audio codec: arbitrary int16 sample
+    streams (including alternating full-scale extremes, which force
+    the unary-escape path, and empty/one-sample streams) must
+    survive predict -> zigzag -> entropy-code -> decode bit-for-bit,
+    and compressible inputs must actually compress below raw PCM."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from db_mapreduce_project_spark.operators.multimodal import (
+        rice_decode_audio,
+        rice_encode_audio,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        vals=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+        n_ch=st.integers(min_value=1, max_value=2),
+    )
+    def inner(vals, n_ch):
+        samples = np.array(vals, dtype=np.int16)
+        packed = rice_encode_audio(samples, n_ch, 8000)
+        got_ch, got_rate, got = rice_decode_audio(packed)
+        assert (got_ch, got_rate) == (n_ch, 8000)
+        assert (got == samples).all()
+
+    inner()
+
+    # adversarial escape-path case: alternating full-scale swings
+    swing = np.tile(np.array([32767, -32768], dtype=np.int16), 64)
+    _, _, got = rice_decode_audio(rice_encode_audio(swing, 1, 8000))
+    assert (got == swing).all()
+    # smooth signals genuinely compress: a slow ramp's residuals are
+    # tiny, so the stream must beat 2 bytes/sample raw PCM
+    ramp = (np.arange(4096) % 256).astype(np.int16)
+    packed = rice_encode_audio(ramp, 1, 8000)
+    assert len(packed) < 2 * len(ramp)
+    with pytest.raises(ValueError, match="not a rice-audio"):
+        rice_decode_audio(b"WAVE" + packed[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        rice_decode_audio(packed[: len(packed) // 2])
+
+
 def test_mulaw_compander_properties():
     """The G.711 compander over the ENTIRE domain: every one of the
     65536 int16 inputs reconstructs within its segment's half-step
