@@ -1022,7 +1022,14 @@ def containment_pairs_ensemble_from(d: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return _verify_containment(cand, sh)
+    # materialize the (small) verified pair set, then release both
+    # mid-pipeline caches — repeated invocations (parity sweeps,
+    # stress ladders, long sessions) must not accumulate cached
+    # partitions until an external clearCache (round-7 ADVICE)
+    out = _verify_containment(cand, sh).localCheckpoint(eager=True)
+    ranked.unpersist()
+    sh.unpersist()
+    return out
 
 
 def dedup_containment_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:

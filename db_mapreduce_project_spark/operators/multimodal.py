@@ -376,17 +376,37 @@ ORDER BY doc_id, frame_no
 """
 
 
+def _ascii_body(n: int):
+    """First-n-characters body on a guaranteed single-byte plane:
+    every character outside printable ASCII (space..tilde) becomes
+    'x' BEFORE slicing/padding, so the UTF-8-encoded byte body and
+    the oracles' per-character ascii() arithmetic agree by
+    construction rather than by an ASCII-only fixture — a multi-byte
+    character would otherwise lengthen the byte body past n and
+    break the image/frame-size contract (round-7 ADVICE).  NULL text
+    builds the all-pad body rather than a NULL payload."""
+    clean = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "[^ -~]", "x"
+    )
+    return F.rpad(F.substring(clean, 1, n), n, "x")
+
+
+def _ascii_px_sql(n: int) -> str:
+    """DuckDB mirror of :func:`_ascii_body` (DuckDB's regexp_replace
+    needs the explicit 'g' flag for a global substitution)."""
+    return (
+        f"rpad(substring(regexp_replace(coalesce(text, ''), "
+        f"'[^ -~]', 'x', 'g'), 1, {n}), {n}, 'x')"
+    )
+
+
 def build_ppm_payloads(d: DataFrame) -> DataFrame:
     """Assemble a REAL P6 PPM container per document, entirely
     JVM-side: ASCII header + 48 raw sample bytes taken from the
     first 48 text bytes (rpad'ed with 'x' so short docs still form
     a complete 4x4 RGB image).  The payload is a valid image any
     netpbm tool could open — not a synthetic blob."""
-    # NULL text builds the all-pad image rather than a NULL payload
-    # (concat/encode propagate null, which would surface as an
-    # opaque bytes(None) TypeError deep in the Arrow kernel).
-    text = F.coalesce(F.col("text"), F.lit(""))
-    body = F.rpad(F.substring(text, 1, _PPM_BODY_LEN), _PPM_BODY_LEN, "x")
+    body = _ascii_body(_PPM_BODY_LEN)
     header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n")
     return d.select(
         "doc_id", F.encode(F.concat(header, body), "UTF-8").alias("img")
@@ -457,8 +477,7 @@ def build_png_payloads(d: DataFrame) -> DataFrame:
     stage sits); the binary column then flows Arrow-batched to the
     decode kernel, never row-by-row through Python between
     operators."""
-    text = F.coalesce(F.col("text"), F.lit(""))
-    body = F.rpad(F.substring(text, 1, _PPM_BODY_LEN), _PPM_BODY_LEN, "x")
+    body = _ascii_body(_PPM_BODY_LEN)
     src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
     return src.mapInPandas(_encode_png_batches, schema="doc_id bigint, img binary")
 
@@ -503,8 +522,8 @@ def multimodal_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle rebuilds the pixel plane arithmetic: sample byte j
 # (1-based, 1..48) of the rpad'ed text belongs to channel (j-1)%3;
-# the header contributes nothing to the sums.  ASCII fixture =>
-# ascii(char) == payload byte.
+# the header contributes nothing to the sums.  The _ascii_body
+# sanitization guarantees ascii(char) == payload byte for ANY input.
 MULTIMODAL_DECODE_STATS_ORACLE = f"""
 SELECT doc_id,
        CAST({PPM_W} AS INTEGER) AS width,
@@ -516,9 +535,7 @@ SELECT doc_id,
        CAST(sum(CASE WHEN (j - 1) % 3 = 2
                 THEN ascii(substring(px, j, 1)) END) AS BIGINT) AS b_sum
 FROM (
-  SELECT doc_id,
-         rpad(substring(coalesce(text, ''), 1, {_PPM_BODY_LEN}),
-              {_PPM_BODY_LEN}, 'x') AS px
+  SELECT doc_id, {_ascii_px_sql(_PPM_BODY_LEN)} AS px
   FROM documents
 ) p, generate_series(1, {_PPM_BODY_LEN}) AS g(j)
 GROUP BY doc_id
@@ -631,8 +648,7 @@ def build_wav_payloads(d: DataFrame) -> DataFrame:
     RIFF container with fmt/JUNK/data chunks (encode_wav).  The
     binary column flows Arrow-batched between kernels, never
     row-by-row through Python between operators."""
-    text = F.coalesce(F.col("text"), F.lit(""))
-    body = F.rpad(F.substring(text, 1, WAV_BODY_LEN), WAV_BODY_LEN, "x")
+    body = _ascii_body(WAV_BODY_LEN)
     src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
     return src.mapInPandas(
         _encode_wav_batches, schema="doc_id bigint, wav binary"
@@ -692,8 +708,8 @@ def multimodal_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle rebuilds the sample plane from first principles: byte j
 # (1-based, 1..64) of the rpad'ed text is sample ((ascii-96)*257)
-# on channel (j-1)%2; frames = body_len / channels.  ASCII fixture
-# => ascii(char) == payload byte.
+# on channel (j-1)%2; frames = body_len / channels.  The _ascii_body
+# sanitization guarantees ascii(char) == payload byte for ANY input.
 MULTIMODAL_DECODE_WAV_STATS_ORACLE = f"""
 SELECT doc_id,
        CAST({WAV_FRAMES} AS INTEGER) AS n_frames,
@@ -707,9 +723,7 @@ SELECT doc_id,
        CAST(max(abs((ascii(substring(px, j, 1)) - {_WAV_SAMPLE_BIAS})
                     * {_WAV_SAMPLE_GAIN})) AS BIGINT) AS peak
 FROM (
-  SELECT doc_id,
-         rpad(substring(coalesce(text, ''), 1, {WAV_BODY_LEN}),
-              {WAV_BODY_LEN}, 'x') AS px
+  SELECT doc_id, {_ascii_px_sql(WAV_BODY_LEN)} AS px
   FROM documents
 ) p, generate_series(1, {WAV_BODY_LEN}) AS g(j)
 GROUP BY doc_id
@@ -999,9 +1013,7 @@ def _mulaw_oracle_sql() -> str:
     )
     return f"""
 WITH px AS (
-  SELECT doc_id,
-         rpad(substring(coalesce(text, ''), 1, {WAV_BODY_LEN}),
-              {WAV_BODY_LEN}, 'x') AS px
+  SELECT doc_id, {_ascii_px_sql(WAV_BODY_LEN)} AS px
   FROM documents
 ),
 samples AS (

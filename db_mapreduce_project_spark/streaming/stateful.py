@@ -246,14 +246,19 @@ def _update_sessions(
                 [s[3] for s in keep],
             )
         )
-        # wake when the earliest pending segment becomes closable;
-        # ms floor-div may fire up to 1 ms early — harmless, the
-        # safety check above re-runs at fire time and re-arms.  The
-        # timer must stay strictly ahead of the current watermark or
-        # Spark rejects it.
+        # wake when the earliest pending segment becomes closable.
+        # Closability (end_us + gap_us < wm_ms*1000) is equivalent to
+        # wm_ms >= close_ms + 1, and Spark fires an event-time timer
+        # only when timer_ms < wm_ms STRICTLY — so arming at close_ms
+        # fires exactly at wm_ms >= close_ms + 1, aligned with the
+        # safety check above (arming at close_ms + 1 would fire one
+        # watermark-ms late and could strand a session whose final
+        # watermark lands exactly on close_ms + 1).  The timer must
+        # still stay strictly ahead of the current watermark or Spark
+        # rejects it, hence the max().
         close_ms = min(s[1] for s in keep) // 1_000 + SESSION_GAP_S * 1_000
         state.setTimeoutTimestamp(
-            max(close_ms + 1, state.getCurrentWatermarkMs() + 1)
+            max(close_ms, state.getCurrentWatermarkMs() + 1)
         )
     elif state.exists:
         state.remove()
@@ -385,9 +390,10 @@ def stream_sink_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Microsecond-exact gap sessionization (matching the stateful
-# operator's integer-us arithmetic, NOT the second-truncated
-# sessionize_events oracle), filtered to sessions the final
-# watermark made closable: wm = (max event us // 1000 ms-truncation,
+# operator's integer-us arithmetic; the batch sessionize_events
+# oracle is microsecond-exact too — this one only adds the
+# final-watermark closability filter): wm = (max event us // 1000
+# ms-truncation,
 # exactly as Spark's EventTimeStats tracks it) - 10 min, and a
 # session is closed only when session_end + gap < wm STRICTLY (an
 # event at ts = wm with ts - end = gap would still merge).

@@ -414,3 +414,61 @@ def test_png_and_ppm_pipelines_agree(spark, sf_dir):
         tuple(r) for r in multimodal_decode_png_stats(spark, sf_dir).collect()
     ]
     assert png == ppm
+
+
+def test_payload_planes_survive_non_ascii_text(spark):
+    """Round-7 ADVICE regression: a multi-byte (or control)
+    character in `text` must not lengthen the UTF-8 byte body past
+    the declared plane size — the _ascii_body sanitization maps
+    every char outside printable ASCII to 'x' BEFORE padding, so the
+    byte plane and the oracles' per-character ascii() agree for ANY
+    input, not just ASCII fixtures."""
+    from db_mapreduce_project_spark.operators.multimodal import (
+        WAV_BODY_LEN,
+        WAV_CHANNELS,
+        WAV_FRAMES,
+        WAV_RATE,
+        _WAV_SAMPLE_BIAS,
+        _WAV_SAMPLE_GAIN,
+        build_ppm_payloads,
+        build_wav_payloads,
+        decode_wav,
+    )
+
+    rows = [
+        (1, "héllo wörld é€\U0001f600 café " + "ab" * 40),
+        (2, "tabs\tand\nnewlines\r\nmixed with ünïcode ß"),
+        (3, "你好"),  # fully non-ASCII, shorter than the body
+        (4, None),
+        (5, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    for r in build_wav_payloads(d).collect():
+        n_ch, rate, samples = decode_wav(bytes(r["wav"]))
+        assert (n_ch, rate) == (WAV_CHANNELS, WAV_RATE)
+        assert len(samples) == WAV_FRAMES * WAV_CHANNELS
+        # every sample comes from a printable-ASCII byte
+        for s in samples.tolist():
+            b = s // _WAV_SAMPLE_GAIN + _WAV_SAMPLE_BIAS
+            assert s == (b - _WAV_SAMPLE_BIAS) * _WAV_SAMPLE_GAIN
+            assert 0x20 <= b <= 0x7E
+
+    # the sanitized plane is exactly char-by-char: doc 1's 'h' stays,
+    # 'é' becomes 'x'
+    wav1 = next(
+        bytes(r["wav"]) for r in build_wav_payloads(d).collect()
+        if r["doc_id"] == 1
+    )
+    _, _, samples1 = decode_wav(wav1)
+    want_prefix = "hxllo wxrld xxx cafx "
+    got = [
+        s // _WAV_SAMPLE_GAIN + _WAV_SAMPLE_BIAS
+        for s in samples1.tolist()[: len(want_prefix)]
+    ]
+    assert bytes(got).decode("ascii") == want_prefix
+
+    for r in build_ppm_payloads(d).collect():
+        w, h, _maxval, samples = decode_ppm(bytes(r["img"]))
+        assert (w, h) == (PPM_W, PPM_H)
+        assert len(samples) == PPM_W * PPM_H * 3

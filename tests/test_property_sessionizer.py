@@ -208,3 +208,39 @@ def test_sessionizer_equals_reference_for_every_slicing(
         assert len(state.get[0]) == n_pending
     else:
         assert n_pending == 0
+
+
+def test_timer_fires_when_final_watermark_lands_exactly_on_boundary():
+    """Round-7 ADVICE regression: a session is closable once
+    wm_ms >= close_ms + 1 (close_ms = end_us//1000 + gap_ms), and
+    Spark's event-time timers fire only when timer_ms < wm_ms
+    STRICTLY.  Arming the timer at close_ms + 1 therefore strands the
+    session forever when the FINAL watermark lands exactly on
+    close_ms + 1 — the fixed handler arms at close_ms, which fires
+    exactly at closability.  The 900 s grid of the property test can
+    never produce this boundary, so it is pinned here explicitly."""
+    base_us = 1_000_000_000_000  # multiple of 1000 -> exact ms
+    gap_ms = SESSION_GAP_S * 1_000
+    close_ms = base_us // 1000 + gap_ms
+    # second segment chosen so the final watermark is EXACTLY
+    # close_ms + 1: wm_ms = ts2_ms - DELAY_MS = close_ms + 1
+    ts2_us = (close_ms + 1 + DELAY_MS) * 1000
+    assert ts2_us - base_us > GAP_US  # really a separate segment
+
+    state = FakeGroupState()
+    emitted = list(_invoke(state, [(base_us, 1.0)]))
+    state.wm_ms = base_us // 1000 - DELAY_MS
+    emitted += _invoke(state, [(ts2_us, 1.0)])
+    state.wm_ms = ts2_us // 1000 - DELAY_MS
+    assert state.wm_ms == close_ms + 1  # the exact boundary
+    assert emitted == []  # nothing closable yet at arming time
+    # final empty batch: the timer MUST fire (timer_ms < wm_ms) and
+    # emit the first segment, now closable per end + gap < wm
+    assert state.timer_ms is not None and state.timer_ms < state.wm_ms
+    state.hasTimedOut = True
+    emitted += _invoke(state, [])
+    state.hasTimedOut = False
+    assert emitted == [(base_us, base_us, 1, 1.0)]
+    # the second segment stays pending, timer re-armed ahead of wm
+    assert state.exists and len(state.get[0]) == 1
+    assert state.timer_ms > state.wm_ms
