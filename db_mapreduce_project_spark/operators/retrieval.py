@@ -49,6 +49,7 @@ from ..functions.vectors import cosine, dot, duck_cosine, duck_dot
 from ..io import load_table
 from ..registry import register
 from .similarity import (
+    N_PLANES,
     QUERY_MOD,
     TOPK,
     sq8_oracle_ctes,
@@ -167,7 +168,9 @@ ORDER BY rk
 register("text_bm25_topk", text_bm25_topk, TEXT_BM25_TOPK_ORACLE)
 
 
-def two_stage_rerank_from(e: DataFrame) -> DataFrame:
+def two_stage_rerank_from(
+    e: DataFrame, rerank_c: int = RERANK_C, n_planes: int = N_PLANES
+) -> DataFrame:
     """Two-stage ANN over a (vec_id, embedding) relation: SQ8
     asymmetric-distance coarse ranking over LSH bucket candidates
     keeps the top RERANK_C per query; only those candidates join
@@ -184,11 +187,12 @@ def two_stage_rerank_from(e: DataFrame) -> DataFrame:
         F.col("adc").desc(), F.col("n_id").asc()
     )
     cands = (
-        sq8_queries(e).join(sq8_recon_index(e), "bucket")
+        sq8_queries(e, n_planes)
+        .join(sq8_recon_index(e, n_planes), "bucket")
         .where(F.col("q_id") != F.col("n_id"))
         .withColumn("adc", dot("qv", "recon"))
         .withColumn("crk", F.row_number().over(wc))
-        .where(F.col("crk") <= RERANK_C)
+        .where(F.col("crk") <= rerank_c)
         .select("q_id", "qv", "n_id")
     )
     fetched = cands.join(

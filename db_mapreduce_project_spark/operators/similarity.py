@@ -41,25 +41,21 @@ N_PLANES = 6
 DIM = 64
 
 
-def _planes() -> list[list[int]]:
+def _planes(n_planes: int = N_PLANES) -> list[list[int]]:
     """Deterministic +/-1 hyperplane matrix (seeded PRNG, built at
-    plan time — pure literals in the expression tree)."""
+    plan time — pure literals in the expression tree).  The same
+    seed generates every size, so the first N_PLANES rows of a
+    larger matrix ARE the registered matrix — parameter sweeps
+    (scripts/ann_recall.py) extend the sketch, never reshuffle it."""
     rng = random.Random(20240813)
-    return [[rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)]
+    return [[rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(n_planes)]
 
 
-def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for every query vector
-    (vec_id % 50 == 0), excluding self.  BRUTE-FORCE BASELINE:
-    O(n*q) cross join, registered only as the exactness reference
-    for the LSH/IVF scale paths — never run this shape on a full
-    corpus as queries.
-
-    Norms are computed ONCE per vector before the cross join (n + q
-    folds) instead of per pair (n*q folds) — same IEEE doubles as
-    the oracle's inline computation, ~3x less expression work; the
-    per-pair cost is just the dot product."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def brute_topk_from(e: DataFrame) -> DataFrame:
+    """Exact top-TOPK cosine neighbors of every query (vec_id %
+    QUERY_MOD == 0) over a (vec_id, embedding) relation — the
+    ground-truth builder shared by the registered brute-force query
+    and the recall-certification harness (scripts/ann_recall.py)."""
     q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
@@ -88,6 +84,21 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for every query vector
+    (vec_id % 50 == 0), excluding self.  BRUTE-FORCE BASELINE:
+    O(n*q) cross join, registered only as the exactness reference
+    for the LSH/IVF scale paths — never run this shape on a full
+    corpus as queries.
+
+    Norms are computed ONCE per vector before the cross join (n + q
+    folds) instead of per pair (n*q folds) — same IEEE doubles as
+    the oracle's inline computation, ~3x less expression work; the
+    per-pair cost is just the dot product."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return brute_topk_from(e)
+
+
 ANN_COSINE_TOPK_ORACLE = f"""
 WITH scored AS (
   SELECT q.vec_id AS q_id, n.vec_id AS n_id,
@@ -106,9 +117,9 @@ ORDER BY q_id, rk
 """
 
 
-def _bucket_expr(vec_col: str) -> F.Column:
+def _bucket_expr(vec_col: str, n_planes: int = N_PLANES) -> F.Column:
     """LSH bucket id: bit p = sign(dot(v, plane_p))."""
-    planes = _planes()
+    planes = _planes(n_planes)
     bucket = F.lit(0).cast("bigint")
     for p, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -123,18 +134,14 @@ def _bucket_expr(vec_col: str) -> F.Column:
     return bucket
 
 
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors: candidates limited to the
-    query's LSH bucket (N_PLANES=6 random hyperplanes -> 64
-    buckets; planes must grow as log2(n/occupancy) with corpus
-    size).  The plane matrix is a plan-time literal mirrored into
-    the oracle SQL, so the bucketing — and therefore the full
-    result — is value-hash checked against DuckDB; recall vs brute
-    force is tested in tests/test_dedup_similarity.py."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+def lsh_topk_from(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """LSH-bucketed approximate top-TOPK over a (vec_id, embedding)
+    relation — the builder behind ann_lsh_bucketed, parameterized on
+    plane count for the recall sweep (scripts/ann_recall.py)."""
+    e = e.select(
         "vec_id",
         "embedding",
-        _bucket_expr("embedding").alias("bucket"),
+        _bucket_expr("embedding", n_planes).alias("bucket"),
         l2("embedding").alias("norm"),
     )
     q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -165,6 +172,19 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "cos", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors: candidates limited to the
+    query's LSH bucket (N_PLANES=6 random hyperplanes -> 64
+    buckets; planes must grow as log2(n/occupancy) with corpus
+    size).  The plane matrix is a plan-time literal mirrored into
+    the oracle SQL, so the bucketing — and therefore the full
+    result — is value-hash checked against DuckDB; measured recall
+    vs brute force is certified in ANN_RECALL_r7.json and floored
+    in tests/test_dedup_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return lsh_topk_from(e)
 
 
 def _lsh_oracle_sql() -> str:
@@ -289,29 +309,16 @@ N_CELLS = 16  # IVF coarse cells; scale as ~sqrt(n) on real corpora
 N_PROBE = 3  # cells searched per query
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-5: a coarse quantizer of N_CELLS
-    centroids (deterministic: the N_CELLS lowest vec_ids) assigns
-    every vector to its nearest cell; each query searches only its
-    N_PROBE nearest cells.  (Inverted-file ANN after Jégou et al.,
-    "Product quantization for nearest neighbor search", TPAMI 2011
-    — coarse-quantizer stage only, no PQ residual codes.)
-
-    Scale shape: centroids are broadcast (fixed small set), so cell
-    assignment is a broadcast nested-loop scan — linear in n, no
-    shuffle of the corpus.  The nearest-cell argmax is a map-side-
-    combining groupBy(vec_id) max_by, NOT a window over the n*K
-    expansion.  The probe join is keyed by cell; with N_CELLS ~
-    sqrt(n) cells, cost drops from n*q to ~n*q*probe/cells, and AQE
-    skew-join splits any hot cell.  Rows-only driver check; recall
-    vs brute force asserted in tests.
-    """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2("embedding").alias("norm")
-    )
+def ivf_topk_from(
+    e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
+) -> DataFrame:
+    """IVF approximate top-TOPK over a (vec_id, embedding) relation
+    — the builder behind ann_ivf_topk, parameterized on cell/probe
+    counts for the recall sweep (scripts/ann_recall.py)."""
+    e = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
     cents = (
         e.orderBy("vec_id")
-        .limit(N_CELLS)
+        .limit(n_cells)
         .select(
             F.col("vec_id").alias("cell"),
             F.col("embedding").alias("cv"),
@@ -345,7 +352,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
         )
         .withColumn("prk", F.row_number().over(probe_w))
-        .where(F.col("prk") <= N_PROBE)
+        .where(F.col("prk") <= n_probe)
         .select("q_id", "qv", "q_norm", "cell")
     )
     cand = assigned.select(
@@ -370,6 +377,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "cos", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5: a coarse quantizer of N_CELLS
+    centroids (deterministic: the N_CELLS lowest vec_ids) assigns
+    every vector to its nearest cell; each query searches only its
+    N_PROBE nearest cells.  (Inverted-file ANN after Jégou et al.,
+    "Product quantization for nearest neighbor search", TPAMI 2011
+    — coarse-quantizer stage only, no PQ residual codes.)
+
+    Scale shape: centroids are broadcast (fixed small set), so cell
+    assignment is a broadcast nested-loop scan — linear in n, no
+    shuffle of the corpus.  The nearest-cell argmax is a map-side-
+    combining groupBy(vec_id) max_by, NOT a window over the n*K
+    expansion.  The probe join is keyed by cell; with N_CELLS ~
+    sqrt(n) cells, cost drops from n*q to ~n*q*probe/cells, and AQE
+    skew-join splits any hot cell.  Measured recall vs brute force
+    is certified in ANN_RECALL_r7.json and floored in tests.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_topk_from(e)
 
 
 def _ivf_oracle_sql() -> str:
@@ -559,7 +587,7 @@ register("ann_cosine_topk_matmul", ann_cosine_topk_matmul)  # rows-only
 SQ_LEVELS = 255  # int8 scalar-quantization levels (matches curation)
 
 
-def sq8_recon_index(e: DataFrame) -> DataFrame:
+def sq8_recon_index(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """The SQ8 quantized index of a (vec_id, embedding) relation:
     (n_id, bucket, recon), where recon is the codes-only
     reconstruction `mn_i + (code_i + 0.5) * rng_i / 255`.  Shared
@@ -595,7 +623,7 @@ def sq8_recon_index(e: DataFrame) -> DataFrame:
         e.crossJoin(F.broadcast(stats))
         .select(
             F.col("vec_id").alias("n_id"),
-            _bucket_expr("embedding").alias("bucket"),
+            _bucket_expr("embedding", n_planes).alias("bucket"),
             codes.alias("codes"),
             "mins",
             "rngs",
@@ -619,13 +647,32 @@ def sq8_recon_index(e: DataFrame) -> DataFrame:
     )
 
 
-def sq8_queries(e: DataFrame) -> DataFrame:
+def sq8_queries(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """The full-precision query side (q_id, qv, bucket) of the SQ8
     pipelines (asymmetric: only the corpus is quantized)."""
     return e.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
-        _bucket_expr("embedding").alias("bucket"),
+        _bucket_expr("embedding", n_planes).alias("bucket"),
+    )
+
+
+def sq8_adc_from(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """SQ8 asymmetric-distance top-TOPK over a (vec_id, embedding)
+    relation — the builder behind ann_sq8_adc, parameterized on
+    plane count for the recall sweep (scripts/ann_recall.py)."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    return (
+        sq8_queries(e, n_planes)
+        .join(sq8_recon_index(e, n_planes), "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc", dot("qv", "recon"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "adc", "rk")
+        .orderBy("q_id", "rk")
     )
 
 
@@ -652,21 +699,10 @@ def ann_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     product.  Every float is an ordered left-to-right double fold
     and the codes are exact integers, so the whole pipeline —
     stats, codes, reconstruction, scores, ranks — value-hash
-    matches the DuckDB oracle; recall vs the exact scan is
-    asserted in tests."""
+    matches the DuckDB oracle; measured recall vs the exact scan is
+    certified in ANN_RECALL_r7.json and floored in tests."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("adc").desc(), F.col("n_id").asc()
-    )
-    return (
-        sq8_queries(e).join(sq8_recon_index(e), "bucket")
-        .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("adc", dot("qv", "recon"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOPK)
-        .select("q_id", "n_id", "adc", "rk")
-        .orderBy("q_id", "rk")
-    )
+    return sq8_adc_from(e)
 
 
 def sq8_oracle_ctes() -> str:

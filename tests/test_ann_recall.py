@@ -1,0 +1,100 @@
+"""ANN recall certification floors (round-7 verdict #1).
+
+Parity cannot catch a recall regression — the oracle mirrors the
+approximation, not the ground truth (the round-5 MinHash mod-wrap
+bug is the proof).  These tests pin each ANN path's measured
+recall@TOPK against the exact brute-force top-k, at floors set
+from the committed measurements in ANN_RECALL_r7.json (measured
+minus a few points; every path is deterministic — seeded plan-time
+planes, deterministic centroids, deterministic tie-breaks — so the
+measured numbers are exactly reproducible on the same fixture).
+
+Two fixtures, two stories:
+
+* the sf0.01 embeddings fixture is NEAR-UNIFORM at top-5
+  granularity (pairwise cosines concentrate near 0), the hardest
+  case for locality indexes: recall is bounded by the scanned
+  fraction (LSH 64 buckets scans ~1.6%% -> ~0.14; IVF 3/16 cells
+  scans ~19%% -> ~0.36).  The floors document that bound honestly.
+* the CLUSTERED corpus (6 deterministic perturbed copies of each
+  fixture vector, cos ~0.99 within a clone family) is the geometry
+  ANN indexes exist for — the exact top-5 of every query is its 5
+  clone siblings; recall measures near-duplicate retrieval alone
+  (LSH-family 0.82, IVF 1.0).
+"""
+
+from db_mapreduce_project_spark.io import load_table
+from db_mapreduce_project_spark.operators.retrieval import (
+    two_stage_rerank_from,
+)
+from db_mapreduce_project_spark.operators.similarity import (
+    brute_topk_from,
+    ivf_topk_from,
+    lsh_topk_from,
+    sq8_adc_from,
+)
+from scripts.ann_recall import expand_perturbed, measure, top_map
+
+SF = "/root/testdata/sf0.01"
+
+
+def _embeddings(spark):
+    return load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+def test_ann_recall_floors_fixture(spark):
+    """Registered parameters on the raw fixture — floors from
+    ANN_RECALL_r7.json (measured: lsh 0.14, ivf 0.36, sq8 0.14,
+    two_stage 0.14 at sf0.01)."""
+    e = _embeddings(spark).cache()
+    exact = top_map(brute_topk_from(e).collect())
+    got = {
+        "lsh": measure(lsh_topk_from(e), exact),
+        "ivf": measure(ivf_topk_from(e), exact),
+        "sq8": measure(sq8_adc_from(e), exact),
+        "two_stage": measure(two_stage_rerank_from(e), exact),
+    }
+    e.unpersist()
+    assert got["lsh"]["recall"] >= 0.10, got
+    assert got["ivf"]["recall"] >= 0.32, got
+    assert got["sq8"]["recall"] >= 0.10, got
+    # the exact rerank can only fix ranking INSIDE the candidate
+    # set, never lose ground to the quantized scorer
+    assert got["two_stage"]["recall"] >= got["sq8"]["recall"] - 1e-9, got
+    assert got["two_stage"]["recall"] >= 0.10, got
+
+
+def test_ann_recall_floors_clustered(spark):
+    """Clustered corpus (6 clone families): the exact top-5 of every
+    query is its 5 siblings, so recall isolates near-duplicate
+    retrieval.  Floors from measurement: lsh/sq8/two_stage 0.82,
+    ivf 1.0."""
+    e = expand_perturbed(_embeddings(spark), copies=6).cache()
+    exact = top_map(brute_topk_from(e).collect())
+    got = {
+        "lsh": measure(lsh_topk_from(e), exact),
+        "ivf": measure(ivf_topk_from(e), exact),
+        "sq8": measure(sq8_adc_from(e), exact),
+        "two_stage": measure(two_stage_rerank_from(e), exact),
+    }
+    e.unpersist()
+    assert got["lsh"]["recall"] >= 0.78, got
+    assert got["ivf"]["recall"] >= 0.95, got
+    assert got["sq8"]["recall"] >= 0.78, got
+    assert got["two_stage"]["recall"] >= 0.78, got
+
+
+def test_ivf_recall_monotone_in_probe_count(spark):
+    """The parameter knob must move recall the right way: more
+    probed cells can only widen the candidate set (the sweep in
+    ANN_RECALL_r7.json measures 0.16 / 0.44 / 0.805 at probe =
+    1 / 3 / 8 on sf0.1; here the invariant is pinned at fixture
+    scale)."""
+    e = _embeddings(spark).cache()
+    exact = top_map(brute_topk_from(e).collect())
+    r1 = measure(ivf_topk_from(e, n_probe=1), exact)["recall"]
+    r3 = measure(ivf_topk_from(e, n_probe=3), exact)["recall"]
+    r8 = measure(ivf_topk_from(e, n_probe=8), exact)["recall"]
+    e.unpersist()
+    assert r1 <= r3 <= r8, (r1, r3, r8)
+    assert r8 >= 0.6, r8  # half the cells probed -> most of the truth

@@ -67,12 +67,15 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     ivf_top = {}
     for r in ivf:
         ivf_top.setdefault(r["q_id"], set()).add(r["n_id"])
-    # every query must get results, and 3-probe IVF over 16 cells
-    # should recover a decent share of the exact top-k
+    # every query must get results; the floor is measured-minus-
+    # epsilon from ANN_RECALL_r7.json (0.36 at sf0.01 — the fixture
+    # is near-uniform, so 3/16 probed cells bounds recall near the
+    # ~19% scanned fraction; see tests/test_ann_recall.py for the
+    # full certification)
     assert set(ivf_top) == set(brute_top)
     hits = sum(len(ivf_top[q] & brute_top[q]) for q in brute_top)
     total = sum(len(v) for v in brute_top.values())
-    assert hits / total >= 0.3, f"IVF recall too low: {hits}/{total}"
+    assert hits / total >= 0.32, f"IVF recall too low: {hits}/{total}"
 
 
 def test_ann_matmul_matches_exact_topk(spark):
