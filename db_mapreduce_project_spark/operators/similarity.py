@@ -119,7 +119,12 @@ ORDER BY q_id, rk
 
 def _bucket_expr(vec_col: str, n_planes: int = N_PLANES) -> F.Column:
     """LSH bucket id: bit p = sign(dot(v, plane_p))."""
-    planes = _planes(n_planes)
+    return _bucket_expr_from(vec_col, _planes(n_planes))
+
+
+def _bucket_expr_from(vec_col: str, planes: list[list[int]]) -> F.Column:
+    """Bucket id over an explicit plane matrix (multi-table LSH
+    slices one shared seeded stream into per-table matrices)."""
     bucket = F.lit(0).cast("bigint")
     for p, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -227,6 +232,148 @@ ORDER BY q_id, rk
 
 
 ANN_LSH_BUCKETED_ORACLE = _lsh_oracle_sql()
+
+
+N_TABLES = 4  # OR-construction width for ann_lsh_multitable
+
+
+def lsh_multitable_topk_from(
+    e: DataFrame, n_tables: int = N_TABLES, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Multi-table (OR-construction) LSH top-TOPK: L independent
+    sign-sketch tables of k planes each; a pair is a candidate if it
+    collides in ANY table.  This is the standard recall lever for
+    sign-LSH — a single wider sketch LOWERS recall (each extra plane
+    halves the bucket), while each extra table multiplies the miss
+    probability: per-table miss p -> L-table miss p^L (measured in
+    ANN_RECALL_r7.json: 0.82 -> ~1.0 on clone families at L=4).
+
+    Table t's planes are rows [t*k, (t+1)*k) of the SAME seeded
+    stream `_planes` draws from, so table 0 IS the registered
+    single-table index: the multitable candidate set is a strict
+    superset, and recall dominance over ann_lsh_bucketed is a
+    theorem (a true top-k hit can only be displaced by a
+    globally-better vector, of which there are fewer than TOPK),
+    asserted in tests/test_ann_recall.py.
+
+    Scale shape: the corpus is posexploded to L (tbl, bucket) rows —
+    a Generate, no shuffle — and the candidate join is keyed by
+    (tbl, bucket), so cost is L bucket-joins; duplicate collisions
+    are folded by a (q_id, n_id) max aggregate BEFORE ranking (the
+    scores of one pair are bit-identical across tables, so max is a
+    pure dedup).  Candidate volume is <= L x the single-table path —
+    the recall/cost dial a 100 TB serving tier actually turns."""
+    planes = _planes(n_tables * n_planes)
+    buckets = F.array(
+        *[
+            _bucket_expr_from(
+                "embedding", planes[t * n_planes : (t + 1) * n_planes]
+            )
+            for t in range(n_tables)
+        ]
+    )
+    base = e.select(
+        "vec_id",
+        "embedding",
+        l2("embedding").alias("norm"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
+    q = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("q_norm"),
+        "tbl",
+        "bucket",
+    )
+    c = base.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        F.col("norm").alias("n_norm"),
+        "tbl",
+        "bucket",
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        q.join(c, ["tbl", "bucket"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            dot("qv", "nv")
+            / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+        )
+        # fold multi-table duplicates: identical pair -> identical
+        # double, max() is a pure dedup, and the partial aggregate
+        # shrinks the shuffle to distinct pairs
+        .groupBy("q_id", "n_id")
+        .agg(F.max("cos").alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`lsh_multitable_topk_from` (L=4
+    tables x 6 planes) over the embeddings fixture."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return lsh_multitable_topk_from(e)
+
+
+def _duck_bucket_sql(planes: list[list[int]], col: str = "embedding") -> str:
+    """DuckDB mirror of `_bucket_expr_from` over explicit planes."""
+    from ..functions.vectors import duck_dot
+
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        proj = duck_dot(col, lit)
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _lsh_multitable_oracle_sql() -> str:
+    """DuckDB mirror of the multi-table pipeline: the same L plane
+    slices of the shared seeded stream, a UNION ALL unpivot to
+    (tbl, bucket) rows, the same (tbl, bucket) join, the same
+    max-fold pair dedup, the same rank cut."""
+    from ..functions.vectors import duck_dot, duck_l2
+
+    planes = _planes(N_TABLES * N_PLANES)
+    arms = []
+    for t in range(N_TABLES):
+        b = _duck_bucket_sql(planes[t * N_PLANES : (t + 1) * N_PLANES])
+        arms.append(
+            f"SELECT vec_id, embedding, {duck_l2('embedding')} AS norm,"
+            f" {t} AS tbl, {b} AS bucket FROM embeddings"
+        )
+    base = "\n  UNION ALL\n  ".join(arms)
+    return f"""
+WITH base AS (
+  {base}
+),
+scored AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         max({duck_dot('q.embedding', 'n.embedding')}
+             / nullif(q.norm * n.norm, 0.0)) AS cos
+  FROM base q JOIN base n ON q.tbl = n.tbl AND q.bucket = n.bucket
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> n.vec_id
+  GROUP BY q.vec_id, n.vec_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_LSH_MULTITABLE_ORACLE = _lsh_multitable_oracle_sql()
 
 
 COSINE_DEDUP_THRESHOLD = 0.92
@@ -498,6 +645,7 @@ register(
     "ann_cosine_topk_bruteforce", ann_cosine_topk_bruteforce, ANN_COSINE_TOPK_ORACLE
 )
 register("ann_lsh_bucketed", ann_lsh_bucketed, ANN_LSH_BUCKETED_ORACLE)
+register("ann_lsh_multitable", ann_lsh_multitable, ANN_LSH_MULTITABLE_ORACLE)
 register("dedup_embedding_lsh", dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_ORACLE)
 register("ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_ORACLE)
 register(

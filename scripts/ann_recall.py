@@ -58,9 +58,11 @@ from db_mapreduce_project_spark.operators.similarity import (
     N_CELLS,
     N_PLANES,
     N_PROBE,
+    N_TABLES,
     TOPK,
     brute_topk_from,
     ivf_topk_from,
+    lsh_multitable_topk_from,
     lsh_topk_from,
     sq8_adc_from,
 )
@@ -161,6 +163,12 @@ def main() -> None:
         )
         record(
             sf,
+            "lsh_multitable",
+            {"tables": N_TABLES, "planes": N_PLANES},
+            measure(lsh_multitable_topk_from(e), exact),
+        )
+        record(
+            sf,
             "ivf_topk",
             {"cells": N_CELLS, "probe": N_PROBE},
             measure(ivf_topk_from(e), exact),
@@ -207,6 +215,15 @@ def main() -> None:
                     {"cells": cells, "probe": N_PROBE},
                     measure(ivf_topk_from(e, cells, N_PROBE), exact),
                 )
+            for tables in (2, 4, 8):
+                record(
+                    sf,
+                    "lsh_multitable",
+                    {"tables": tables, "planes": N_PLANES},
+                    measure(
+                        lsh_multitable_topk_from(e, tables), exact
+                    ),
+                )
             for rc in (10, 25, 50):
                 record(
                     sf,
@@ -231,6 +248,12 @@ def main() -> None:
         "lsh_bucketed",
         {"planes": N_PLANES},
         measure(lsh_topk_from(rung), exact),
+    )
+    record(
+        corpus,
+        "lsh_multitable",
+        {"tables": N_TABLES, "planes": N_PLANES},
+        measure(lsh_multitable_topk_from(rung), exact),
     )
     record(
         corpus,
@@ -259,6 +282,12 @@ def main() -> None:
         "lsh_bucketed",
         {"planes": 8},
         measure(lsh_topk_from(rung, 8), exact),
+    )
+    record(
+        corpus,
+        "lsh_multitable",
+        {"tables": 8, "planes": 8},
+        measure(lsh_multitable_topk_from(rung, 8, 8), exact),
     )
     record(
         corpus,

@@ -30,6 +30,7 @@ from db_mapreduce_project_spark.operators.retrieval import (
 from db_mapreduce_project_spark.operators.similarity import (
     brute_topk_from,
     ivf_topk_from,
+    lsh_multitable_topk_from,
     lsh_topk_from,
     sq8_adc_from,
 )
@@ -73,15 +74,35 @@ def test_ann_recall_floors_clustered(spark):
     exact = top_map(brute_topk_from(e).collect())
     got = {
         "lsh": measure(lsh_topk_from(e), exact),
+        "multitable": measure(lsh_multitable_topk_from(e), exact),
         "ivf": measure(ivf_topk_from(e), exact),
         "sq8": measure(sq8_adc_from(e), exact),
         "two_stage": measure(two_stage_rerank_from(e), exact),
     }
     e.unpersist()
     assert got["lsh"]["recall"] >= 0.78, got
+    assert got["multitable"]["recall"] >= 0.95, got
     assert got["ivf"]["recall"] >= 0.95, got
     assert got["sq8"]["recall"] >= 0.78, got
     assert got["two_stage"]["recall"] >= 0.78, got
+
+
+def test_multitable_dominates_single_table(spark):
+    """Table 0 of the multi-table index IS the single-table index
+    (same seeded plane stream), so the multitable candidate set is a
+    superset — and a true top-k member can only be displaced from a
+    wider candidate set by a globally-better vector, of which there
+    are fewer than TOPK.  Recall dominance is therefore a theorem,
+    not a tendency; pin it per query."""
+    e = _embeddings(spark).cache()
+    exact = top_map(brute_topk_from(e).collect())
+    single = top_map(lsh_topk_from(e).collect())
+    multi = top_map(lsh_multitable_topk_from(e).collect())
+    e.unpersist()
+    for q, truth in exact.items():
+        s_hits = len(single.get(q, set()) & truth)
+        m_hits = len(multi.get(q, set()) & truth)
+        assert m_hits >= s_hits, (q, s_hits, m_hits)
 
 
 def test_ivf_recall_monotone_in_probe_count(spark):
