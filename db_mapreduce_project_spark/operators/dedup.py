@@ -1726,6 +1726,74 @@ register(
 )
 
 
+def dedup_materialize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END-TO-END deliverable: the surviving
+    corpus itself.  dedup_apply_keepers is the provenance ledger
+    (who absorbed whom); this query completes the apply step by
+    anti-joining `documents` against the suppressed ids (docs whose
+    component label != their own id) and emitting one row per
+    surviving document with its content fingerprint (the portable
+    charhash pair — the identity a downstream shard manifest
+    records).
+
+    Row count == dedup_apply_keepers row count BY CONSTRUCTION
+    (keepers are exactly the docs that are their own component min),
+    asserted in tests.  Scale shape: the component labels are the
+    only shuffled relation; against the corpus this is one LEFT ANTI
+    join (map-side after AQE broadcasts the suppressed-id side,
+    which is dup-count-sized, not corpus-sized), then a fingerprint
+    fold per surviving row — the same plan you'd run at 100 TB,
+    where the suppress list is the small side by construction.
+    """
+    from ..functions.hashing import spark_charhash_pair
+
+    labels = _min_label_assignments(spark, sf_dir)
+    suppressed = labels.where(F.col("label") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    # explode(array(...)) materializes the two-hash fold ONCE —
+    # a Generate is a CollapseProject barrier, without which the
+    # downstream h1/h2 projections each re-run the whole fold
+    kept = d.join(suppressed, "doc_id", "left_anti").select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(spark_charhash_pair(F.col("text")))).alias("fp"),
+    )
+    return kept.select(
+        "doc_id",
+        "n_chars",
+        F.col("fp.h1").alias("fp1"),
+        F.col("fp.h2").alias("fp2"),
+    ).orderBy("doc_id")
+
+
+def _materialize_corpus_oracle_sql() -> str:
+    from ..functions.hashing import (
+        FP_MOD2,
+        FP_WORD_BASE,
+        duck_charhash,
+    )
+
+    return f"""{_CC_COMP_CTES}
+SELECT d.doc_id, d.n_chars,
+       {duck_charhash('d.text')} AS fp1,
+       {duck_charhash('d.text', FP_WORD_BASE, FP_MOD2)} AS fp2
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE label <> doc_id)
+ORDER BY d.doc_id
+"""
+
+
+DEDUP_MATERIALIZE_CORPUS_ORACLE = _materialize_corpus_oracle_sql()
+
+register(
+    "dedup_materialize_corpus",
+    dedup_materialize_corpus,
+    DEDUP_MATERIALIZE_CORPUS_ORACLE,
+)
+
+
 # Substring-span dedup: window length / stride (chars).  Stride > 1
 # trades recall for a bounded span stream (n_chars/STRIDE spans per
 # doc); length 40 ~= the 50-token threshold of Lee et al. 2022

@@ -244,6 +244,27 @@ def test_apply_keepers_consistent_with_clusters(spark):
     assert clusters  # non-vacuous: real dup groups exist
 
 
+def test_materialized_corpus_matches_keeper_ledger(spark):
+    """The end-to-end apply deliverable: the surviving corpus's doc
+    ids are EXACTLY the keeper ledger's ids (round-7 verdict #4 —
+    'the pipeline wrote the deduped corpus' is the user artifact,
+    not just the ledger)."""
+    keepers = {
+        r["keeper_doc_id"]
+        for r in registry.QUERIES["dedup_apply_keepers"](spark, SF).collect()
+    }
+    from db_mapreduce_project_spark.io import load_table
+
+    corpus = registry.QUERIES["dedup_materialize_corpus"](spark, SF).collect()
+    assert {r["doc_id"] for r in corpus} == keepers
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(corpus) == len(keepers) < n_docs  # something was removed
+    # fingerprints are real content hashes: non-degenerate and
+    # distinct across the fixture's unique surviving docs
+    fps = {(r["fp1"], r["fp2"]) for r in corpus}
+    assert len(fps) == len(corpus)
+
+
 def test_containment_supersets_jaccard_pairs(spark):
     """Containment >= 0.5 is strictly weaker than Jaccard >= 0.05
     only when sets differ wildly in size; every high-Jaccard pair

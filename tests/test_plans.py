@@ -284,6 +284,7 @@ _EAGER = {
     "dedup_clusters",
     "dedup_clusters_largestar",
     "dedup_apply_keepers",  # runs the label-propagation loop eagerly
+    "dedup_materialize_corpus",  # same label-propagation loop
     "ann_cosine_topk_matmul",
     "pagerank_trade",
     "kmeans_embeddings",
