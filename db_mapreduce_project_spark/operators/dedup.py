@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -1804,20 +1804,12 @@ SPAN_STRIDE = 10
 SPAN_TOPK = 100
 
 
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicated character spans ACROSS documents — the
-    substring-level sibling of document-level exact dedup (suffix
-    arrays in Lee et al. 2022; here a strided rolling window whose
-    portable hash pair keys a count aggregation).
-
-    Every doc emits (n_chars - SPAN_LEN)/SPAN_STRIDE spans; a span
-    hash seen in >= 2 distinct docs is a cross-document duplicate.
-    Top SPAN_TOPK by document reach.  The span stream never joins —
-    one keyed shuffle (groupBy span hash) whose width is two bigints
-    per span, independent of document size.  At 100 TB: stride and
-    length set the stream volume; hot boilerplate spans land in one
-    reducer each (bounded by doc count, and cappable exactly like
-    SHINGLE_DF_CAP if ever needed).
+def _span_hash_stream(d: DataFrame) -> DataFrame:
+    """(doc_id, off, h1, h2) — one strided SPAN_LEN rolling-hash
+    window per stride position of every document (off is the
+    0-based char offset, always a multiple of SPAN_STRIDE).  Shared
+    by dedup_substring_spans (hash-reach aggregate) and
+    dedup_substring_maximal_spans (per-pair span coalescing).
 
     Because SPAN_STRIDE divides SPAN_LEN, every span is exactly
     SPAN_LEN/SPAN_STRIDE aligned stride-width blocks: each block's
@@ -1825,17 +1817,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     power B^stride — total fold work is one pass over the text
     instead of SPAN_LEN/SPAN_STRIDE passes (the same composition
     trick as token_shingle_hash_pairs; hashes are value-identical,
-    the oracle keeps hashing span strings).
-    """
+    the oracles keep hashing span strings)."""
     assert SPAN_LEN % SPAN_STRIDE == 0
     nb_per_span = SPAN_LEN // SPAN_STRIDE
     p10_1 = pow(FP_CHAR_BASE, SPAN_STRIDE, FP_MOD)
     p10_2 = pow(FP_WORD_BASE, SPAN_STRIDE, FP_MOD2)
     from ..functions.hashing import spark_charhash_pair
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= SPAN_LEN
-    )
+    d = d.where(F.length("text") >= SPAN_LEN)
     n_full = F.floor(F.length("text") / SPAN_STRIDE).cast("int")
     blocks = F.transform(
         F.sequence(F.lit(0), n_full - 1),
@@ -1853,9 +1842,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             bk = F.element_at(F.col("_b"), i + k)
             s1 = (s1 * p10_1 + bk["h1"]) % FP_MOD
             s2 = (s2 * p10_2 + bk["h2"]) % FP_MOD2
-        return F.struct(s1.alias("h1"), s2.alias("h2"))
+        return F.struct(
+            ((i - 1) * SPAN_STRIDE).cast("bigint").alias("off"),
+            s1.alias("h1"),
+            s2.alias("h2"),
+        )
 
-    spans = (
+    return (
         d.select(
             "doc_id",
             F.explode(F.array(blocks)).alias("_b"),
@@ -1866,11 +1859,34 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.transform(F.col("_idx"), compose)).alias("h"),
         )
         .select(
-            "doc_id", F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2")
+            "doc_id",
+            F.col("h.off").alias("off"),
+            F.col("h.h1").alias("h1"),
+            F.col("h.h2").alias("h2"),
         )
     )
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated character spans ACROSS documents — the
+    substring-level sibling of document-level exact dedup (suffix
+    arrays in Lee et al. 2022; here a strided rolling window whose
+    portable hash pair keys a count aggregation).
+
+    Every doc emits (n_chars - SPAN_LEN)/SPAN_STRIDE spans; a span
+    hash seen in >= 2 distinct docs is a cross-document duplicate.
+    Top SPAN_TOPK by document reach.  The span stream never joins —
+    one keyed shuffle (groupBy span hash) whose width is two bigints
+    per span, independent of document size.  At 100 TB: stride and
+    length set the stream volume; hot boilerplate spans land in one
+    reducer each (bounded by doc count, and cappable exactly like
+    SHINGLE_DF_CAP if ever needed).  Hashing via the shared
+    block-composed `_span_hash_stream`.
+    """
     return (
-        spans
+        _span_hash_stream(
+            load_table(spark, sf_dir, "documents")
+        )
         .groupBy("h1", "h2")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -1904,4 +1920,139 @@ LIMIT {SPAN_TOPK}
 
 register(
     "dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_SPANS_ORACLE
+)
+
+
+# Per-hash occurrence cap for the maximal-span pair join: a span
+# hash occurring m times yields <= m^2/2 matches, so boilerplate
+# (the 10%-of-corpus phrase) must be bounded exactly like
+# SHINGLE_DF_CAP bounds the shingle index.  Deterministic keep rule
+# (first by doc_id, off) mirrored in the oracle; 64 is ~10x the
+# fixture's hottest span.
+SPAN_OCC_CAP = 64
+
+
+def maximal_spans_from(d: DataFrame) -> DataFrame:
+    """Maximal duplicated character spans per document pair — the
+    coalescing pass dedup_substring_spans lacks (round-7 verdict
+    #2): overlapping/adjacent stride windows that match on the SAME
+    ALIGNMENT merge into one maximal span, so a 500-char boilerplate
+    block reports as ONE span of ~500 chars instead of ~47
+    stride-quantized windows (the production shape of Lee et al.
+    2022's suffix-array spans, approximated on the stride grid:
+    reported extents are exact up to < SPAN_STRIDE quantization at
+    each edge, and only stride-aligned duplicates are visible —
+    the documented recall contract of the strided family).
+
+    Shape: (1) the shared block-composed span-hash stream,
+    (2) a deterministic per-hash occurrence cap (SPAN_OCC_CAP)
+    bounding the self-join's quadratic blowup on hot boilerplate,
+    (3) the (h1, h2) equi-self-join producing match coordinates
+    (doc_a < doc_b, oa, ob), (4) gaps-and-islands per
+    (doc_a, doc_b, diagonal = oa - ob): consecutive stride
+    positions on one diagonal are one island (off/stride -
+    row_number is constant), the same machinery as
+    activity_streaks, (5) per-island min/max -> maximal span.
+    Every shuffle is keyed (hash join, island window); nothing is
+    quadratic except the capped per-hash match list."""
+    spans = _span_hash_stream(d)
+    wcap = Window.partitionBy("h1", "h2").orderBy("doc_id", "off")
+    capped = (
+        spans.withColumn("rn", F.row_number().over(wcap))
+        .where(F.col("rn") <= SPAN_OCC_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("off").alias("oa"), "h1", "h2"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("off").alias("ob"), "h1", "h2"
+    )
+    matches = (
+        a.join(b, ["h1", "h2"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "oa", "ob")
+        .withColumn("diag", F.col("oa") - F.col("ob"))
+    )
+    wisl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("oa")
+    islands = matches.withColumn(
+        "isl",
+        (F.col("oa") / SPAN_STRIDE).cast("bigint")
+        - F.row_number().over(wisl),
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("oa").alias("start_a"),
+            F.min("ob").alias("start_b"),
+            (F.max("oa") - F.min("oa") + SPAN_LEN).alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_a", "doc_b", "start_a", "start_b", "span_len", "n_windows"
+        )
+        .orderBy(
+            F.col("span_len").desc(), "doc_a", "doc_b", "start_a", "start_b"
+        )
+        .limit(SPAN_TOPK)
+    )
+
+
+def dedup_substring_maximal_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered form of :func:`maximal_spans_from` over the
+    documents fixture."""
+    return maximal_spans_from(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_SUBSTRING_MAXIMAL_SPANS_ORACLE = f"""
+WITH positions AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) - {SPAN_LEN}, {SPAN_STRIDE})) AS pos
+  FROM documents
+  WHERE length(text) >= {SPAN_LEN}
+),
+spans AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS off,
+         {_SPAN_H1} AS h1, {_SPAN_H2} AS h2
+  FROM positions
+),
+capped AS (
+  SELECT doc_id, off, h1, h2 FROM (
+    SELECT doc_id, off, h1, h2,
+           row_number() OVER (PARTITION BY h1, h2
+                ORDER BY doc_id, off) AS rn
+    FROM spans
+  ) WHERE rn <= {SPAN_OCC_CAP}
+),
+matches AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.off AS oa, b.off AS ob, a.off - b.off AS diag
+  FROM capped a JOIN capped b
+    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+),
+islands AS (
+  SELECT doc_a, doc_b, diag, oa, ob,
+         oa // {SPAN_STRIDE}
+           - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                ORDER BY oa) AS isl
+  FROM matches
+)
+SELECT doc_a, doc_b, start_a, start_b, span_len, n_windows FROM (
+  SELECT doc_a, doc_b,
+         min(oa) AS start_a, min(ob) AS start_b,
+         max(oa) - min(oa) + {SPAN_LEN} AS span_len,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM islands
+  GROUP BY doc_a, doc_b, diag, isl
+) t
+ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
+LIMIT {SPAN_TOPK}
+"""
+
+register(
+    "dedup_substring_maximal_spans",
+    dedup_substring_maximal_spans,
+    DEDUP_SUBSTRING_MAXIMAL_SPANS_ORACLE,
 )
