@@ -89,6 +89,10 @@ HEADLINE = [
     "dedup_containment_ensemble",
     "multimodal_decode_png_stats",
     "multimodal_decode_wav_stats",
+    "multimodal_decode_jpeg_stats",
+    "ann_lsh_multitable",
+    "dedup_substring_maximal_spans",
+    "dedup_materialize_corpus",
     "bpe_learn_merges",
     "ohlc_bars",
     "time_weighted_avg_per_user",

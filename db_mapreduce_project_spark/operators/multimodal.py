@@ -23,10 +23,13 @@ The decode path is REAL for three containers:
 Entropy coding is real on both media paths: PNG rides stdlib
 zlib's DEFLATE, and the Rice audio codec (order-1 prediction +
 Golomb-Rice bitstream, the FLAC residual-coder shape) is written
-bit-for-bit in this module.  JPEG/video and the full FLAC/MP3
-container stack genuinely need native libraries this environment
-doesn't ship; they would plug into the same kernels via the
-identical (binary -> parsed array -> stats) shape.
+bit-for-bit in this module.  Baseline JPEG (fixed-point DCT +
+Annex K quantization + canonical Huffman in a full JFIF marker
+container) is from-scratch too — see operators/jpeg.py.  Only
+video and the full FLAC/MP3 container stacks remain env-gated:
+they genuinely need native libraries this environment doesn't
+ship; they would plug into the same kernels via the identical
+(binary -> parsed array -> stats) shape.
 `fake_features` remains the deterministic stand-in
 featurizer for the generic-binary queries.
 

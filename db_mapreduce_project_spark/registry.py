@@ -58,6 +58,7 @@ def load_all_queries() -> None:
         graph,
         incremental,
         intervals,
+        jpeg,
         layout,
         multimodal,
         profiling,
