@@ -882,6 +882,68 @@ def _stratum_case_sum_sql(n_expr: str) -> str:
     return f"({terms})"
 
 
+def ensemble_candidate_parts(
+    sh: DataFrame, t: float = CONTAIN_THRESHOLD
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(probes, postings, ranked) of the size-stratified prefix
+    index over a (doc_id, h1, h2) shingle relation — shared by
+    :func:`containment_pairs_ensemble_from` and the skew stress
+    harness (scripts/stress_skew.py measures the hot-key geometry
+    of the postings under the candidate join key).  `ranked` is
+    returned cached; callers unpersist it after materializing."""
+    from pyspark.sql.window import Window
+
+    ranked = (
+        sh.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("h1", "h2")
+            ),
+        )
+        # floor(log2(n)) via the binary-string length — exact integer
+        # arithmetic (see _stratum_case_sum_sql for the float hazard)
+        .withColumn("stratum", F.length(F.bin(F.col("n_sh"))) - 1)
+        .cache()  # consumed by probes AND the stratified posting index
+    )
+    strata = (
+        ranked.select(F.col("stratum").alias("q_stratum"))
+        .distinct()
+        .withColumn(
+            "alpha",
+            F.ceil(F.lit(t) * F.pow(F.lit(2.0), F.col("q_stratum"))).cast(
+                "long"
+            ),
+        )
+    )
+    probes = ranked.where(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    ).select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("n_sh").alias("p_n"),
+        F.col("stratum").alias("q_stratum"),
+        "h1",
+        "h2",
+    )
+    # the strata table is tiny (<= CONTAIN_STRATUM_MAX rows) — the
+    # range join is a broadcast nested loop by construction
+    postings = (
+        ranked.join(F.broadcast(strata), F.col("stratum") >= F.col("q_stratum"))
+        .where(F.col("rk") <= F.col("n_sh") - F.col("alpha") + 1)
+        .select(
+            F.col("doc_id").alias("s_doc"),
+            F.col("n_sh").alias("s_n"),
+            F.col("rk").alias("s_rk"),
+            "q_stratum",
+            "h1",
+            "h2",
+        )
+    )
+    return probes, postings, ranked
+
+
 def containment_pairs_ensemble_from(d: DataFrame) -> DataFrame:
     """Directional containment with SIZE-STRATIFIED, DETERMINISTIC-
     RECALL candidates — the production path that closes the last
@@ -946,58 +1008,9 @@ def containment_pairs_ensemble_from(d: DataFrame) -> DataFrame:
     candidate join is linear in the corpus with a fixed constant,
     and only distinct candidate pairs (not every co-occurrence, the
     exact form's quadratic hazard) reach the verify."""
-    from pyspark.sql.window import Window
-
-    t = CONTAIN_THRESHOLD
     sh = _capped_shingle_hashes(d).cache()
-    ranked = (
-        sh.withColumn(
-            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("h1", "h2")
-            ),
-        )
-        # floor(log2(n)) via the binary-string length — exact integer
-        # arithmetic (see _stratum_case_sum_sql for the float hazard)
-        .withColumn("stratum", F.length(F.bin(F.col("n_sh"))) - 1)
-        .cache()  # consumed by probes AND the stratified posting index
-    )
-    strata = (
-        ranked.select(F.col("stratum").alias("q_stratum"))
-        .distinct()
-        .withColumn(
-            "alpha",
-            F.ceil(F.lit(t) * F.pow(F.lit(2.0), F.col("q_stratum"))).cast(
-                "long"
-            ),
-        )
-    )
-    probes = ranked.where(
-        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
-    ).select(
-        F.col("doc_id").alias("p_doc"),
-        F.col("n_sh").alias("p_n"),
-        F.col("stratum").alias("q_stratum"),
-        "h1",
-        "h2",
-    )
-    # the strata table is tiny (<= CONTAIN_STRATUM_MAX rows) — the
-    # range join is a broadcast nested loop by construction
-    postings = (
-        ranked.join(F.broadcast(strata), F.col("stratum") >= F.col("q_stratum"))
-        .where(F.col("rk") <= F.col("n_sh") - F.col("alpha") + 1)
-        .select(
-            F.col("doc_id").alias("s_doc"),
-            F.col("n_sh").alias("s_n"),
-            F.col("rk").alias("s_rk"),
-            "q_stratum",
-            "h1",
-            "h2",
-        )
-    )
+    probes, postings, ranked = ensemble_candidate_parts(sh)
+    t = CONTAIN_THRESHOLD
     cand = (
         probes.join(postings, ["q_stratum", "h1", "h2"])
         .where(

@@ -258,6 +258,81 @@ def main() -> None:
     band_join_stats(
         token_shingle_hash_pairs(planted, "doc_id", "text", n=3), "uncapped"
     )
+    spark.catalog.clearCache()
+
+    # ---- scenario 4: ensemble postings at the 500k-doc rung --------
+    # (round-7 verdict #6)  The ensemble containment path's shuffle
+    # key is (q_stratum, h1, h2) on per-stratum PREFIX postings — a
+    # different hot-key geometry from the banded path (a boilerplate
+    # shingle is replicated once per eligible stratum, but only while
+    # it sits inside a doc's prefix).  Replant the 10%-of-corpus
+    # boilerplate at the ladder's 500k-document scale (sf0.1 x 100
+    # copies — the same construction as STRESS_LADDER's top rung,
+    # where base-shingle DF lands at the cap boundary) plus a
+    # DF=copies plant that survives the cap, and record the worst
+    # posting bucket capped vs uncapped.  The uncapped candidate
+    # join is NOT executed — its worst bucket alone implies ~1e9
+    # same-key join rows; the number IS the counterfactual.
+    from db_mapreduce_project_spark.operators.dedup import (
+        containment_pairs_ensemble_from,
+        ensemble_candidate_parts,
+    )
+
+    r_copies = 100
+    base01 = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    exp = None
+    for i in range(r_copies):
+        ci = base01.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 100_000_000)
+        )
+        exp = ci if exp is None else exp.unionByName(ci)
+    rung = exp.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(boiler)),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(100_000_000)) == 1,
+            F.concat_ws(" ", F.col("text"), F.lit(edge)),
+        )
+        .otherwise(F.col("text")),
+    ).localCheckpoint(eager=True)
+    n_rung = rung.count()
+    emit({"scenario": "ensemble_500k_fixture", "docs": n_rung,
+          "hot_df": n_rung // 10, "edge_df": r_copies,
+          "df_cap": SHINGLE_DF_CAP})
+
+    def ensemble_posting_stats(sh, label):
+        probes, postings, ranked = ensemble_candidate_parts(sh)
+        top = (
+            postings.groupBy("q_stratum", "h1", "h2")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.max("k").alias("k"))
+            .first()
+        )
+        k = top["k"]
+        emit({"scenario": f"ensemble_500k_{label}_maxbucket",
+              "max_posting_bucket": k,
+              **partition_balance(
+                  postings, N_SHUFFLE, "q_stratum", "h1", "h2"
+              )})
+        ranked.unpersist()
+        spark.catalog.clearCache()
+
+    ensemble_posting_stats(_capped_shingle_hashes(rung), "capped")
+    ensemble_posting_stats(
+        token_shingle_hash_pairs(rung, "doc_id", "text", n=3), "uncapped"
+    )
+    # end-to-end capped run at the rung: the defended path completes
+    t0 = time.perf_counter()
+    n_pairs = containment_pairs_ensemble_from(rung).count()
+    emit({"scenario": "ensemble_500k_capped_run",
+          "out_pairs": n_pairs,
+          "sec": round(time.perf_counter() - t0, 2)})
+    spark.catalog.clearCache()
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
