@@ -91,6 +91,7 @@ HEADLINE = [
     "multimodal_decode_wav_stats",
     "multimodal_decode_jpeg_stats",
     "ann_lsh_multitable",
+    "ann_pq_adc",
     "dedup_substring_maximal_spans",
     "dedup_materialize_corpus",
     "bpe_learn_merges",

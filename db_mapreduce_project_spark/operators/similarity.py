@@ -923,3 +923,212 @@ ORDER BY q_id, rk
 ANN_SQ8_ADC_ORACLE = _sq8_adc_oracle_sql()
 
 register("ann_sq8_adc", ann_sq8_adc, ANN_SQ8_ADC_ORACLE)
+
+
+# ---------------------------------------------------------------
+# Product quantization (PQ) ADC — Jégou, Douze & Schmid, "Product
+# quantization for nearest neighbor search", TPAMI 2011: the full
+# residual-code stage the IVF query only borrowed its coarse
+# quantizer from.
+# ---------------------------------------------------------------
+
+PQ_M = 8  # subquantizers (64 dims -> 8 subvectors of 8)
+PQ_SUB = DIM // PQ_M
+PQ_K = 16  # codewords per subquantizer
+PQ_ADC_SCALE = 1_000_000  # quantize per-m partials before the sum
+
+
+def _dsub(col, m: int) -> F.Column:
+    """m-th double-cast subvector of an array<float> column."""
+    return F.slice(
+        F.transform(col, lambda v: v.cast("double")),
+        m * PQ_SUB + 1,
+        PQ_SUB,
+    )
+
+
+def _sqdist(a, b) -> F.Column:
+    """Ordered-fold squared L2 over two double arrays (the
+    determinism contract of functions.vectors)."""
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebook(e: DataFrame) -> DataFrame:
+    """(m, k, cw): codeword k of subquantizer m is the m-th
+    subvector of the k-th-lowest vec_id — the same honest
+    deterministic 'training' as the IVF centroids (real systems run
+    per-subspace k-means; determinism is what buys the cross-engine
+    oracle, and the assignment/scoring machinery is identical)."""
+    w = Window.orderBy("vec_id")
+    return (
+        e.orderBy("vec_id")
+        .limit(PQ_K)
+        .withColumn("k", F.row_number().over(w) - 1)
+        .select(
+            "k",
+            F.posexplode(
+                F.array(*[_dsub("embedding", m) for m in range(PQ_M)])
+            ).alias("m", "cw"),
+        )
+    )
+
+
+def pq_codes(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """The PQ index: (n_id, bucket, m, k) — 8 one-nibble codes per
+    vector (PQ_K=16), an 8x smaller index than SQ8's 64 bytes.
+    Assignment is per-(vector, subspace) argmin over the BROADCAST
+    codebook — one map-side pass over the corpus, no shuffle of the
+    vectors; the row_number tiebreak (d2 ASC, k ASC) is the
+    deterministic argmin the oracle mirrors."""
+    subs = e.select(
+        F.col("vec_id").alias("n_id"),
+        _bucket_expr("embedding", n_planes).alias("bucket"),
+        F.posexplode(
+            F.array(*[_dsub("embedding", m) for m in range(PQ_M)])
+        ).alias("m", "sv"),
+    )
+    w = Window.partitionBy("n_id", "m").orderBy(
+        F.col("d2").asc(), F.col("k").asc()
+    )
+    return (
+        subs.join(F.broadcast(pq_codebook(e)), "m")
+        .withColumn("d2", _sqdist("sv", "cw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("n_id", "bucket", "m", "k")
+    )
+
+
+def pq_adc_from(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """PQ asymmetric-distance top-TOPK: LSH-bucketed candidates
+    scored by table lookup — the query's m-th subvector dotted with
+    the candidate's m-th CODEWORD (the original vector is never
+    read after encoding; the whole serving index is codes +
+    codebook).  Per-(q, m) partials quantize to bigints before the
+    per-pair sum, so the 8-way addition is order-free and the
+    pipeline value-hash matches the oracle (the repo's
+    quantize-then-sum discipline for floats under groupBy)."""
+    q = sq8_queries(e, n_planes)
+    qsubs = q.select(
+        "q_id",
+        "bucket",
+        F.posexplode(
+            F.array(*[_dsub("qv", m) for m in range(PQ_M)])
+        ).alias("m", "qsv"),
+    )
+    parts = (
+        qsubs.join(pq_codes(e, n_planes), ["bucket", "m"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .join(F.broadcast(pq_codebook(e)), ["m", "k"])
+        .select(
+            "q_id",
+            "n_id",
+            F.floor(
+                F.aggregate(
+                    F.zip_with("qsv", "cw", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * PQ_ADC_SCALE
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pq"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    return (
+        parts.groupBy("q_id", "n_id")
+        .agg((F.sum("pq") / F.lit(float(PQ_ADC_SCALE))).alias("adc"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "adc", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`pq_adc_from` over the embeddings
+    fixture."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pq_adc_from(e)
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB mirror: same deterministic codebook, same ordered
+    sqdist/dot folds, same argmin tiebreak, same quantize-then-sum
+    ADC."""
+    planes = _planes()
+    bucket = _duck_bucket_sql(planes)
+    lo = "g.m * {s} + 1".format(s=PQ_SUB)
+    hi = "g.m * {s} + {s}".format(s=PQ_SUB)
+    sub = (
+        f"list_transform(embedding[({lo}):({hi})], "
+        "x -> CAST(x AS DOUBLE))"
+    )
+    sqd = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(s.sv, c.cw), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, v) -> acc + v)"
+    )
+    dotf = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(q.qsv, cb.cw), "
+        "p -> p[1] * p[2])), (acc, v) -> acc + v)"
+    )
+    return f"""
+WITH cb AS (
+  SELECT b.k, g.m, {sub} AS cw
+  FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY vec_id) - 1 AS k
+    FROM embeddings ORDER BY vec_id LIMIT {PQ_K}
+  ) b, generate_series(0, {PQ_M - 1}) AS g(m)
+),
+subs AS (
+  SELECT vec_id AS n_id, {bucket} AS bucket, g.m, {sub} AS sv
+  FROM embeddings, generate_series(0, {PQ_M - 1}) AS g(m)
+),
+codes AS (
+  SELECT n_id, bucket, m, k FROM (
+    SELECT s.n_id, s.bucket, s.m, c.k,
+           row_number() OVER (PARTITION BY s.n_id, s.m
+                ORDER BY {sqd} ASC, c.k ASC) AS rn
+    FROM subs s JOIN cb c ON c.m = s.m
+  ) t WHERE rn = 1
+),
+qsubs AS (
+  SELECT vec_id AS q_id, {bucket} AS bucket, g.m, {sub} AS qsv
+  FROM embeddings, generate_series(0, {PQ_M - 1}) AS g(m)
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+parts AS (
+  SELECT q.q_id, c.n_id,
+         CAST(floor({dotf} * {PQ_ADC_SCALE}.0 + 0.5) AS BIGINT) AS pq
+  FROM qsubs q
+  JOIN codes c ON c.bucket = q.bucket AND c.m = q.m
+  JOIN cb ON cb.m = c.m AND cb.k = c.k
+  WHERE q.q_id <> c.n_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         CAST(sum(pq) AS BIGINT) / {PQ_ADC_SCALE}.0 AS adc
+  FROM parts GROUP BY q_id, n_id
+)
+SELECT q_id, n_id, adc, rk FROM (
+  SELECT q_id, n_id, adc,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY adc DESC, n_id ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_PQ_ADC_ORACLE = _pq_oracle_sql()
+
+register("ann_pq_adc", ann_pq_adc, ANN_PQ_ADC_ORACLE)

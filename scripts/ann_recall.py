@@ -64,6 +64,7 @@ from db_mapreduce_project_spark.operators.similarity import (
     ivf_topk_from,
     lsh_multitable_topk_from,
     lsh_topk_from,
+    pq_adc_from,
     sq8_adc_from,
 )
 from db_mapreduce_project_spark.session import get_spark
@@ -181,6 +182,12 @@ def main() -> None:
         )
         record(
             sf,
+            "pq_adc",
+            {"planes": N_PLANES},
+            measure(pq_adc_from(e), exact),
+        )
+        record(
+            sf,
             "two_stage_rerank",
             {"planes": N_PLANES, "rerank_c": RERANK_C},
             measure(two_stage_rerank_from(e), exact),
@@ -266,6 +273,12 @@ def main() -> None:
         "sq8_adc",
         {"planes": N_PLANES},
         measure(sq8_adc_from(rung), exact),
+    )
+    record(
+        corpus,
+        "pq_adc",
+        {"planes": N_PLANES},
+        measure(pq_adc_from(rung), exact),
     )
     record(
         corpus,

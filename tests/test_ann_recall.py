@@ -28,10 +28,14 @@ from db_mapreduce_project_spark.operators.retrieval import (
     two_stage_rerank_from,
 )
 from db_mapreduce_project_spark.operators.similarity import (
+    PQ_K,
+    PQ_M,
     brute_topk_from,
     ivf_topk_from,
     lsh_multitable_topk_from,
     lsh_topk_from,
+    pq_adc_from,
+    pq_codes,
     sq8_adc_from,
 )
 from scripts.ann_recall import expand_perturbed, measure, top_map
@@ -77,6 +81,7 @@ def test_ann_recall_floors_clustered(spark):
         "multitable": measure(lsh_multitable_topk_from(e), exact),
         "ivf": measure(ivf_topk_from(e), exact),
         "sq8": measure(sq8_adc_from(e), exact),
+        "pq": measure(pq_adc_from(e), exact),
         "two_stage": measure(two_stage_rerank_from(e), exact),
     }
     e.unpersist()
@@ -84,7 +89,22 @@ def test_ann_recall_floors_clustered(spark):
     assert got["multitable"]["recall"] >= 0.95, got
     assert got["ivf"]["recall"] >= 0.95, got
     assert got["sq8"]["recall"] >= 0.78, got
+    assert got["pq"]["recall"] >= 0.78, got  # measured 0.82
     assert got["two_stage"]["recall"] >= 0.78, got
+
+
+def test_pq_index_shape(spark):
+    """The PQ index is exactly PQ_M codes per vector, every code a
+    valid codeword id — the 8-nibble-per-vector memory contract."""
+    e = _embeddings(spark)
+    n = e.count()
+    codes = pq_codes(e).collect()
+    assert len(codes) == n * PQ_M
+    per_vec = {}
+    for r in codes:
+        assert 0 <= r["k"] < PQ_K
+        per_vec.setdefault(r["n_id"], set()).add(r["m"])
+    assert all(ms == set(range(PQ_M)) for ms in per_vec.values())
 
 
 def test_multitable_dominates_single_table(spark):
