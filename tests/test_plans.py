@@ -3,6 +3,8 @@ broadcast joins stay broadcast, filters and column pruning reach
 the parquet scan, shuffle counts don't silently regress, hot paths
 stay inside WholeStageCodegen."""
 
+import re
+
 from db_mapreduce_project_spark import registry
 from db_mapreduce_project_spark.plans.inspect import (
     count_exchanges,
@@ -293,7 +295,37 @@ _EAGER = {
     "stream_sink_hourly_counts",  # runs a streaming job eagerly
     "stream_sink_sessions",  # runs a streaming job eagerly
     "bfs_hops_trade",  # frontier loop counts per round
+    # eager localCheckpoint releases the two mid-pipeline caches
+    # (round-7 ADVICE); the candidate pipeline's plan is asserted
+    # lazily in test_ensemble_candidate_plan_shape below
+    "dedup_containment_ensemble",
 }
+
+
+def test_ensemble_candidate_plan_shape(spark):
+    """The registered ensemble query checkpoints its (small)
+    verified-pair output to release caches, which hides its plan —
+    so pin the plan evidence on the LAZY candidate pipeline: exactly
+    one BroadcastNestedLoopJoin (the <= CONTAIN_STRATUM_MAX-row
+    strata range join), no CartesianProduct, and the probe><posting
+    join keyed by (q_stratum, h1, h2)."""
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.operators.dedup import (
+        _capped_shingle_hashes,
+        ensemble_candidate_parts,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    probes, postings, ranked = ensemble_candidate_parts(
+        _capped_shingle_hashes(d)
+    )
+    cand = probes.join(postings, ["q_stratum", "h1", "h2"])
+    plan = physical_plan(cand)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    ranked.unpersist()
 
 
 def test_no_accidental_cartesian_products(spark):
