@@ -1993,13 +1993,33 @@ def maximal_spans_from(d: DataFrame) -> DataFrame:
         (F.col("oa") / SPAN_STRIDE).cast("bigint")
         - F.row_number().over(wisl),
     )
-    return (
+    spans_out = (
         islands.groupBy("doc_a", "doc_b", "diag", "isl")
         .agg(
             F.min("oa").alias("start_a"),
             F.min("ob").alias("start_b"),
             (F.max("oa") - F.min("oa") + SPAN_LEN).alias("span_len"),
             F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_a", "doc_b", "start_a", "start_b", "span_len", "n_windows"
+        )
+    )
+    # EXACT verification: join the texts back and keep only spans
+    # whose characters actually match — a rolling-hash pair collision
+    # (~2^-60) can never surface a false span, so the output contract
+    # is 'these characters ARE duplicated', not 'their hashes agree'
+    # (the same hash-then-verify discipline as every other dedup
+    # family here).  The join sides are span-count-sized, tiny next
+    # to the match stream.
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    return (
+        spans_out.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(
+            F.col("_ta").substr(F.col("start_a") + 1, F.col("span_len"))
+            == F.col("_tb").substr(F.col("start_b") + 1, F.col("span_len"))
         )
         .select(
             "doc_a", "doc_b", "start_a", "start_b", "span_len", "n_windows"
@@ -2060,6 +2080,10 @@ SELECT doc_a, doc_b, start_a, start_b, span_len, n_windows FROM (
   FROM islands
   GROUP BY doc_a, doc_b, diag, isl
 ) t
+JOIN documents da ON da.doc_id = t.doc_a
+JOIN documents db ON db.doc_id = t.doc_b
+WHERE substring(da.text, start_a + 1, span_len)
+      = substring(db.text, start_b + 1, span_len)
 ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
 LIMIT {SPAN_TOPK}
 """

@@ -94,6 +94,23 @@ def test_unaligned_duplicate_is_invisible_by_contract(spark):
     assert out == []
 
 
+def test_fixture_spans_are_exact_character_matches(spark):
+    """The upgraded output contract: every reported span's
+    characters are IDENTICAL across the pair (the in-pipeline
+    substring verify makes hash-collision false spans impossible) —
+    re-checked here independently in Python against the raw texts."""
+    from db_mapreduce_project_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    texts = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    rows = maximal_spans_from(d).collect()
+    assert rows
+    for r in rows:
+        sa = texts[r["doc_a"]][r["start_a"] : r["start_a"] + r["span_len"]]
+        sb = texts[r["doc_b"]][r["start_b"] : r["start_b"] + r["span_len"]]
+        assert sa == sb and len(sa) == r["span_len"], r
+
+
 def test_fixture_spans_are_maximal_and_consistent(spark):
     """On the real fixture: every reported span is self-consistent
     (length on the stride grid, window count matches length) and
