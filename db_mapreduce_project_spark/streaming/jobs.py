@@ -735,3 +735,114 @@ register(
     stream_sink_hourly_counts,
     STREAM_SINK_HOURLY_COUNTS_ORACLE,
 )
+
+
+def distinct_pairs_emitter(out_dir: str):
+    """foreachBatch emitter for the streaming exact-dedup sink.
+    The incoming micro-batch holds ONLY first occurrences (the
+    upstream dropDuplicates state suppresses keys already seen in
+    earlier batches), so the emitter just lands the batch's new keys
+    in the batch-owned subdirectory — the same idempotent-replay
+    discipline as the hourly sink: a crash between sink write and
+    offset commit replays the batch into ITS OWN directory with
+    mode=overwrite, never duplicating keys into another batch's."""
+    import os as _os
+
+    def emit_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    return emit_batch
+
+
+def stream_dedup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    source_dir: str | None = None,
+    emitter=None,
+):
+    """Streaming EXACT-DEDUP: emit each (user_id, event_type) key
+    the first time it is ever seen and suppress every later
+    occurrence — the streaming twin of the batch exact-dedup family
+    and the ingest shape of a training pipeline's seen-fingerprint
+    suppressor (swap the key columns for a document content
+    fingerprint and nothing else changes).
+
+    dropDuplicates keeps the seen-key set in the state store, so
+    each key crosses the sink in EXACTLY one micro-batch; the
+    batch-owned idempotent writes + a distinct-on-read compaction
+    make the result independent of micro-batch boundaries AND of
+    crash/replay.  State is bounded by distinct-key cardinality —
+    at 100 TB with unbounded keys, bound it with
+    dropDuplicatesWithinWatermark (TTL'd suppression) or a RocksDB
+    state store; the sink contract is unchanged."""
+    ev = _stream_events(spark, sf_dir, source_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    emit = emitter or distinct_pairs_emitter(out_dir)
+    return (
+        dedup.writeStream.foreachBatch(emit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+
+
+def read_dedup_pairs(spark: SparkSession, out_dir: str):
+    """Compaction read of the dedup sink: union the batch-owned
+    directories and distinct (a replayed batch rewrites its own
+    directory, so duplicates can only exist transiently mid-replay;
+    distinct-on-read makes the reader correct even then)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .distinct()
+    )
+
+
+def stream_sink_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming-SINK query #4: runs the event file
+    stream through the stateful exact-dedup (first-occurrence
+    suppression) into the batch-owned parquet sink, then returns the
+    compacted key set.  The emitted SET is deterministic for any
+    micro-batch partitioning — each key appears exactly once, and
+    only key columns are projected — so it oracle-checks against the
+    batch SELECT DISTINCT."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    q = stream_dedup_pairs(spark, sf_dir, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        raise TimeoutError(
+            "stream_sink_dedup_pairs: stream did not terminate "
+            "within 300 s"
+        )
+    result = (
+        read_dedup_pairs(spark, out)
+        .orderBy("user_id", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+STREAM_SINK_DEDUP_PAIRS_ORACLE = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+register(
+    "stream_sink_dedup_pairs",
+    stream_sink_dedup_pairs,
+    STREAM_SINK_DEDUP_PAIRS_ORACLE,
+)

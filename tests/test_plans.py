@@ -294,6 +294,7 @@ _EAGER = {
     "stream_sink_latest_per_user",  # runs a streaming job eagerly
     "stream_sink_hourly_counts",  # runs a streaming job eagerly
     "stream_sink_sessions",  # runs a streaming job eagerly
+    "stream_sink_dedup_pairs",  # runs a streaming job eagerly
     "bfs_hops_trade",  # frontier loop counts per round
     # eager localCheckpoint releases the two mid-pipeline caches
     # (round-7 ADVICE); the candidate pipeline's plan is asserted

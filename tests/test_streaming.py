@@ -606,3 +606,84 @@ def test_session_sink_exactly_once_across_crash_restart(
     want = _rows(read_session_sink(spark, out2), cols)
     assert got == want
     assert got  # non-vacuous: real sessions were emitted
+
+
+# ------------------------------------------- streaming exact-dedup sink
+
+
+def _batch_distinct_pairs(spark, sf_dir):
+    from db_mapreduce_project_spark.io import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+
+
+def test_dedup_sink_multibatch_equals_batch_distinct(spark, sf_dir, tmp_path):
+    """4 micro-batches (maxFilesPerTrigger=1): the emitted key SET
+    equals the batch SELECT DISTINCT, and no key is emitted twice
+    ACROSS batch directories (the dropDuplicates state suppresses
+    re-occurrences in later batches) — the first-occurrence
+    suppression contract, not just set equality on read."""
+    from db_mapreduce_project_spark.streaming.jobs import (
+        read_dedup_pairs,
+        stream_dedup_pairs,
+    )
+
+    src = _staged_multibatch_events(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    q = stream_dedup_pairs(spark, None, out, ckpt, source_dir=src)
+    assert q.awaitTermination(120)
+    cols = ["user_id", "event_type"]
+    got = _rows(read_dedup_pairs(spark, out), cols)
+    want = _rows(_batch_distinct_pairs(spark, sf_dir), cols)
+    assert got == want
+    # raw (pre-distinct) union across batch dirs must ALREADY be
+    # duplicate-free in a clean run
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert raw.count() == raw.distinct().count() == len(want)
+
+
+def test_dedup_sink_exactly_once_across_crash_restart(spark, sf_dir, tmp_path):
+    """Crash after batch 1's sink write lands but before its offset
+    commits, restart from the same checkpoint: the state store rolls
+    back with the failed batch, the replay re-emits the same first
+    occurrences into the SAME batch-owned directory (overwrite), and
+    the compacted key set equals the batch distinct."""
+    import os
+
+    from db_mapreduce_project_spark.streaming.jobs import (
+        distinct_pairs_emitter,
+        read_dedup_pairs,
+        stream_dedup_pairs,
+    )
+
+    src = _staged_multibatch_events(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "dedupc_out")
+    ckpt = str(tmp_path / "dedupc_ckpt")
+    crash_flag = str(tmp_path / "dedupc_crashed")
+    inner = distinct_pairs_emitter(out)
+
+    def crashing(df, batch_id):
+        inner(df, batch_id)
+        if batch_id == 1 and not os.path.exists(crash_flag):
+            with open(crash_flag, "w") as f:
+                f.write("crashed")
+            raise RuntimeError("injected crash after sink write")
+
+    q = stream_dedup_pairs(
+        spark, None, out, ckpt, source_dir=src, emitter=crashing
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert os.path.exists(crash_flag)
+    q2 = stream_dedup_pairs(spark, None, out, ckpt, source_dir=src)
+    assert q2.awaitTermination(120)
+    cols = ["user_id", "event_type"]
+    got = _rows(read_dedup_pairs(spark, out), cols)
+    want = _rows(_batch_distinct_pairs(spark, sf_dir), cols)
+    assert got == want
+    assert got  # non-vacuous
