@@ -95,6 +95,7 @@ HEADLINE = [
     "dedup_substring_maximal_spans",
     "dedup_materialize_corpus",
     "bpe_learn_merges",
+    "wordpiece_learn_merges",
     "ohlc_bars",
     "time_weighted_avg_per_user",
 ]

@@ -223,6 +223,192 @@ BPE_LEARN_MERGES_ORACLE = _bpe_oracle_sql()
 register("bpe_learn_merges", bpe_learn_merges, BPE_LEARN_MERGES_ORACLE)
 
 
+WP_MERGES = 4
+
+
+def wordpiece_best_pair(cur: DataFrame) -> DataFrame:
+    """The WordPiece round argmax (Schuster & Nakajima 2012; the
+    BERT tokenizer's objective): instead of BPE's raw pair count,
+    maximize the likelihood ratio pair_count / (left_count *
+    right_count) — merge the pair most surprising under symbol
+    independence, so rare-but-collocated symbols merge before
+    frequent-but-independent ones.  Numerator and denominator are
+    exact integer sums; the ranking divides them ONCE as doubles
+    (IEEE division of exact integers is identically rounded in
+    Spark and DuckDB, so the argmax is cross-engine deterministic;
+    ties break pair ASC)."""
+    pairs = (
+        cur.select(
+            "freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    syms = (
+        cur.select("freq", F.explode(_symbols(F.col("sym"))).alias("s"))
+        .groupBy("s")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    left = F.element_at(F.split("pair", " "), 1)
+    right = F.element_at(F.split("pair", " "), 2)
+    sl = syms.select(F.col("s").alias("_ls"), F.col("cnt").alias("_lc"))
+    sr = syms.select(F.col("s").alias("_rs"), F.col("cnt").alias("_rc"))
+    return (
+        pairs.withColumn("_l", left)
+        .withColumn("_r", right)
+        .join(F.broadcast(sl), F.col("_l") == F.col("_ls"))
+        .join(F.broadcast(sr), F.col("_r") == F.col("_rs"))
+        .withColumn("den", F.col("_lc") * F.col("_rc"))
+        .orderBy(
+            (
+                F.col("pair_count").cast("double")
+                / F.col("den").cast("double")
+            ).desc(),
+            F.col("pair").asc(),
+        )
+        .limit(1)
+        .select("pair", "pair_count", "den")
+    )
+
+
+def wordpiece_merges_from(
+    d: DataFrame, n_merges: int = WP_MERGES
+) -> DataFrame:
+    """Learn the first `n_merges` WordPiece merges from a (text)
+    relation — the same symbol encoding, merge application, and
+    per-round lazy checkpoint as :func:`bpe_merges_from`; only the
+    round objective differs.  Returns (rank, left, right, merged,
+    pair_count, den): the score's exact integer numerator and
+    denominator ride along so the output (and the oracle compare)
+    stays float-free."""
+    vocab = words(d, "text").groupBy("word").agg(F.count("*").alias("freq"))
+    cur = bpe_symbolized_vocab(vocab)
+    bests = []
+    for rank in range(1, n_merges + 1):
+        best = wordpiece_best_pair(cur).select(
+            F.lit(rank).alias("rank"), "pair", "pair_count", "den"
+        )
+        bests.append(best)
+        cur = bpe_apply_merge(cur, best).localCheckpoint(eager=False)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    left = F.element_at(F.split("pair", "; "), 1)
+    right = F.replace(
+        F.element_at(F.split("pair", "; "), 2), F.lit(";"), F.lit("")
+    )
+    return (
+        out.select(
+            "rank",
+            left.alias("left"),
+            right.alias("right"),
+            F.concat(left, right).alias("merged"),
+            "pair_count",
+            "den",
+        )
+        .orderBy("rank")
+    )
+
+
+def wordpiece_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`wordpiece_merges_from` over the
+    documents fixture."""
+    return wordpiece_merges_from(load_table(spark, sf_dir, "documents"))
+
+
+def _wordpiece_oracle_sql() -> str:
+    """Unrolled DuckDB mirror of the WordPiece rounds: the BPE
+    mirror's CTE chain plus a per-round symbol-count CTE; the argmax
+    divides the same exact integers as doubles."""
+    ctes = [
+        """vocab AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT lower(regexp_replace(t.tok, '[^a-zA-Z]', '', 'g')) AS word
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  ) w WHERE word <> '' GROUP BY word
+)""",
+        """s0 AS (
+  SELECT word, freq,
+         array_to_string(list_transform(string_split(word, ''),
+                                        c -> ' ' || c || ';'), '') AS sym
+  FROM vocab
+)""",
+    ]
+    for i in range(1, WP_MERGES + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+         j -> syms[j] || ' ' || syms[j + 1])) AS pair
+  FROM (SELECT freq,
+               list_filter(string_split(sym, ' '), s -> s <> '') AS syms
+        FROM {prev}) q
+)""",
+        )
+        ctes.append(
+            f"""u{i} AS (
+  SELECT s, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_filter(string_split(sym, ' '),
+                                    x -> x <> '')) AS s
+    FROM {prev}
+  ) q GROUP BY s
+)""",
+        )
+        ctes.append(
+            f"""b{i} AS (
+  SELECT {i} AS rank, pair, pair_count, ul.cnt * ur.cnt AS den
+  FROM (
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM p{i} GROUP BY pair
+  ) pc
+  JOIN u{i} ul ON ul.s = string_split(pair, ' ')[1]
+  JOIN u{i} ur ON ur.s = string_split(pair, ' ')[2]
+  ORDER BY (CAST(pair_count AS DOUBLE) / CAST(ul.cnt * ur.cnt AS DOUBLE))
+           DESC, pair ASC
+  LIMIT 1
+)""",
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT s.word, s.freq,
+         replace(s.sym, ' ' || b.pair,
+                 ' ' || replace(b.pair, '; ', '')) AS sym
+  FROM {prev} s, b{i} b
+)""",
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT rank, pair, pair_count, den FROM b{i}"
+        for i in range(1, WP_MERGES + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+all_b AS (
+  {union}
+)
+SELECT rank,
+       string_split(pair, '; ')[1] AS left,
+       replace(string_split(pair, '; ')[2], ';', '') AS right,
+       string_split(pair, '; ')[1]
+         || replace(string_split(pair, '; ')[2], ';', '') AS merged,
+       pair_count,
+       CAST(den AS BIGINT) AS den
+FROM all_b
+ORDER BY rank
+"""
+    )
+
+
+WORDPIECE_LEARN_MERGES_ORACLE = _wordpiece_oracle_sql()
+
+register(
+    "wordpiece_learn_merges",
+    wordpiece_learn_merges,
+    WORDPIECE_LEARN_MERGES_ORACLE,
+)
+
+
 BPE_VOCAB_TOPK = 25
 
 

@@ -275,6 +275,7 @@ _UNKEYED_JOIN_OK = {
     "text_bm25_topk",           # 1-row (N, avgdl) scalar broadcast
     "bpe_learn_merges",         # 4x 1-row argmax merge-choice broadcasts
     "bpe_tokenize_corpus",      # same unrolled argmax broadcasts
+    "wordpiece_learn_merges",   # same unrolled argmax broadcasts
     # <= CONTAIN_STRATUM_MAX-row strata table range-joined (stratum >=
     # q_stratum) onto the posting index — broadcast NLJ by construction
     "dedup_containment_ensemble",
