@@ -456,14 +456,11 @@ N_CELLS = 16  # IVF coarse cells; scale as ~sqrt(n) on real corpora
 N_PROBE = 3  # cells searched per query
 
 
-def ivf_topk_from(
-    e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
-) -> DataFrame:
-    """IVF approximate top-TOPK over a (vec_id, embedding) relation
-    — the builder behind ann_ivf_topk, parameterized on cell/probe
-    counts for the recall sweep (scripts/ann_recall.py)."""
-    e = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
-    cents = (
+def ivf_centroids(e: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """(cell, cv, c_norm): the deterministic coarse quantizer — the
+    N_CELLS lowest vec_ids (shared by ann_ivf_topk and the IVFADC
+    index; e must carry vec_id/embedding/norm)."""
+    return (
         e.orderBy("vec_id")
         .limit(n_cells)
         .select(
@@ -472,6 +469,11 @@ def ivf_topk_from(
             F.col("norm").alias("c_norm"),
         )
     )
+
+
+def ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-cell assignment (map-side argmax against the
+    broadcast centroids): (vec_id, embedding, norm, cell)."""
     ccos = dot("embedding", "cv") / F.nullif(
         F.col("norm") * F.col("c_norm"), F.lit(0.0)
     )
@@ -481,8 +483,14 @@ def ivf_topk_from(
         .groupBy("vec_id")
         .agg(F.max_by("cell", F.struct(F.col("ccos"), -F.col("cell"))).alias("cell"))
     )
-    assigned = e.join(best_cell, "vec_id")
+    return e.join(best_cell, "vec_id")
 
+
+def ivf_probes(
+    e: DataFrame, cents: DataFrame, n_probe: int = N_PROBE
+) -> DataFrame:
+    """Per-query probe cells: (q_id, qv, q_norm, cell) for the
+    n_probe nearest centroids of every query vector."""
     q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
@@ -491,7 +499,7 @@ def ivf_topk_from(
     probe_w = Window.partitionBy("q_id").orderBy(
         F.col("pcos").desc(), F.col("cell").asc()
     )
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cents))
         .withColumn(
             "pcos",
@@ -502,6 +510,18 @@ def ivf_topk_from(
         .where(F.col("prk") <= n_probe)
         .select("q_id", "qv", "q_norm", "cell")
     )
+
+
+def ivf_topk_from(
+    e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
+) -> DataFrame:
+    """IVF approximate top-TOPK over a (vec_id, embedding) relation
+    — the builder behind ann_ivf_topk, parameterized on cell/probe
+    counts for the recall sweep (scripts/ann_recall.py)."""
+    e = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
+    cents = ivf_centroids(e, n_cells)
+    assigned = ivf_assign(e, cents)
+    probes = ivf_probes(e, cents, n_probe)
     cand = assigned.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("nv"),
