@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_decode_jpeg_stats",
     "ann_lsh_multitable",
     "ann_pq_adc",
+    "ann_ivfadc_topk",
     "dedup_substring_maximal_spans",
     "dedup_materialize_corpus",
     "bpe_learn_merges",

@@ -1152,3 +1152,324 @@ ORDER BY q_id, rk
 ANN_PQ_ADC_ORACLE = _pq_oracle_sql()
 
 register("ann_pq_adc", ann_pq_adc, ANN_PQ_ADC_ORACLE)
+
+
+# ---------------------------------------------------------------
+# IVFADC — the COMPOSED Jégou index (TPAMI 2011 §5): IVF coarse
+# quantizer + PQ codes over the RESIDUAL y - q1(y).  ann_ivf_topk
+# is the coarse stage alone (full-precision rescan inside probed
+# cells); ann_pq_adc is the PQ stage alone (LSH-bucketed, codes of
+# the raw vectors).  This is the production shape: candidates come
+# from the inverted file, and the serving index stores ONLY
+# (cell, 8 nibble codes, norm) per vector — the original
+# embeddings are never read after encoding.
+# ---------------------------------------------------------------
+
+
+def _dslice(col, m: int) -> F.Column:
+    """m-th subvector of an already-double array column (residuals
+    are born double; contrast _dsub, which casts float inputs)."""
+    return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+
+def _ddot(a, b) -> F.Column:
+    """Ordered-fold dot over two double arrays (no cast — the
+    zip_with cast in functions.vectors.dot is for float inputs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivfadc_residuals(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, norm, cell, rv): every vector's residual against
+    its assigned coarse centroid, as a double array.  Broadcast
+    centroid join — map-side, no shuffle of the corpus."""
+    return (
+        ivf_assign(e, cents)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "norm",
+            "cell",
+            F.zip_with(
+                "embedding",
+                "cv",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("rv"),
+        )
+    )
+
+
+def ivfadc_codebook(resid: DataFrame, n_cells: int) -> DataFrame:
+    """(m, k, cw): residual codeword k of subquantizer m — the m-th
+    residual subvector of the (n_cells + k)-th-lowest vec_id.  The
+    codebook is trained on residuals AFTER the centroid rows: the
+    n_cells lowest vec_ids are the centroids themselves, whose
+    residuals are identically zero — training on them would
+    collapse every codeword to the origin and the ADC term to a
+    constant.  (Real systems run k-means on sampled residuals; the
+    deterministic pick keeps the cross-engine oracle, and the
+    encode/serve machinery is identical.)"""
+    w = Window.orderBy("vec_id")
+    return (
+        # limit BEFORE the global-window row_number so the
+        # single-partition WindowExec sees <= n_cells + PQ_K rows,
+        # never the corpus (the pq_codebook discipline)
+        resid.orderBy("vec_id")
+        .limit(n_cells + PQ_K)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > n_cells)
+        .select(
+            (F.col("rn") - n_cells - 1).alias("k"),
+            F.posexplode(
+                F.array(*[_dslice(F.col("rv"), m) for m in range(PQ_M)])
+            ).alias("m", "cw"),
+        )
+    )
+
+
+def ivfadc_codes(resid: DataFrame, cb: DataFrame) -> DataFrame:
+    """The serving index: (n_id, n_norm, cell, m, k) — per-subspace
+    argmin of squared L2 to the broadcast residual codebook.  The
+    argmin is a map-side-combining groupBy(n_id, m) min_by over the
+    n*M*K expansion (the ivf_assign shape), NOT a window — no
+    shuffle of the expansion beyond the partial-agg combine."""
+    subs = resid.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("norm").alias("n_norm"),
+        "cell",
+        F.posexplode(
+            F.array(*[_dslice(F.col("rv"), m) for m in range(PQ_M)])
+        ).alias("m", "sv"),
+    )
+    best = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("d2", _sqdist("sv", "cw"))
+        .groupBy("n_id", "m")
+        .agg(
+            F.min_by("k", F.struct(F.col("d2"), F.col("k"))).alias("k"),
+            F.first("n_norm").alias("n_norm"),
+            F.first("cell").alias("cell"),
+        )
+    )
+    return best.select("n_id", "n_norm", "cell", "m", "k")
+
+
+def ivfadc_topk_from(
+    e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
+) -> DataFrame:
+    """IVFADC approximate top-TOPK over a (vec_id, embedding)
+    relation — the builder behind ann_ivfadc_topk, parameterized
+    for the recall sweep (scripts/ann_recall.py).
+
+    Scoring: cos(q, y) is estimated by the exact decomposition
+    <q, y> = <q, c(y)> + <q, r(y)> with r(y) replaced by its PQ
+    reconstruction, i.e. <q, c> + sum_m <q_m, cw[m, code_m]>, all
+    over norm(q) * norm(y) (true norms stored with the codes, as
+    real IVFADC indexes store them).  Each of the 9 inner-product
+    terms quantizes to a bigint before the per-pair sum, so the
+    addition is order-free under groupBy and the pipeline
+    value-hash matches the oracle."""
+    e = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
+    cents = ivf_centroids(e, n_cells)
+    resid = ivfadc_residuals(e, cents)
+    cb = ivfadc_codebook(resid, n_cells)
+    codes = ivfadc_codes(resid, cb)
+    # query side: <q, centroid> term per probed cell, plus the
+    # query's (full-precision) subvectors — queries are never
+    # quantized (asymmetric distance).
+    probes = (
+        ivf_probes(e, cents, n_probe)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "q_id",
+            "q_norm",
+            "cell",
+            F.floor(dot("qv", "cv") * PQ_ADC_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("qc"),
+        )
+    )
+    qsubs = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode(
+            F.array(*[_dsub("embedding", m) for m in range(PQ_M)])
+        ).alias("m", "qsv"),
+    )
+    parts = (
+        probes.join(codes, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .join(qsubs, ["q_id", "m"])
+        .join(F.broadcast(cb), ["m", "k"])
+        .select(
+            "q_id",
+            "n_id",
+            "q_norm",
+            "n_norm",
+            "qc",
+            F.floor(_ddot("qsv", "cw") * PQ_ADC_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("pr"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    return (
+        parts.groupBy("q_id", "n_id", "q_norm", "n_norm", "qc")
+        .agg(F.sum("pr").alias("rsum"))
+        .select(
+            "q_id",
+            "n_id",
+            (
+                ((F.col("qc") + F.col("rsum")) / F.lit(float(PQ_ADC_SCALE)))
+                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0))
+            ).alias("adc"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "adc", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: inverted-file candidates + product-quantized
+    residual scoring — the full composed index of Jégou, Douze &
+    Schmid, "Product quantization for nearest neighbor search"
+    (TPAMI 2011, §5 'IVFADC').
+
+    Scale shape: centroids and the residual codebook are broadcast
+    (fixed small sets), so assignment, residual computation, and
+    code encoding are all map-side passes over the corpus — the
+    only corpus shuffles are the min_by partial-agg combine and the
+    probe join keyed by cell.  The serving state per vector is
+    (cell, 8 nibble codes, norm) = ~6 bytes + id vs 256 bytes of
+    float32 — the index that still fits in memory at 100 TB of
+    embeddings.  Candidates are identical to ann_ivf_topk's (same
+    cells, same probes), so measured recall isolates pure
+    quantization loss; certified in ANN_RECALL_r7.json."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivfadc_topk_from(e)
+
+
+def _ivfadc_oracle_sql() -> str:
+    """DuckDB mirror: same deterministic centroids and residual
+    codebook (OFFSET past the zero-residual centroid rows), same
+    min-by argmin tiebreak (d2 ASC, k ASC), same quantize-then-sum
+    ADC, same final division order."""
+    from ..functions.vectors import duck_dot, duck_l2
+
+    s = PQ_SUB
+    rsub = "r.rv[(g.m * {s} + 1):(g.m * {s} + {s})]".format(s=s)
+    bsub = "b.rv[(g.m * {s} + 1):(g.m * {s} + {s})]".format(s=s)
+    qsub = (
+        f"list_transform(embedding[(g.m * {s} + 1):(g.m * {s} + {s})], "
+        "x -> CAST(x AS DOUBLE))"
+    )
+    sqd = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(s.sv, c.cw), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, v) -> acc + v)"
+    )
+    ddot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(q.qsv, cb.cw), "
+        "p -> p[1] * p[2])), (acc, v) -> acc + v)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, {duck_l2('embedding')} AS norm FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, embedding AS cv, norm AS c_norm
+  FROM e ORDER BY vec_id LIMIT {N_CELLS}
+),
+best AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             ({duck_dot('e.embedding', 'c.cv')}
+              / nullif(e.norm * c.c_norm, 0.0)) DESC, c.cell ASC) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+),
+resid AS (
+  SELECT a.vec_id, a.norm, a.cell,
+         list_transform(list_zip(a.embedding, c.cv),
+           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
+  FROM (SELECT e.vec_id, e.embedding, e.norm, b.cell
+        FROM e JOIN best b USING (vec_id)) a
+  JOIN cents c USING (cell)
+),
+cb AS (
+  SELECT b.k, g.m, {bsub} AS cw
+  FROM (
+    SELECT rv, row_number() OVER (ORDER BY vec_id) - 1 AS k
+    FROM (SELECT vec_id, rv FROM resid
+          ORDER BY vec_id LIMIT {PQ_K} OFFSET {N_CELLS}) o
+  ) b, generate_series(0, {PQ_M - 1}) AS g(m)
+),
+subs AS (
+  SELECT r.vec_id AS n_id, r.norm AS n_norm, r.cell, g.m, {rsub} AS sv
+  FROM resid r, generate_series(0, {PQ_M - 1}) AS g(m)
+),
+codes AS (
+  SELECT n_id, n_norm, cell, m, k FROM (
+    SELECT s.n_id, s.n_norm, s.cell, s.m, c.k,
+           row_number() OVER (PARTITION BY s.n_id, s.m
+                ORDER BY {sqd} ASC, c.k ASC) AS rn
+    FROM subs s JOIN cb c ON c.m = s.m
+  ) t WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qv, norm AS q_norm
+  FROM e WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT q_id, q_norm, cell, qc FROM (
+    SELECT q.q_id, q.q_norm, c.cell,
+           CAST(floor(({duck_dot('q.qv', 'c.cv')})
+                * {PQ_ADC_SCALE}.0 + 0.5) AS BIGINT) AS qc,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             ({duck_dot('q.qv', 'c.cv')}
+              / nullif(q.q_norm * c.c_norm, 0.0)) DESC, c.cell ASC) AS prk
+    FROM q CROSS JOIN cents c
+  ) t WHERE prk <= {N_PROBE}
+),
+qsubs AS (
+  SELECT vec_id AS q_id, g.m, {qsub} AS qsv
+  FROM embeddings, generate_series(0, {PQ_M - 1}) AS g(m)
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+parts AS (
+  SELECT p.q_id, c.n_id, p.q_norm, c.n_norm, p.qc,
+         CAST(floor({ddot} * {PQ_ADC_SCALE}.0 + 0.5) AS BIGINT) AS pr
+  FROM probes p
+  JOIN codes c USING (cell)
+  JOIN qsubs q ON q.q_id = p.q_id AND q.m = c.m
+  JOIN cb ON cb.m = c.m AND cb.k = c.k
+  WHERE p.q_id <> c.n_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         ((qc + CAST(sum(pr) AS BIGINT)) / {PQ_ADC_SCALE}.0)
+           / nullif(q_norm * n_norm, 0.0) AS adc
+  FROM parts GROUP BY q_id, n_id, q_norm, n_norm, qc
+)
+SELECT q_id, n_id, adc, rk FROM (
+  SELECT q_id, n_id, adc,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY adc DESC, n_id ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_IVFADC_TOPK_ORACLE = _ivfadc_oracle_sql()
+
+register("ann_ivfadc_topk", ann_ivfadc_topk, ANN_IVFADC_TOPK_ORACLE)

@@ -62,6 +62,7 @@ from db_mapreduce_project_spark.operators.similarity import (
     TOPK,
     brute_topk_from,
     ivf_topk_from,
+    ivfadc_topk_from,
     lsh_multitable_topk_from,
     lsh_topk_from,
     pq_adc_from,
@@ -188,6 +189,12 @@ def main() -> None:
         )
         record(
             sf,
+            "ivfadc",
+            {"cells": N_CELLS, "probe": N_PROBE},
+            measure(ivfadc_topk_from(e), exact),
+        )
+        record(
+            sf,
             "two_stage_rerank",
             {"planes": N_PLANES, "rerank_c": RERANK_C},
             measure(two_stage_rerank_from(e), exact),
@@ -221,6 +228,13 @@ def main() -> None:
                     "ivf_topk",
                     {"cells": cells, "probe": N_PROBE},
                     measure(ivf_topk_from(e, cells, N_PROBE), exact),
+                )
+            for probe in (1, 3, 8):
+                record(
+                    sf,
+                    "ivfadc",
+                    {"cells": N_CELLS, "probe": probe},
+                    measure(ivfadc_topk_from(e, N_CELLS, probe), exact),
                 )
             for tables in (2, 4, 8):
                 record(
@@ -282,6 +296,12 @@ def main() -> None:
     )
     record(
         corpus,
+        "ivfadc",
+        {"cells": N_CELLS, "probe": N_PROBE},
+        measure(ivfadc_topk_from(rung), exact),
+    )
+    record(
+        corpus,
         "two_stage_rerank",
         {"planes": N_PLANES, "rerank_c": RERANK_C},
         measure(two_stage_rerank_from(rung), exact),
@@ -307,6 +327,12 @@ def main() -> None:
         "ivf_topk",
         {"cells": 64, "probe": 8},
         measure(ivf_topk_from(rung, 64, 8), exact),
+    )
+    record(
+        corpus,
+        "ivfadc",
+        {"cells": 64, "probe": 8},
+        measure(ivfadc_topk_from(rung, 64, 8), exact),
     )
     record(
         corpus,

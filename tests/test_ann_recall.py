@@ -30,8 +30,15 @@ from db_mapreduce_project_spark.operators.retrieval import (
 from db_mapreduce_project_spark.operators.similarity import (
     PQ_K,
     PQ_M,
+    N_CELLS,
     brute_topk_from,
+    ivf_centroids,
     ivf_topk_from,
+    ivfadc_codebook,
+    ivfadc_codes,
+    ivfadc_residuals,
+    ivfadc_topk_from,
+    l2,
     lsh_multitable_topk_from,
     lsh_topk_from,
     pq_adc_from,
@@ -82,6 +89,7 @@ def test_ann_recall_floors_clustered(spark):
         "ivf": measure(ivf_topk_from(e), exact),
         "sq8": measure(sq8_adc_from(e), exact),
         "pq": measure(pq_adc_from(e), exact),
+        "ivfadc": measure(ivfadc_topk_from(e), exact),
         "two_stage": measure(two_stage_rerank_from(e), exact),
     }
     e.unpersist()
@@ -90,6 +98,7 @@ def test_ann_recall_floors_clustered(spark):
     assert got["ivf"]["recall"] >= 0.95, got
     assert got["sq8"]["recall"] >= 0.78, got
     assert got["pq"]["recall"] >= 0.78, got  # measured 0.82
+    assert got["ivfadc"]["recall"] >= 0.75, got  # measured 0.7933
     assert got["two_stage"]["recall"] >= 0.78, got
 
 
@@ -123,6 +132,55 @@ def test_multitable_dominates_single_table(spark):
         s_hits = len(single.get(q, set()) & truth)
         m_hits = len(multi.get(q, set()) & truth)
         assert m_hits >= s_hits, (q, s_hits, m_hits)
+
+
+def test_ivfadc_bounded_by_ivf_per_query(spark):
+    """IVFADC and ann_ivf_topk share the coarse stage exactly (same
+    centroids, same assignment, same probes), so their candidate
+    sets are IDENTICAL — and exact scoring returns every truth
+    member inside the candidate set (a global-top-k vector beats
+    every non-truth candidate by exact cosine).  Quantized scoring
+    can therefore only lose ground: per-query hits(ivfadc) <=
+    hits(ivf) is a theorem, pinned here; measured recall (fixture
+    0.16 vs 0.36, clustered 0.7933 vs 1.0) isolates pure
+    quantization loss."""
+    e = _embeddings(spark).cache()
+    exact = top_map(brute_topk_from(e).collect())
+    ivf = top_map(ivf_topk_from(e).collect())
+    adc = top_map(ivfadc_topk_from(e).collect())
+    e.unpersist()
+    for q, truth in exact.items():
+        assert len(adc.get(q, set()) & truth) <= len(
+            ivf.get(q, set()) & truth
+        ), q
+
+
+def test_ivfadc_index_shape(spark):
+    """The serving index is exactly PQ_M nibble codes per vector
+    (every k a valid codeword id), and the residual codebook is
+    trained PAST the centroid rows — no codeword is the zero vector
+    (training on the centroids' own residuals would collapse the
+    codebook to the origin and the ADC term to a constant)."""
+    e = (
+        _embeddings(spark)
+        .select("vec_id", "embedding", l2("embedding").alias("norm"))
+        .cache()
+    )
+    n = e.count()
+    cents = ivf_centroids(e)
+    resid = ivfadc_residuals(e, cents)
+    cb = ivfadc_codebook(resid, N_CELLS).collect()
+    assert len(cb) == PQ_M * PQ_K
+    assert all(any(abs(v) > 0 for v in r["cw"]) for r in cb)
+    codes = ivfadc_codes(resid, ivfadc_codebook(resid, N_CELLS))
+    rows = codes.collect()
+    e.unpersist()
+    assert len(rows) == n * PQ_M
+    per_vec = {}
+    for r in rows:
+        assert 0 <= r["k"] < PQ_K
+        per_vec.setdefault(r["n_id"], set()).add(r["m"])
+    assert all(ms == set(range(PQ_M)) for ms in per_vec.values())
 
 
 def test_ivf_recall_monotone_in_probe_count(spark):
