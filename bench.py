@@ -93,6 +93,7 @@ HEADLINE = [
     "ann_lsh_multitable",
     "ann_pq_adc",
     "ann_ivfadc_topk",
+    "ann_ivfadc_rerank",
     "dedup_substring_maximal_spans",
     "dedup_materialize_corpus",
     "bpe_learn_merges",

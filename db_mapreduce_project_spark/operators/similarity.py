@@ -1257,12 +1257,13 @@ def ivfadc_codes(resid: DataFrame, cb: DataFrame) -> DataFrame:
     return best.select("n_id", "n_norm", "cell", "m", "k")
 
 
-def ivfadc_topk_from(
+def ivfadc_scored_from(
     e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
 ) -> DataFrame:
-    """IVFADC approximate top-TOPK over a (vec_id, embedding)
-    relation — the builder behind ann_ivfadc_topk, parameterized
-    for the recall sweep (scripts/ann_recall.py).
+    """All ADC-scored (q_id, n_id, adc) candidate pairs of the
+    IVFADC index — the shared stage behind ann_ivfadc_topk (top-5
+    cut) and ann_ivfadc_rerank (top-RERANK_C cut + exact rescore),
+    so the two pipelines cannot drift.
 
     Scoring: cos(q, y) is estimated by the exact decomposition
     <q, y> = <q, c(y)> + <q, r(y)> with r(y) replaced by its PQ
@@ -1314,9 +1315,6 @@ def ivfadc_topk_from(
             .alias("pr"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("adc").desc(), F.col("n_id").asc()
-    )
     return (
         parts.groupBy("q_id", "n_id", "q_norm", "n_norm", "qc")
         .agg(F.sum("pr").alias("rsum"))
@@ -1328,6 +1326,20 @@ def ivfadc_topk_from(
                 / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0))
             ).alias("adc"),
         )
+    )
+
+
+def ivfadc_topk_from(
+    e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
+) -> DataFrame:
+    """IVFADC approximate top-TOPK — the builder behind
+    ann_ivfadc_topk, parameterized for the recall sweep
+    (scripts/ann_recall.py)."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    return (
+        ivfadc_scored_from(e, n_cells, n_probe)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOPK)
         .select("q_id", "n_id", "adc", "rk")
@@ -1355,11 +1367,15 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_topk_from(e)
 
 
-def _ivfadc_oracle_sql() -> str:
-    """DuckDB mirror: same deterministic centroids and residual
-    codebook (OFFSET past the zero-residual centroid rows), same
-    min-by argmin tiebreak (d2 ASC, k ASC), same quantize-then-sum
-    ADC, same final division order."""
+def ivfadc_oracle_ctes() -> str:
+    """DuckDB mirror of the shared IVFADC stage, up to the
+    `scored` CTE of ADC-scored (q_id, n_id, adc) pairs — shared by
+    the ann_ivfadc_topk and ann_ivfadc_rerank oracles exactly as
+    ivfadc_scored_from is shared by the pipelines.  Same
+    deterministic centroids and residual codebook (OFFSET past the
+    zero-residual centroid rows), same min-by argmin tiebreak (d2
+    ASC, k ASC), same quantize-then-sum ADC, same division
+    order."""
     from ..functions.vectors import duck_dot, duck_l2
 
     s = PQ_SUB
@@ -1379,8 +1395,7 @@ def _ivfadc_oracle_sql() -> str:
         "list_transform(list_zip(q.qsv, cb.cw), "
         "p -> p[1] * p[2])), (acc, v) -> acc + v)"
     )
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT vec_id, embedding, {duck_l2('embedding')} AS norm FROM embeddings
 ),
 cents AS (
@@ -1458,7 +1473,14 @@ scored AS (
          ((qc + CAST(sum(pr) AS BIGINT)) / {PQ_ADC_SCALE}.0)
            / nullif(q_norm * n_norm, 0.0) AS adc
   FROM parts GROUP BY q_id, n_id, q_norm, n_norm, qc
-)
+)"""
+
+
+def _ivfadc_oracle_sql() -> str:
+    """ann_ivfadc_topk oracle: the shared CTE prefix + the top-5
+    cut."""
+    return f"""
+WITH {ivfadc_oracle_ctes()}
 SELECT q_id, n_id, adc, rk FROM (
   SELECT q_id, n_id, adc,
          CAST(row_number() OVER (PARTITION BY q_id

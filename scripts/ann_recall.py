@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from db_mapreduce_project_spark.io import load_table
 from db_mapreduce_project_spark.operators.retrieval import (
     RERANK_C,
+    ivfadc_rerank_from,
     two_stage_rerank_from,
 )
 from db_mapreduce_project_spark.operators.similarity import (
@@ -195,6 +196,12 @@ def main() -> None:
         )
         record(
             sf,
+            "ivfadc_rerank",
+            {"cells": N_CELLS, "probe": N_PROBE, "rerank_c": RERANK_C},
+            measure(ivfadc_rerank_from(e), exact),
+        )
+        record(
+            sf,
             "two_stage_rerank",
             {"planes": N_PLANES, "rerank_c": RERANK_C},
             measure(two_stage_rerank_from(e), exact),
@@ -302,6 +309,12 @@ def main() -> None:
     )
     record(
         corpus,
+        "ivfadc_rerank",
+        {"cells": N_CELLS, "probe": N_PROBE, "rerank_c": RERANK_C},
+        measure(ivfadc_rerank_from(rung), exact),
+    )
+    record(
+        corpus,
         "two_stage_rerank",
         {"planes": N_PLANES, "rerank_c": RERANK_C},
         measure(two_stage_rerank_from(rung), exact),
@@ -333,6 +346,12 @@ def main() -> None:
         "ivfadc",
         {"cells": 64, "probe": 8},
         measure(ivfadc_topk_from(rung, 64, 8), exact),
+    )
+    record(
+        corpus,
+        "ivfadc_rerank",
+        {"cells": 64, "probe": 8, "rerank_c": RERANK_C},
+        measure(ivfadc_rerank_from(rung, RERANK_C, 64, 8), exact),
     )
     record(
         corpus,
