@@ -98,6 +98,7 @@ HEADLINE = [
     "dedup_materialize_corpus",
     "bpe_learn_merges",
     "wordpiece_learn_merges",
+    "unigram_segment_words",
     "ohlc_bars",
     "time_weighted_avg_per_user",
 ]

@@ -73,6 +73,7 @@ def load_all_queries() -> None:
         text_analysis,
         timeseries,
         tokenizer,
+        tokenizer_unigram,
         windows,
         wordcount,
     )
