@@ -1,0 +1,462 @@
+"""Deterministic streaming sketches — KMV distinct-count, count-min
+frequency, and a Bloom-filter membership probe — each fully
+value-hash oracled.
+
+Spark's built-in sketches (approx_count_distinct's HLL++, the
+DataSketches SQL functions) are engine-specific binaries: a DuckDB
+oracle cannot reproduce their estimates, so they get only the weaker
+rows-only check (`approx_distinct_words`).  The sketches here trade
+the last constant factor for *portability*: every hash is the repo's
+polynomial rolling hash (functions/hashing.py), mirrored fragment-
+for-fragment in the DuckDB oracles, so the ESTIMATES THEMSELVES are
+value-hash verified — a sketch-family property the HLL path cannot
+offer (and exactly the blindness the round-5 MinHash bug exposed:
+parity over a mirrored approximation cannot catch a broken sketch;
+parity over a *portable* sketch pinned to an exact twin can).
+
+Published sources: KMV / k-minimum-values distinct estimation
+(Bar-Yossef et al., "Counting distinct elements in a data stream",
+RANDOM 2002; Beyer et al. SIGMOD 2007 give the unbiased (k-1)*M/h_k
+form used here); count-min sketch (Cormode & Muthukrishnan,
+"An improved data stream summary: the count-min sketch and its
+applications", J. Algorithms 2005); Bloom filters (Bloom, CACM 1970)
+with the double-hashing scheme of Kirsch & Mitzenmacher (ESA 2006),
+as deployed for test-set decontamination suppression lists at LLM
+corpus scale.
+
+Scale shapes (100 TB):
+- KMV: per-partition top-k on the hash stream (TakeOrdered — Spark
+  keeps k rows per partition then merges k*parts on one reducer);
+  the corpus is never shuffled, only k-row summaries move.
+- CMS: the counter table is depth*width rows REGARDLESS of input
+  size — the whole point of the sketch — built by one map-side-
+  combining groupBy; probes join against the broadcast counter
+  table, never against raw events.
+- Bloom: the occupied-position set is bounded by the filter width m
+  (pure bigints, broadcast-able at any corpus size); the probe
+  stream meets it in a broadcast hash join, so the training corpus
+  is scanned once map-side — the suppression-list membership shape
+  (cf. decontaminate_overlap, whose exact broadcast set grows with
+  the benchmark; the Bloom's memory is FIXED at m bits + false
+  positives accounted below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    FP_MOD,
+    FP_MOD2,
+    duck_charhash,
+    spark_charhash_pair,
+)
+from ..io import load_table
+from ..registry import register
+
+# ---------------------------------------------------------------
+# KMV distinct-count estimate over the corpus vocabulary
+# ---------------------------------------------------------------
+
+KMV_K = 256
+# Combined hash h = h1 * FP_MOD2 + h2 is uniform on [0, KMV_M):
+# max value (FP_MOD-1)*FP_MOD2 + (FP_MOD2-1) = FP_MOD*FP_MOD2 - 1.
+KMV_M = FP_MOD * FP_MOD2  # ~1e18 < 2^63
+
+# Char multipliers for the KMV fold.  The plain rolling hash
+# (functions/hashing.py) weights the LAST character by base^0 = 1,
+# so lexically-adjacent words ("tok4998"/"tok4999") land on adjacent
+# hash values — harmless for equality sketches (MinHash banding,
+# fingerprints) but fatal for an ORDER-STATISTIC estimator: clumped
+# values make the k-th minimum systematically large and KMV
+# underestimates (measured 5x low on a sequential vocab).  Scaling
+# every character by a near-1e8 constant makes each position wrap
+# the modulus, dissolving the clumps while keeping the fold exactly
+# mirrorable in SQL.  Overflow: acc*base + cp*mult <=
+# 131*(1e9+9) + 1114111*1e8 ~ 1.1e14 << 2^63.
+KMV_MULT1 = 100_000_007
+KMV_MULT2 = 100_000_037
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    """Order-statistic-grade portable hash: two scrambled rolling
+    hashes combined to one value uniform on [0, KMV_M)."""
+    chars = F.split(col, "")
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("h1"), F.lit(0).cast("bigint").alias("h2")
+    )
+    hp = F.aggregate(
+        chars,
+        init,
+        lambda acc, c: F.struct(
+            (
+                (acc["h1"] * 31 + F.ascii(c).cast("bigint") * KMV_MULT1)
+                % FP_MOD
+            ).alias("h1"),
+            (
+                (acc["h2"] * 131 + F.ascii(c).cast("bigint") * KMV_MULT2)
+                % FP_MOD2
+            ).alias("h2"),
+        ),
+    )
+    return hp["h1"] * F.lit(FP_MOD2) + hp["h2"]
+
+
+def _duck_kmv_hash(expr: str) -> str:
+    """DuckDB fragment computing :func:`_kmv_hash` fold-for-fold."""
+    h1 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c * {KMV_MULT1}) % {FP_MOD})"
+    )
+    h2 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 131 + c * {KMV_MULT2}) % {FP_MOD2})"
+    )
+    return f"(({h1}) * {FP_MOD2} + ({h2}))"
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-word estimate, value-hash
+    verified against its own exact twin in one row.
+
+    Each distinct word hashes to a 60-bit value h = h1*MOD2 + h2
+    (both halves the portable polynomial hash); the sketch is the
+    KMV_K smallest distinct hash values, and the Beyer et al.
+    unbiased estimate is (k-1) * M / h_k with h_k the largest
+    retained hash.  Computed as (M DIV h_k) * (k-1) — pure int64,
+    absolute quantization error <= k-1, so the estimate is exactly
+    reproducible in any engine (no doubles anywhere).
+
+    Output columns: the exact distinct count (certification twin),
+    the k-th minimum hash, the estimate, and the signed error —
+    the artifact a pipeline would monitor for sketch health.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias("word")
+    ).where(F.col("word") != "")
+    hashed = toks.select(_kmv_hash(F.col("word")).alias("h")).distinct()
+    kmin = hashed.orderBy("h").limit(KMV_K)
+    sketch = kmin.agg(
+        F.count("*").alias("k_retained"), F.max("h").alias("h_k")
+    )
+    exact = toks.agg(F.countDistinct("word").alias("n_exact"))
+    # integer DIV first, then scale: (M DIV h_k) * (k-1); a non-full
+    # sketch holds EVERY distinct hash, so its size IS the exact count
+    return (
+        sketch.crossJoin(exact)
+        .select(
+            "n_exact",
+            "k_retained",
+            "h_k",
+            F.expr(
+                f"CASE WHEN k_retained < {KMV_K} THEN k_retained "
+                f"ELSE (CAST({KMV_M} AS BIGINT) DIV h_k) * (k_retained - 1) "
+                "END"
+            )
+            .cast("bigint")
+            .alias("kmv_est"),
+        )
+        .withColumn("err", F.col("kmv_est") - F.col("n_exact"))
+    )
+
+
+def _kmv_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+w AS (SELECT word FROM toks WHERE word <> ''),
+hashed AS (
+  SELECT DISTINCT {_duck_kmv_hash('word')} AS h FROM w
+),
+kmin AS (SELECT h FROM hashed ORDER BY h LIMIT {KMV_K}),
+sketch AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_retained, max(h) AS h_k FROM kmin
+),
+exact AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact FROM w),
+est AS (
+  SELECT n_exact, k_retained, h_k,
+         CASE WHEN k_retained < {KMV_K} THEN k_retained
+              ELSE (CAST({KMV_M} AS BIGINT) // h_k) * (k_retained - 1)
+         END AS kmv_est
+  FROM sketch CROSS JOIN exact
+)
+SELECT n_exact, k_retained, h_k, kmv_est, kmv_est - n_exact AS err FROM est
+"""
+
+
+# ---------------------------------------------------------------
+# Count-min sketch frequency estimates over events.user_id
+# ---------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+# Per-row universal hash (a*u + b) mod P mod W; P prime > any key.
+CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne)
+CMS_A = [1_103_515_245, 69_069, 214_013, 134_775_813]
+CMS_B = [12_345, 362_437, 2_531_011, 1]
+
+
+def _cms_pos(row: int, key) -> F.Column:
+    """Counter column for `key` in sketch row `row` (universal hash
+    (a*u + b) mod P mod W — Carter & Wegman).  a*u for u ~ 1e5 and
+    a ~ 2^31 stays far below 2^63."""
+    return (
+        (F.lit(CMS_A[row]) * key + F.lit(CMS_B[row])) % CMS_P % CMS_WIDTH
+    ).alias("pos")
+
+
+CMS_PROBE_N = 50  # probe users 0..49 — fixture-visible key range
+
+
+def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over events.user_id with the one-sided error
+    certified in-row: for every probe user, the CMS estimate (min
+    over CMS_DEPTH counters) next to the exact count and the
+    non-negative overcount.
+
+    The counter table is CMS_DEPTH x CMS_WIDTH rows no matter how
+    many events stream through — built by one map-side-combining
+    groupBy over (row, pos) — and the probe side touches only the
+    broadcast counters, never re-scanning events per probe.  est >=
+    true for every key is the CMS guarantee; the test suite pins it
+    and the oracle reproduces the exact estimates (universal hashes
+    are plain integer arithmetic in both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    ).alias("r")
+    keyed = ev.select(F.col("user_id"), rows)
+    pos = F.when(F.col("r") == 0, _cms_pos(0, F.col("user_id")))
+    for r in range(1, CMS_DEPTH):
+        pos = pos.when(F.col("r") == r, _cms_pos(r, F.col("user_id")))
+    counters = (
+        keyed.select("r", pos.alias("pos"))
+        .groupBy("r", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = (
+        ev.where(F.col("user_id") < CMS_PROBE_N)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    probe_pos = F.when(F.col("r") == 0, _cms_pos(0, F.col("user_id")))
+    for r in range(1, CMS_DEPTH):
+        probe_pos = probe_pos.when(F.col("r") == r, _cms_pos(r, F.col("user_id")))
+    probes = truth.select("user_id", "true_cnt", rows).select(
+        "user_id", "true_cnt", "r", probe_pos.alias("pos")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["r", "pos"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .withColumn("overcount", F.col("cms_est") - F.col("true_cnt"))
+        .orderBy("user_id")
+    )
+
+
+def _cms_oracle_sql() -> str:
+    pos_cases = " ".join(
+        f"WHEN {r} THEN (({CMS_A[r]} * user_id + {CMS_B[r]}) % {CMS_P}) % {CMS_WIDTH}"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH keyed AS (
+  SELECT user_id, unnest(generate_series(0, {CMS_DEPTH - 1})) AS r
+  FROM events
+),
+hashed AS (
+  SELECT r, CASE r {pos_cases} END AS pos FROM keyed
+),
+counters AS (
+  SELECT r, pos, CAST(count(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY r, pos
+),
+truth AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM events WHERE user_id < {CMS_PROBE_N} GROUP BY user_id
+),
+probes AS (
+  SELECT user_id, true_cnt, r,
+         CASE r {pos_cases} END AS pos
+  FROM (SELECT user_id, true_cnt,
+               unnest(generate_series(0, {CMS_DEPTH - 1})) AS r
+        FROM truth)
+)
+SELECT p.user_id, p.true_cnt, min(c.cnt) AS cms_est,
+       min(c.cnt) - p.true_cnt AS overcount
+FROM probes p JOIN counters c ON p.r = c.r AND p.pos = c.pos
+GROUP BY p.user_id, p.true_cnt
+ORDER BY p.user_id
+"""
+
+
+# ---------------------------------------------------------------
+# Bloom-filter membership probe (decontamination suppression shape)
+# ---------------------------------------------------------------
+
+BLOOM_M = 1 << 20  # filter width in bits
+BLOOM_K = 4  # probes per key (Kirsch–Mitzenmacher double hashing)
+
+
+def _bloom_positions(word_col: F.Column) -> F.Column:
+    """array<bigint> of the BLOOM_K bit positions for a word:
+    pos_i = (h1 + i*h2) mod M (double hashing — two real hashes
+    simulate k independent ones with the same asymptotics)."""
+    hp = spark_charhash_pair(word_col)
+    return F.array(
+        *[
+            ((hp["h1"] + F.lit(i) * hp["h2"]) % BLOOM_M).alias(f"p{i}")
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark-vocabulary probe with exact
+    false-positive accounting.
+
+    The 'benchmark' partition (source = 'src0', the same held-out
+    role decontaminate_overlap uses) inserts its distinct words into
+    a BLOOM_M-bit filter via BLOOM_K double-hashed positions; every
+    other source probes its distinct words.  A probe is
+    bloom-positive iff ALL k of its positions are occupied — the
+    sub-linear-memory suppression-list test an LLM pipeline runs
+    when the exact benchmark set is too large to broadcast.  The
+    exact semi-join twin runs beside it, so the output certifies the
+    Bloom contract per source: no false negatives (bloom >= true,
+    pinned in tests) and the measured false-positive count.
+
+    Scale shape: the occupied-position set is at most m DISTINCT
+    BIGINTS — bounded by the filter width, not the corpus — and is
+    broadcast; probe words explode to k position rows map-side and
+    meet it in a broadcast hash join, then fold back per word.  The
+    training corpus is never shuffled as text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = lambda src_pred: (  # noqa: E731
+        d.where(src_pred)
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias(
+                "word"
+            ),
+        )
+        .where(F.col("word") != "")
+    )
+    bench_words = (
+        toks(F.col("source") == "src0").select("word").distinct()
+    )
+    occupied = (
+        bench_words.select(
+            F.explode(_bloom_positions(F.col("word"))).alias("pos")
+        )
+        .distinct()
+    )
+    probe_words = (
+        toks(F.col("source") != "src0")
+        .select("source", "word")
+        .distinct()
+    )
+    probe_pos = probe_words.select(
+        "source",
+        "word",
+        F.posexplode(_bloom_positions(F.col("word"))).alias("i", "pos"),
+    )
+    # a probe word is bloom-positive iff all BLOOM_K probe rows hit
+    hits = (
+        probe_pos.join(F.broadcast(occupied), "pos")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n_hit"))
+        .where(F.col("n_hit") == BLOOM_K)
+        .select("source", "word")
+    )
+    true_pos = probe_words.join(bench_words, "word").select("source", "word")
+    return (
+        probe_words.groupBy("source")
+        .agg(F.count("*").alias("n_probe_words"))
+        .join(
+            hits.groupBy("source").agg(F.count("*").alias("n_bloom_pos")),
+            "source",
+            "left",
+        )
+        .join(
+            true_pos.groupBy("source").agg(F.count("*").alias("n_true_pos")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_probe_words",
+            F.coalesce("n_bloom_pos", F.lit(0)).alias("n_bloom_pos"),
+            F.coalesce("n_true_pos", F.lit(0)).alias("n_true_pos"),
+            (
+                F.coalesce("n_bloom_pos", F.lit(0))
+                - F.coalesce("n_true_pos", F.lit(0))
+            ).alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    h1 = duck_charhash("word")
+    h2 = duck_charhash("word", base=131, mod=FP_MOD2)
+    pos_list = (
+        f"list_transform(generate_series(0, {BLOOM_K - 1}), "
+        f"i -> (({h1}) + i * ({h2})) % {BLOOM_M})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+w AS (SELECT source, word FROM toks WHERE word <> ''),
+bench AS (SELECT DISTINCT word FROM w WHERE source = 'src0'),
+occupied AS (
+  SELECT DISTINCT unnest({pos_list}) AS pos FROM bench
+),
+probe AS (
+  SELECT DISTINCT source, word FROM w WHERE source <> 'src0'
+),
+probe_pos AS (
+  SELECT source, word, unnest({pos_list}) AS pos FROM probe
+),
+hits AS (
+  SELECT source, word
+  FROM probe_pos pp JOIN occupied o USING (pos)
+  GROUP BY source, word
+  HAVING count(*) = {BLOOM_K}
+),
+tp AS (
+  SELECT p.source, p.word FROM probe p JOIN bench b USING (word)
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_probe_words,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_bloom_pos,
+       CAST(coalesce(t.n, 0) AS BIGINT) AS n_true_pos,
+       CAST(coalesce(h.n, 0) - coalesce(t.n, 0) AS BIGINT) AS n_false_pos
+FROM probe p
+LEFT JOIN (SELECT source, count(*) AS n FROM hits GROUP BY source) h
+       ON p.source = h.source
+LEFT JOIN (SELECT source, count(*) AS n FROM tp GROUP BY source) t
+       ON p.source = t.source
+GROUP BY p.source, h.n, t.n
+ORDER BY p.source
+"""
+
+
+register("sketch_kmv_distinct", sketch_kmv_distinct, _kmv_oracle_sql())
+register("sketch_cms_frequency", sketch_cms_frequency, _cms_oracle_sql())
+register(
+    "sketch_bloom_decontaminate",
+    sketch_bloom_decontaminate,
+    _bloom_oracle_sql(),
+)

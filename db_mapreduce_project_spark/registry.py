@@ -68,6 +68,7 @@ def load_all_queries() -> None:
         selection,
         sharding,
         skew,
+        sketches,
         semistructured,
         similarity,
         text_analysis,

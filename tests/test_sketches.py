@@ -1,0 +1,110 @@
+"""Sketch-contract tests: the properties the DuckDB value-hash
+oracle cannot state (it reproduces the estimates; these pin that the
+estimates obey the published guarantees against exact ground truth).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_mapreduce_project_spark.operators import sketches as sk
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def kmv_row(spark):
+    return sk.sketch_kmv_distinct(spark, SF_CORRECT).collect()[0]
+
+
+def test_kmv_exact_when_not_full(spark, kmv_row):
+    # fixture vocab (31 words) < K: the sketch holds every distinct
+    # hash, so the estimate must BE the exact count
+    assert kmv_row.k_retained == kmv_row.n_exact < sk.KMV_K
+    assert kmv_row.kmv_est == kmv_row.n_exact
+    assert kmv_row.err == 0
+    assert 0 < kmv_row.h_k < sk.KMV_M
+
+
+def test_kmv_estimate_within_sampling_error(spark, tmp_path):
+    # synthetic corpus with vocab >> K exercises the estimator:
+    # KMV relative SD ~ 1/sqrt(k-2) ~ 6.3% at k=256; allow 4 sigma
+    n_vocab = 5000
+    docs = spark.range(n_vocab).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("srcX").alias("source"),
+        F.lit(8).cast("bigint").alias("n_chars"),
+    )
+    td = str(tmp_path / "kmv")
+    docs.write.parquet(td + "/documents.parquet")
+    row = sk.sketch_kmv_distinct(spark, td).collect()[0]
+    assert row.n_exact == n_vocab
+    assert row.k_retained == sk.KMV_K
+    rel = abs(row.kmv_est - row.n_exact) / row.n_exact
+    assert rel < 0.25, (row.kmv_est, row.n_exact)
+    assert row.err == row.kmv_est - row.n_exact
+
+
+def test_cms_one_sided_error(spark):
+    # the count-min guarantee: est >= true for EVERY key
+    rows = sk.sketch_cms_frequency(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    assert all(r.cms_est >= r.true_cnt for r in rows)
+    assert all(r.overcount == r.cms_est - r.true_cnt for r in rows)
+
+
+def test_cms_epsilon_bound(spark):
+    # overcount <= e * N / width at >= 1 - (1/e)^depth per key;
+    # assert the MEDIAN probe obeys the expected-error bound N/width
+    # (loose: 4x) — a broken hash/min would blow this out
+    df = sk.sketch_cms_frequency(spark, SF_CORRECT)
+    n_events = (
+        df.sparkSession.read.parquet(SF_CORRECT + "/events.parquet").count()
+    )
+    overs = sorted(r.overcount for r in df.collect())
+    median_over = overs[len(overs) // 2]
+    assert median_over <= 4 * n_events / sk.CMS_WIDTH
+
+
+def test_bloom_no_false_negatives(spark):
+    # every true benchmark word must be bloom-positive
+    rows = sk.sketch_bloom_decontaminate(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_bloom_pos >= r.n_true_pos, r
+        assert r.n_false_pos == r.n_bloom_pos - r.n_true_pos
+        assert r.n_bloom_pos <= r.n_probe_words
+
+
+def test_bloom_false_positive_rate_sane(spark):
+    # with n inserted keys, fp rate ~ (1 - e^{-kn/m})^k; fixture
+    # vocab is tiny vs m=2^20 so the rate must be far below 1%
+    rows = sk.sketch_bloom_decontaminate(spark, SF_CORRECT).collect()
+    total_probe = sum(r.n_probe_words for r in rows)
+    total_fp = sum(r.n_false_pos for r in rows)
+    assert total_fp / total_probe < 0.01
+
+
+def test_bloom_planted_membership(spark):
+    # plant: word in benchmark -> positive; word absent -> with m
+    # huge and 4 probes, an arbitrary fresh word must be negative
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en", "src0", 16),
+            (1, "alpha zeta", "en", "src1", 10),
+            (2, "qqqquuuxxyy", "en", "src2", 11),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.source: r
+            for r in sk.sketch_bloom_decontaminate(spark, td).collect()
+        }
+    assert out["src1"].n_true_pos == 1  # 'alpha'
+    assert out["src1"].n_bloom_pos >= 1
+    assert out["src2"].n_true_pos == 0
+    assert out["src2"].n_false_pos == out["src2"].n_bloom_pos
