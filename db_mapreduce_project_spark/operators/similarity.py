@@ -1495,3 +1495,131 @@ ORDER BY q_id, rk
 ANN_IVFADC_TOPK_ORACLE = _ivfadc_oracle_sql()
 
 register("ann_ivfadc_topk", ann_ivfadc_topk, ANN_IVFADC_TOPK_ORACLE)
+
+
+# ---------------------------------------------------------------
+# Attribute-filtered ANN: IVF with composite (cell, label) lists
+# ---------------------------------------------------------------
+
+
+def ivf_filtered_topk_from(
+    e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
+) -> DataFrame:
+    """Label-constrained IVF top-TOPK over (vec_id, embedding,
+    label): each query retrieves only neighbors sharing its label —
+    the attribute-filtered search every vector store serves
+    (same-language retrieval, per-tenant corpora; cf. the filtered
+    track of big-ann-benchmarks / Filtered-DiskANN, SIGMOD 2023).
+
+    This is PRE-filtering, done structurally: the inverted lists
+    are keyed by the COMPOSITE (cell, label), so the predicate is
+    applied at candidate fetch — the per-query scan cost divides by
+    the label cardinality instead of scoring-then-discarding
+    (post-filter ANN returns < k results whenever the filter is
+    selective; this form cannot).  Candidate recall within the
+    label stratum equals unfiltered IVF's at the same probe count
+    (same centroids, same probe order: tests pin it).
+    """
+    e = e.select("vec_id", "embedding", "label", l2("embedding").alias("norm"))
+    cents = ivf_centroids(e, n_cells)
+    assigned = ivf_assign(e, cents)
+    q_labels = e.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("label")
+    )
+    probes = ivf_probes(e, cents, n_probe).join(q_labels, "q_id")
+    cand = assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        F.col("norm").alias("n_norm"),
+        "cell",
+        "label",
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        probes.join(cand, ["cell", "label"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            dot("qv", "nv")
+            / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "label", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`ivf_filtered_topk_from` over the
+    embeddings table (labels play the filter attribute)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return ivf_filtered_topk_from(e)
+
+
+def _ivf_filtered_oracle_sql() -> str:
+    """DuckDB mirror: the IVF oracle with the composite
+    (cell, label) candidate join."""
+    from ..functions.vectors import duck_dot, duck_l2
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, label, {duck_l2('embedding')} AS norm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, embedding AS cv, norm AS c_norm
+  FROM e ORDER BY vec_id LIMIT {N_CELLS}
+),
+best AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             ({duck_dot('e.embedding', 'c.cv')}
+              / nullif(e.norm * c.c_norm, 0.0)) DESC, c.cell ASC) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, e.norm, e.label, b.cell
+  FROM e JOIN best b USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qv, norm AS q_norm, label
+  FROM e WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT q_id, qv, q_norm, label, cell FROM (
+    SELECT q.q_id, q.qv, q.q_norm, q.label, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             ({duck_dot('q.qv', 'c.cv')}
+              / nullif(q.q_norm * c.c_norm, 0.0)) DESC, c.cell ASC) AS prk
+    FROM q CROSS JOIN cents c
+  ) t WHERE prk <= {N_PROBE}
+),
+scored AS (
+  SELECT p.q_id, p.label, a.vec_id AS n_id,
+         ({duck_dot('p.qv', 'a.embedding')}
+          / nullif(p.q_norm * a.norm, 0.0)) AS cos
+  FROM probes p
+  JOIN assigned a ON p.cell = a.cell AND p.label = a.label
+  WHERE p.q_id <> a.vec_id
+)
+SELECT q_id, label, n_id, cos, rk FROM (
+  SELECT q_id, label, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM scored
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_IVF_FILTERED_ORACLE = _ivf_filtered_oracle_sql()
+
+register("ann_ivf_filtered", ann_ivf_filtered, ANN_IVF_FILTERED_ORACLE)

@@ -61,9 +61,13 @@ from db_mapreduce_project_spark.operators.similarity import (
     N_PROBE,
     N_TABLES,
     TOPK,
+    QUERY_MOD,
     brute_topk_from,
+    dot,
+    ivf_filtered_topk_from,
     ivf_topk_from,
     ivfadc_topk_from,
+    l2,
     lsh_multitable_topk_from,
     lsh_topk_from,
     pq_adc_from,
@@ -138,6 +142,43 @@ def measure(df, exact: dict[int, set[int]]) -> dict:
     }
 
 
+def _filtered_truth(el):
+    """Exact same-label top-TOPK — ann_ivf_filtered's ground
+    truth."""
+    from pyspark.sql import Window
+
+    en = el.select(
+        "vec_id", "embedding", "label", l2("embedding").alias("norm")
+    )
+    q = en.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("q_norm"),
+        "label",
+    )
+    n = en.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        F.col("norm").alias("n_norm"),
+        "label",
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        q.join(n, "label")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            dot("qv", "nv")
+            / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id")
+    )
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "ANN_RECALL_r7.json"
     spark = get_spark("ann-recall")
@@ -205,6 +246,20 @@ def main() -> None:
             "two_stage_rerank",
             {"planes": N_PLANES, "rerank_c": RERANK_C},
             measure(two_stage_rerank_from(e), exact),
+        )
+        # filtered ANN: ground truth is the SAME-LABEL exact top-k
+        # (the filtered query answers a different question than the
+        # unfiltered paths, so it gets its own truth set)
+        el = load_table(spark, f"/root/testdata/{sf}", "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        record(
+            sf,
+            "ivf_filtered",
+            {"cells": N_CELLS, "probe": N_PROBE},
+            measure(
+                ivf_filtered_topk_from(el), top_map(_filtered_truth(el).collect())
+            ),
         )
 
         # ---- parameter sweeps at sf0.1 ---------------------------

@@ -221,3 +221,122 @@ def test_ivf_recall_monotone_in_probe_count(spark):
     e.unpersist()
     assert r1 <= r3 <= r8, (r1, r3, r8)
     assert r8 >= 0.6, r8  # half the cells probed -> most of the truth
+
+
+# ---------------------------------------------------------------
+# Attribute-filtered IVF (ann_ivf_filtered)
+# ---------------------------------------------------------------
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from db_mapreduce_project_spark.operators.similarity import (
+    N_PROBE,
+    TOPK,
+    QUERY_MOD,
+    dot,
+    ivf_assign,
+    ivf_filtered_topk_from,
+    ivf_probes,
+)
+
+
+def _labeled(spark):
+    return load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+
+
+def _same_label_ground_truth(spark):
+    """Exact same-label top-TOPK (the filtered query's ground
+    truth)."""
+    en = _labeled(spark).select(
+        "vec_id", "embedding", "label", l2("embedding").alias("norm")
+    )
+    q = en.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("q_norm"),
+        "label",
+    )
+    n = en.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        F.col("norm").alias("n_norm"),
+        "label",
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        q.join(n, "label")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            dot("qv", "nv")
+            / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id")
+    )
+
+
+def test_filtered_ivf_label_constraint(spark):
+    """Every returned neighbor carries the query's own label."""
+    res = ivf_filtered_topk_from(_labeled(spark)).collect()
+    assert len(res) > 0
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in _labeled(spark).select("vec_id", "label").collect()
+    }
+    for r in res:
+        assert r["label"] == labels[r["q_id"]] == labels[r["n_id"]]
+
+
+def test_filtered_ivf_never_under_returns(spark):
+    """The pre-filter contract post-filtering lacks: whenever the
+    probed cells hold >= TOPK same-label candidates, the query gets
+    exactly TOPK results (a post-filter over unfiltered IVF's top-k
+    would return fewer as soon as the filter is selective)."""
+    e = _labeled(spark).select(
+        "vec_id", "embedding", "label", l2("embedding").alias("norm")
+    )
+    from db_mapreduce_project_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(e)
+    assigned = ivf_assign(e, cents)
+    q_labels = e.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("label")
+    )
+    probes = ivf_probes(e, cents, N_PROBE).join(q_labels, "q_id")
+    avail = (
+        probes.join(
+            assigned.select(
+                F.col("vec_id").alias("n_id"), "cell", "label"
+            ),
+            ["cell", "label"],
+        )
+        .where(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id")
+        .agg(F.countDistinct("n_id").alias("n_avail"))
+    )
+    got = (
+        ivf_filtered_topk_from(_labeled(spark))
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_got"))
+    )
+    rows = avail.join(got, "q_id", "full").fillna(0, ["n_got"]).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_got"] == min(TOPK, r["n_avail"]), r
+
+
+def test_filtered_ivf_recall_floor(spark):
+    """Measured 0.34 vs the same-label exact ground truth on the
+    near-uniform fixture (unfiltered IVF: 0.36 — the filter does
+    not degrade the scanned-fraction bound); floor a few points
+    under measured."""
+    exact = top_map(_same_label_ground_truth(spark).collect())
+    res = measure(ivf_filtered_topk_from(_labeled(spark)), exact)
+    assert res["recall"] >= 0.30, res
