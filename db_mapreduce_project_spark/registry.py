@@ -60,6 +60,7 @@ def load_all_queries() -> None:
         intervals,
         jpeg,
         layout,
+        lm,
         multimodal,
         profiling,
         relational,
