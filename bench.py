@@ -101,6 +101,11 @@ HEADLINE = [
     "unigram_segment_words",
     "ohlc_bars",
     "time_weighted_avg_per_user",
+    "doc_kn_perplexity",
+    "ann_ivf_filtered",
+    "sketch_kmv_distinct",
+    "sketch_cms_frequency",
+    "sketch_bloom_decontaminate",
 ]
 
 

@@ -155,7 +155,10 @@ register("events_session", events_session, EVENTS_SESSION_ORACLE)
 # ----------------- true streaming runners (tests) -----------------
 
 def _stream_events(
-    spark: SparkSession, sf_dir: str, source_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    source_dir: str | None = None,
+    flush_sentinel: bool = False,
 ) -> DataFrame:
     """readStream over the events parquet.  The stream reads the
     RAW schema and applies the same `ts` normalization as
@@ -175,10 +178,43 @@ def _stream_events(
     if source_dir is None:
         path = os.path.join(sf_dir, "events.parquet")
         raw_schema = spark.read.parquet(path).schema
-        # the file streaming source requires a DIRECTORY: stage the
-        # fixture file into a temp dir via symlink (no copy)
+        # the file streaming source requires a DIRECTORY of plain
+        # files (it does not descend into non-partition subdirs):
+        # stage the fixture into a temp dir via symlink (no copy).
+        # The driver fixture is a single flat file; test-written
+        # fixtures are Spark output DIRECTORIES, whose part files
+        # are staged individually.
         stage = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(path, os.path.join(stage, "events.parquet"))
+        if os.path.isdir(path):
+            import glob
+
+            for i, part in enumerate(
+                sorted(glob.glob(os.path.join(path, "*.parquet")))
+            ):
+                os.symlink(part, os.path.join(stage, f"events_{i}.parquet"))
+        else:
+            os.symlink(path, os.path.join(stage, "events.parquet"))
+        if flush_sentinel:
+            # a trailing ZERO-ROW file (mtime after the fixture, so
+            # it becomes the LAST micro-batch): stream-stream outer
+            # joins evict state using the watermark of the PRIOR
+            # batch, so the null-extended rows below the final
+            # watermark are flushed either by Spark's trailing
+            # no-data batch (a policy the engine is free to skip —
+            # spark.sql.streaming.noDataMicroBatches.enabled) or by
+            # this guaranteed final DATA batch.  The sentinel makes
+            # the emitted set deterministic regardless of no-data-
+            # batch timing: after it runs, every eligible eviction
+            # row is out, and a further no-data batch has nothing
+            # left to evict.
+            import glob
+
+            tmp = tempfile.mkdtemp(prefix="events_flush_")
+            spark.createDataFrame([], raw_schema).coalesce(1).write.parquet(
+                os.path.join(tmp, "empty")
+            )
+            part = glob.glob(os.path.join(tmp, "empty", "part-*.parquet"))[0]
+            os.replace(part, os.path.join(stage, "zz_flush.parquet"))
     else:
         stage = source_dir
         raw_schema = spark.read.parquet(source_dir).schema
@@ -845,4 +881,143 @@ register(
     "stream_sink_dedup_pairs",
     stream_sink_dedup_pairs,
     STREAM_SINK_DEDUP_PAIRS_ORACLE,
+)
+
+
+# ---------------------------------------------------------------
+# Driver-visible sink #5: stream-stream LEFT OUTER interval join
+# ---------------------------------------------------------------
+
+
+def stream_left_outer_attribution(
+    spark: SparkSession, sf_dir: str, out: str, ckpt: str
+):
+    """Left-outer stream-stream interval join into an append parquet
+    sink: every purchase joined to the same user's clicks in the
+    preceding 30 minutes; purchases with NO qualifying click emit a
+    null-extended row once the watermark proves no future click can
+    match — the state-EVICTION half of stream-stream join semantics
+    the inner form never exercises.  Both sides carry 10-minute
+    watermarks so join state is bounded (clicks age out 30 minutes
+    + delay past the purchase-side frontier; unmatched purchases age
+    out at the click-side frontier)."""
+    clicks = (
+        _stream_events(spark, sf_dir, flush_sentinel=True)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir, flush_sentinel=True)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_ts >= p_ts - INTERVAL 30 MINUTES AND
+            c_ts <= p_ts
+            """
+        ),
+        "leftOuter",
+    ).select("purchase_id", "p_user", "p_ts", "amount", "click_id")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_sink_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-visible streaming-SINK query #5: runs the left-outer
+    stream-stream join end-to-end, then rolls the sink's rows up to
+    one row per emitted purchase (purchase_id, p_user, p_ts, amount,
+    n_clicks) — n_clicks = 0 is a null-extended eviction row.
+    Matched rows are emitted unconditionally; an UNMATCHED purchase
+    is emitted only once the global watermark (min of the two
+    stream frontiers, each ms-truncated max event time minus the
+    10-minute delay) passes its p_ts, so the oracle applies that
+    same closability filter — the stream_sink_sessions discipline
+    applied to join-state eviction."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_loj_q_")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    q = stream_left_outer_attribution(spark, sf_dir, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        raise TimeoutError(
+            "stream_sink_left_outer_join: stream did not terminate "
+            "within 300 s"
+        )
+    sunk = spark.read.schema(
+        "purchase_id bigint, p_user bigint, p_ts timestamp, "
+        "amount double, click_id bigint"
+    ).parquet(out)
+    result = (
+        sunk.groupBy("purchase_id", "p_user", "p_ts", "amount")
+        .agg(F.count("click_id").alias("n_clicks"))
+        .orderBy("purchase_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+STREAM_SINK_LEFT_OUTER_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id,
+         value AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT p.purchase_id, p.p_user, p.p_ts, p.amount,
+         CAST(count(c.click_id) AS BIGINT) AS n_clicks
+  FROM purchases p
+  LEFT JOIN clicks c
+    ON p.p_user = c.c_user
+   AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+   AND c.c_ts <= p.p_ts
+  GROUP BY p.purchase_id, p.p_user, p.p_ts, p.amount
+),
+wm AS (
+  SELECT least(
+           (SELECT (epoch_us(max(c_ts)) // 1000 - 600000) * 1000 FROM clicks),
+           (SELECT (epoch_us(max(p_ts)) // 1000 - 600000) * 1000 FROM purchases)
+         ) AS wm_us
+)
+SELECT purchase_id, p_user, p_ts, amount, n_clicks
+FROM joined, wm
+WHERE n_clicks > 0 OR epoch_us(p_ts) < wm_us
+ORDER BY purchase_id
+"""
+
+register(
+    "stream_sink_left_outer_join",
+    stream_sink_left_outer_join,
+    STREAM_SINK_LEFT_OUTER_JOIN_ORACLE,
 )

@@ -687,3 +687,62 @@ def test_dedup_sink_exactly_once_across_crash_restart(spark, sf_dir, tmp_path):
     want = _rows(_batch_distinct_pairs(spark, sf_dir), cols)
     assert got == want
     assert got  # non-vacuous
+
+
+# ---------------------------------------------------------------
+# stream-stream LEFT OUTER join: eviction boundary + sentinel flush
+# ---------------------------------------------------------------
+
+
+def test_left_outer_join_eviction_boundary(spark, tmp_path):
+    """Pins the empirically-verified state-eviction rule: an
+    unmatched purchase is emitted iff p_ts < wm STRICTLY, where wm
+    is the final global watermark (ms-truncated max event time -
+    10 min); and the zero-row sentinel batch makes the flush happen
+    at all under availableNow (without it, eviction waits for a
+    next data batch that never comes)."""
+    import datetime as dt
+
+    from db_mapreduce_project_spark.streaming.jobs import (
+        stream_sink_left_outer_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, ts, uid, typ, val):
+        return (eid, ts, uid, typ, float(val), "{}")
+
+    rows = [
+        # frontier events pin both stream watermarks to base+60min
+        ev(1, base + dt.timedelta(minutes=70), 99, "click", 1),
+        ev(2, base + dt.timedelta(minutes=70), 98, "purchase", 5),
+        # matched pair (emitted regardless of watermark)
+        ev(10, base + dt.timedelta(minutes=1), 7, "click", 1),
+        ev(11, base + dt.timedelta(minutes=2), 7, "purchase", 7),
+        # unmatched probes around the final watermark
+        ev(3, base + dt.timedelta(minutes=60), 1, "purchase", 10),  # == wm
+        ev(
+            4,
+            base + dt.timedelta(minutes=60) - dt.timedelta(milliseconds=1),
+            2,
+            "purchase",
+            20,
+        ),  # < wm
+        ev(5, base + dt.timedelta(minutes=69), 3, "purchase", 30),  # > wm
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    td = str(tmp_path / "loj")
+    df.coalesce(1).write.parquet(td + "/events.parquet")
+    got = {
+        r.purchase_id: r
+        for r in stream_sink_left_outer_join(spark, td).collect()
+    }
+    # matched row always out; strictly-below-wm eviction row out;
+    # at-wm, above-wm, and frontier purchases still held in state
+    assert set(got) == {4, 11}, got
+    assert got[11].n_clicks == 1
+    assert got[4].n_clicks == 0
