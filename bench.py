@@ -102,6 +102,8 @@ HEADLINE = [
     "ohlc_bars",
     "time_weighted_avg_per_user",
     "doc_kn_perplexity",
+    "doc_kn3_perplexity",
+    "stream_sink_left_outer_join",
     "ann_ivf_filtered",
     "sketch_kmv_distinct",
     "sketch_cms_frequency",

@@ -134,7 +134,11 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k-th minimum hash, the estimate, and the signed error —
     the artifact a pipeline would monitor for sketch health.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return kmv_from(load_table(spark, sf_dir, "documents"))
+
+
+def kmv_from(d: DataFrame) -> DataFrame:
+    """Builder form over a documents relation (stress ladder)."""
     toks = d.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+", -1)).alias("word")
     ).where(F.col("word") != "")
@@ -228,7 +232,11 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle reproduces the exact estimates (universal hashes
     are plain integer arithmetic in both engines).
     """
-    ev = load_table(spark, sf_dir, "events")
+    return cms_from(load_table(spark, sf_dir, "events"))
+
+
+def cms_from(ev: DataFrame) -> DataFrame:
+    """Builder form over an events relation (stress ladder)."""
     rows = F.explode(
         F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
     ).alias("r")
@@ -339,7 +347,11 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     meet it in a broadcast hash join, then fold back per word.  The
     training corpus is never shuffled as text.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return bloom_from(load_table(spark, sf_dir, "documents"))
+
+
+def bloom_from(d: DataFrame) -> DataFrame:
+    """Builder form over a documents relation (stress ladder)."""
     toks = lambda src_pred: (  # noqa: E731
         d.where(src_pred)
         .select(

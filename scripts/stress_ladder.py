@@ -42,6 +42,14 @@ from db_mapreduce_project_spark.operators.dedup import (
     largestar_clusters_from,
     minhash_pairs_from,
 )
+from db_mapreduce_project_spark.operators.lm import (
+    kn3_worst_from,
+    kn_worst_from,
+)
+from db_mapreduce_project_spark.operators.sketches import (
+    bloom_from,
+    kmv_from,
+)
 from db_mapreduce_project_spark.session import get_spark
 from scripts.stress_scale import expand
 
@@ -55,6 +63,13 @@ FAMILIES = {
     "containment_lsh": containment_pairs_lsh_from,
     "containment_bottomk": containment_pairs_bottomk_from,
     "containment_ensemble": containment_pairs_ensemble_from,
+    # round-7 additions: held-out KN scoring + corpus sketches
+    # (key-shift keeps doc_id parity, so the KN train/eval split
+    # stays balanced at every rung)
+    "kn_heldout": kn_worst_from,
+    "kn3_heldout": kn3_worst_from,
+    "sketch_kmv": kmv_from,
+    "sketch_bloom": bloom_from,
 }
 
 
@@ -72,7 +87,9 @@ def main() -> None:
     )
     spark = get_spark("stress_ladder")
     spark.sparkContext.setLogLevel("ERROR")
-    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
     n_base = base.count()
 
     # warm-up absorbs JVM/session startup + parquet footer reads so
