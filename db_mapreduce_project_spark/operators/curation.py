@@ -1105,3 +1105,129 @@ register(
     corpus_mix_temperature,
     CORPUS_MIX_TEMPERATURE_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrubbing pass a pre-training pipeline runs
+# before anonymize_customers' pseudonymization: structured
+# identifiers (emails, phone numbers) matched by pattern and
+# replaced with typed placeholder tokens, with per-row match counts
+# kept as the audit trail.  Reference parity: the reference has no
+# redaction; this extends its normalize step (SURVEY.md §2.1 #3 —
+# also a regex rewrite of the value stream) to the compliance shape
+# every published corpus pipeline (C4, The Pile, RefinedWeb) runs.
+#
+# The fixture corpus is synthetic word-soup with no real PII, so the
+# operator builds a deterministic contact-note relation from the
+# customer table first (phone/email presence varies by custkey
+# residue — some rows carry both, some one, some none) and redacts
+# that; the regexes and the note construction are mirrored exactly
+# in the oracle, so matches are guaranteed non-trivial at every SF.
+#
+# Scale shape: pure per-row Catalyst regexp expressions — no
+# shuffle, no UDF; at 100 TB the redaction fuses with the scan the
+# same way normalize does.  Patterns are kept to the syntax subset
+# Java regex and RE2 agree on (no backrefs, no lookaround).
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def _pii_notes(c: DataFrame) -> DataFrame:
+    """Deterministic contact-note relation: custkey residues decide
+    which identifiers appear, so every SF has a mix of clean rows,
+    phone-only, email-only, and both."""
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (k % 90 + 10).cast("string"),
+        (k % 900 + 100).cast("string"),
+        (k * 7 % 900 + 100).cast("string"),
+        (k % 9000 + 1000).cast("string"),
+    )
+    email = F.concat(
+        F.lit("c"),
+        k.cast("string"),
+        F.lit("@ex"),
+        (k % 7).cast("string"),
+        F.lit(".org"),
+    )
+    note = F.concat(
+        F.col("c_name"),
+        F.when(k % 2 == 0, F.concat(F.lit(" ph "), phone)).otherwise(F.lit("")),
+        F.when(k % 3 == 0, F.concat(F.lit(" mail "), email)).otherwise(
+            F.lit("")
+        ),
+        F.lit(" seg "),
+        F.col("c_mktsegment"),
+    )
+    return c.select("c_custkey", note.alias("note"))
+
+
+def redact_pii_from(notes: DataFrame) -> DataFrame:
+    """Redact emails then phones from a (c_custkey, note) relation;
+    email first so the phone pattern can never split an address's
+    digit runs."""
+    n_email = F.regexp_count(F.col("note"), F.lit(PII_EMAIL_RE)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace("note", PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    n_phone = F.regexp_count(
+        F.regexp_replace("note", PII_EMAIL_RE, "[EMAIL]"),
+        F.lit(PII_PHONE_RE),
+    ).cast("long")
+    return (
+        notes.select(
+            "c_custkey",
+            n_email.alias("n_emails"),
+            n_phone.alias("n_phones"),
+            redacted.alias("redacted"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: build the deterministic note relation over
+    customers, redact, and report counts + redacted text."""
+    return redact_pii_from(_pii_notes(load_table(spark, sf_dir, "customer")))
+
+
+_PII_NOTE_SQL = """
+  c_name
+  || CASE WHEN c_custkey % 2 = 0
+          THEN ' ph ' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+               || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+               || '-' || CAST(c_custkey * 7 % 900 + 100 AS VARCHAR)
+               || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+          ELSE '' END
+  || CASE WHEN c_custkey % 3 = 0
+          THEN ' mail c' || CAST(c_custkey AS VARCHAR)
+               || '@ex' || CAST(c_custkey % 7 AS VARCHAR) || '.org'
+          ELSE '' END
+  || ' seg ' || c_mktsegment
+"""
+
+TEXT_REDACT_PII_ORACLE = f"""
+WITH notes AS (
+  SELECT c_custkey, ({_PII_NOTE_SQL}) AS note FROM customer
+),
+pass1 AS (
+  SELECT c_custkey,
+         CAST(len(regexp_extract_all(note, '{PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+         regexp_replace(note, '{PII_EMAIL_RE}', '[EMAIL]', 'g') AS after_email
+  FROM notes
+)
+SELECT c_custkey, n_emails,
+       CAST(len(regexp_extract_all(after_email, '{PII_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       regexp_replace(after_email, '{PII_PHONE_RE}', '[PHONE]', 'g')
+           AS redacted
+FROM pass1
+ORDER BY c_custkey
+"""
+
+register("text_redact_pii", text_redact_pii, TEXT_REDACT_PII_ORACLE)

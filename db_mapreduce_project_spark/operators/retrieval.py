@@ -127,8 +127,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-TEXT_BM25_TOPK_ORACLE = f"""
-WITH tok AS (
+# Shared CTE fragment: the full BM25 pipeline ending in a
+# `bm25_ranked(doc_id, sq, rk)` relation — reused verbatim by the
+# standalone oracle below AND the hybrid-RRF oracle, so the two can
+# never drift.
+BM25_ORACLE_CTES = f"""tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
   FROM documents
 ),
@@ -158,13 +161,18 @@ scored AS (
   JOIN dfreq f ON f.word = p.word
   CROSS JOIN stats s
   GROUP BY p.doc_id
-)
-SELECT doc_id, sq / {BM25_SCALE}.0 AS bm25, rk FROM (
+),
+bm25_ranked AS (
   SELECT doc_id, sq,
          CAST(row_number() OVER (ORDER BY sq DESC, doc_id ASC) AS INTEGER)
            AS rk
   FROM scored
-) t
+)"""
+
+TEXT_BM25_TOPK_ORACLE = f"""
+WITH {BM25_ORACLE_CTES}
+SELECT doc_id, sq / {BM25_SCALE}.0 AS bm25, rk
+FROM bm25_ranked
 WHERE rk <= {BM25_TOPK}
 ORDER BY rk
 """

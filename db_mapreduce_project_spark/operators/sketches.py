@@ -43,7 +43,7 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -472,3 +472,126 @@ register(
     sketch_bloom_decontaminate,
     _bloom_oracle_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles — the mergeable quantile estimator
+# that completes the sketch family (distinct count = KMV, frequency
+# = CMS, membership = Bloom, quantiles = this).  Order-dependent
+# sketches (t-digest, Greenwald-Khanna) cannot be value-hash oracled
+# because their state depends on partition visit order; a fixed-grid
+# histogram is order-free (bin counts are a commutative sum), so the
+# ESTIMATE itself sits under the oracle like the other three.
+#
+# Estimator: W equal-width bins over a FIXED domain; rank
+# r = ceil(q*n); the answering bin is the first with cum >= r and
+# the estimate interpolates linearly inside it:
+#   est = lo + width * (r - cum_prev) / cnt
+# computed in exact integer micro-units (bigint `div`), so the
+# worst-case error is one bin width by construction — asserted in
+# tests against the exact per-quantile order statistic.
+#
+# Scale shape (100 TB): ONE map-side-combining groupBy folds the
+# corpus to <= W rows regardless of input size; the cumulative pass
+# and the quantile probes are windows/joins over that W-row relation
+# (the 3-row quantile table broadcasts).  Histograms from different
+# shards/days MERGE by summing bin counts — the property streaming
+# rollups need and exact order statistics can't give.
+
+QH_WIDTH = 512          # bin width in price units
+QH_BINS = 256           # domain [0, 131072) covers l_extendedprice
+QH_PERMILLE = (500, 900, 990)  # p50 / p90 / p99
+QH_MICRO = 1_000_000
+
+
+def quantile_hist_from(vals: DataFrame) -> DataFrame:
+    """Histogram-quantile estimates of a single-column (`v` double)
+    relation.  Returns (permille, target_rank, bin_idx, est) rows."""
+    binned = vals.select(
+        F.least(
+            F.floor(F.col("v") / QH_WIDTH).cast("long"),
+            F.lit(QH_BINS - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qs = vals.sparkSession.createDataFrame(
+        [(p,) for p in QH_PERMILLE], "permille int"
+    )
+    target = F.expr(f"(permille * n + 999) div 1000")
+    probe = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("target_rank", target)
+        .where(
+            (F.col("cum") >= F.col("target_rank"))
+            & (F.col("cum") - F.col("cnt") < F.col("target_rank"))
+        )
+    )
+    est_micro = F.col("bin") * QH_WIDTH * QH_MICRO + F.expr(
+        f"({QH_WIDTH} * (target_rank - (cum - cnt)) * {QH_MICRO}) div cnt"
+    )
+    return (
+        probe.select(
+            "permille",
+            F.col("target_rank").cast("long").alias("target_rank"),
+            F.col("bin").cast("long").alias("bin_idx"),
+            (est_micro.cast("double") / QH_MICRO).alias("est"),
+        )
+        .orderBy("permille")
+    )
+
+
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over lineitem.l_extendedprice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantile_hist_from(li.select(F.col("l_extendedprice").alias("v")))
+
+
+def _quantile_hist_oracle_sql() -> str:
+    permille_rows = ", ".join(f"({p})" for p in QH_PERMILLE)
+    return f"""
+WITH vals AS (SELECT l_extendedprice AS v FROM lineitem),
+hist AS (
+  SELECT least(CAST(floor(v / {QH_WIDTH}) AS BIGINT), {QH_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM hist
+),
+qs AS (SELECT * FROM (VALUES {permille_rows}) AS t(permille)),
+probe AS (
+  SELECT q.permille, c.bin, c.cnt, c.cum,
+         (q.permille * c.n + 999) // 1000 AS target_rank
+  FROM cum c CROSS JOIN qs q
+  WHERE c.cum >= (q.permille * c.n + 999) // 1000
+    AND c.cum - c.cnt < (q.permille * c.n + 999) // 1000
+)
+SELECT CAST(permille AS INTEGER) AS permille,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(bin AS BIGINT) AS bin_idx,
+       CAST(bin * {QH_WIDTH} * {QH_MICRO}
+            + ({QH_WIDTH} * (target_rank - (cum - cnt)) * {QH_MICRO}) // cnt
+            AS DOUBLE) / {QH_MICRO} AS est
+FROM probe
+ORDER BY permille
+"""
+
+
+register("sketch_quantile_hist", sketch_quantile_hist, _quantile_hist_oracle_sql())

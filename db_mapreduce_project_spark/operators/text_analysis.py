@@ -381,3 +381,163 @@ LIMIT {PMI_TOP_K}
 """
 
 register("text_pmi_collocations", text_pmi_collocations, TEXT_PMI_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1)
+# — the standard rule battery a pre-training corpus filter runs
+# before any model-based scoring.  Reference parity: the reference
+# engine's only quality signal is word count (SURVEY.md §2.1 #8);
+# this is that signal grown into the published production filter.
+#
+# Scale shape: pure per-doc Catalyst expressions over one corpus
+# scan — no shuffle at all except the stable-output orderBy; at
+# 100 TB this fuses with the parquet scan exactly like text_quality.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_REQ_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_REQ_STOPS = 2
+
+_REQ_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_REQ_STOPS) + "]"
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule metrics + composite keep flag.
+
+    Every metric is an integer count or a ratio of integer counts
+    (double division of exact ints — deterministic cross-engine);
+    words are whitespace tokens, lines are LF-split segments, and
+    the symbol alphabet is {'#', '...', '…'} per the paper.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim("text"), r"\s+", -1), lambda w: w != ""
+    )
+    lines = F.split("text", "\n", -1)
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_symbols = F.regexp_count(
+        F.col("text"), F.lit(r"#|\.\.\.|…")
+    ).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    ).cast("long")
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
+    n_req = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_REQ_STOPS]),
+        )
+    ).cast("long")
+    mean_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_nonspace.cast("double") / n_words.cast("double")
+    )
+    sym_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_symbols.cast("double") / n_words.cast("double")
+    )
+    alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_alpha_words.cast("double") / n_words.cast("double")
+    )
+    bullet_frac = n_bullet.cast("double") / n_lines.cast("double")
+    ellipsis_frac = n_ellipsis.cast("double") / n_lines.cast("double")
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        n_req.alias("n_req_stops"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN)
+        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") < GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") < GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_frac") > GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_req_stops") >= GOPHER_MIN_REQ_STOPS)
+    )
+    return base.withColumn("keep", keep).orderBy("doc_id")
+
+
+QUALITY_GOPHER_RULES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+         len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(words,
+              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+             AS n_alpha_words,
+         CAST(n_symbols AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(lines,
+              l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+                   OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines,
+              l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+             AS BIGINT) AS n_ellipsis,
+         CAST(n_nonspace AS BIGINT) AS n_nonspace,
+         CAST(len(list_intersect(
+              list_distinct(list_transform(words, w -> lower(w))),
+              {_REQ_STOPS_SQL})) AS BIGINT) AS n_req_stops
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE CAST(n_nonspace AS DOUBLE) / n_words END AS mean_word_len,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE CAST(n_symbols AS DOUBLE) / n_words END AS symbol_ratio,
+         CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+         CAST(n_ellipsis AS DOUBLE) / n_lines AS ellipsis_frac,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE CAST(n_alpha_words AS DOUBLE) / n_words END AS alpha_frac,
+         n_req_stops
+  FROM m
+)
+SELECT *,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_LEN!r}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_LEN!r}
+        AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO!r}
+        AND bullet_frac < {GOPHER_MAX_BULLET_FRAC!r}
+        AND ellipsis_frac < {GOPHER_MAX_ELLIPSIS_FRAC!r}
+        AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC!r}
+        AND n_req_stops >= {GOPHER_MIN_REQ_STOPS}) AS keep
+FROM r
+ORDER BY doc_id
+"""
+
+register("quality_gopher_rules", quality_gopher_rules, QUALITY_GOPHER_RULES_ORACLE)

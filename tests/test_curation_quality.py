@@ -1,0 +1,186 @@
+"""Contract tests for the round-7 curation/quality additions:
+histogram quantiles (error bound + mergeability), Gopher rule
+battery (planted violations per rule), and PII redaction
+(completeness + ordering).  The DuckDB value-hash oracle reproduces
+each computation; these pin the guarantees the mirror can't state.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_mapreduce_project_spark.io import load_table
+from db_mapreduce_project_spark.operators import curation as cu
+from db_mapreduce_project_spark.operators import sketches as sk
+from db_mapreduce_project_spark.operators import text_analysis as ta
+from tests.conftest import SF_CORRECT
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+@pytest.fixture(scope="module")
+def qh_rows(spark):
+    return {
+        r.permille: r
+        for r in sk.sketch_quantile_hist(spark, SF_CORRECT).collect()
+    }
+
+
+def test_quantile_hist_error_bounded_by_bin_width(spark, qh_rows):
+    # rank r = ceil(q*n); the true r-th order statistic lies inside
+    # the answering bin, and the estimate interpolates inside that
+    # same bin, so |est - exact| < one bin width BY CONSTRUCTION
+    vals = sorted(
+        r.v
+        for r in load_table(spark, SF_CORRECT, "lineitem")
+        .select(F.col("l_extendedprice").alias("v"))
+        .collect()
+    )
+    n = len(vals)
+    for p, row in qh_rows.items():
+        r = -(-p * n // 1000)  # ceil
+        assert row.target_rank == r
+        exact = vals[r - 1]
+        assert abs(row.est - exact) < sk.QH_WIDTH, (p, row.est, exact)
+
+
+def test_quantile_hist_monotone_nondecreasing(qh_rows):
+    ests = [qh_rows[p].est for p in sorted(qh_rows)]
+    assert ests == sorted(ests)
+
+
+def test_quantile_hist_merge_equals_whole(spark):
+    # the property order-dependent sketches (t-digest, GK) lack:
+    # histograms from disjoint shards merge by summing bin counts
+    # and the merged quantiles EQUAL the whole-corpus quantiles
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), F.col("l_orderkey")
+    )
+    whole = sk.quantile_hist_from(li.select("v")).collect()
+    shard_a = li.where(F.col("l_orderkey") % 2 == 0).select("v")
+    shard_b = li.where(F.col("l_orderkey") % 2 == 1).select("v")
+
+    def hist(df):
+        return df.select(
+            F.least(
+                F.floor(F.col("v") / sk.QH_WIDTH).cast("long"),
+                F.lit(sk.QH_BINS - 1),
+            ).alias("bin")
+        ).groupBy("bin").agg(F.count("*").alias("cnt"))
+
+    merged_hist = (
+        hist(shard_a)
+        .unionAll(hist(shard_b))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole_hist = {r.bin: r.cnt for r in hist(li.select("v")).collect()}
+    assert {r.bin: r.cnt for r in merged_hist.collect()} == whole_hist
+    # re-derive estimates from the merged hist by replaying the
+    # probe over a values-backed frame of identical bin counts
+    rows = merged_hist.collect()
+    expanded = spark.createDataFrame(
+        [(b.bin * sk.QH_WIDTH + 0.5, b.cnt) for b in rows], "v double, c long"
+    )
+    # identical bin counts => identical (bin_idx, target_rank, est)
+    replay = sk.quantile_hist_from(
+        expanded.select(F.expr("explode(array_repeat(v, cast(c as int)))").alias("v"))
+    ).collect()
+    assert [(r.permille, r.bin_idx, r.target_rank, r.est) for r in replay] == [
+        (r.permille, r.bin_idx, r.target_rank, r.est) for r in whole
+    ]
+
+
+# ------------------------------------------------------------------- gopher
+
+
+def _write_docs(spark, tmp_path, docs):
+    df = spark.createDataFrame(
+        [
+            (i, t, "en", "srcX", len(t))
+            for i, t in enumerate(docs)
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    td = str(tmp_path / "gopher")
+    df.write.parquet(td + "/documents.parquet")
+    return td
+
+
+GOOD = " ".join(
+    ["the cat and the dog have gone to the big red house of wonder"] * 5
+)
+
+
+def test_gopher_planted_rule_violations(spark, tmp_path):
+    docs = [
+        GOOD,  # 0: passes every rule
+        "the cat sat",  # 1: too few words
+        " ".join(["a"] * 60),  # 2: mean word len 1.0 < 3.0
+        GOOD + " " + "#word " * 20,  # 3: symbol ratio over 0.1
+        "\n".join(["- item of the list to be had"] * 10),  # 4: all bullets
+        "\n".join([f"the thing {i} of that and more..." for i in range(10)]),  # 5: all ellipsis
+        " ".join(["1234 5678"] * 40),  # 6: alpha frac 0
+        " ".join(["quantum flux capacitor diode"] * 20),  # 7: no req stopwords
+    ]
+    td = _write_docs(spark, tmp_path, docs)
+    rows = {r.doc_id: r for r in ta.quality_gopher_rules(spark, td).collect()}
+    assert rows[0].keep is True
+    assert rows[1].keep is False and rows[1].n_words < ta.GOPHER_MIN_WORDS
+    assert rows[2].keep is False and rows[2].mean_word_len < ta.GOPHER_MIN_MEAN_LEN
+    assert rows[3].keep is False and rows[3].symbol_ratio >= ta.GOPHER_MAX_SYMBOL_RATIO
+    assert rows[4].keep is False and rows[4].bullet_frac >= ta.GOPHER_MAX_BULLET_FRAC
+    assert rows[5].keep is False and rows[5].ellipsis_frac >= ta.GOPHER_MAX_ELLIPSIS_FRAC
+    assert rows[6].keep is False and rows[6].alpha_frac <= ta.GOPHER_MIN_ALPHA_FRAC
+    assert rows[7].keep is False and rows[7].n_req_stops < ta.GOPHER_MIN_REQ_STOPS
+
+
+def test_gopher_fixture_metrics_sane(spark):
+    rows = ta.quality_gopher_rules(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.alpha_frac <= 1.0
+        assert 0.0 <= r.bullet_frac <= 1.0
+        assert 0.0 <= r.ellipsis_frac <= 1.0
+        assert r.n_req_stops <= len(ta.GOPHER_REQ_STOPS)
+
+
+# ---------------------------------------------------------------------- pii
+
+
+def test_redact_pii_removes_every_match(spark):
+    out = cu.text_redact_pii(spark, SF_CORRECT)
+    leaked = out.where(
+        F.col("redacted").rlike(cu.PII_EMAIL_RE)
+        | F.col("redacted").rlike(cu.PII_PHONE_RE)
+    ).count()
+    assert leaked == 0
+    # the fixture construction guarantees non-trivial coverage
+    agg = out.agg(
+        F.sum("n_emails").alias("e"), F.sum("n_phones").alias("p")
+    ).collect()[0]
+    assert agg.e > 0 and agg.p > 0
+
+
+def test_redact_pii_residue_contract(spark):
+    # custkey % 2 == 0 rows carry a phone; % 3 == 0 rows an email
+    for r in cu.text_redact_pii(spark, SF_CORRECT).collect():
+        assert r.n_phones == (1 if r.c_custkey % 2 == 0 else 0)
+        assert r.n_emails == (1 if r.c_custkey % 3 == 0 else 0)
+        if r.c_custkey % 2 == 0:
+            assert "[PHONE]" in r.redacted
+        if r.c_custkey % 3 == 0:
+            assert "[EMAIL]" in r.redacted
+
+
+def test_redact_pii_email_before_phone_ordering(spark):
+    # an address whose local part embeds a phone-shaped digit run
+    # must be consumed by the email pass, not split by the phone one
+    notes = spark.createDataFrame(
+        [(1, "x 12-345-678-9012@ex.org y"), (2, "call 12-345-678-9012 now")],
+        "c_custkey bigint, note string",
+    )
+    rows = {r.c_custkey: r for r in cu.redact_pii_from(notes).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_phones == 0
+    assert rows[1].redacted == "x [EMAIL] y"
+    assert rows[2].n_phones == 1 and rows[2].redacted == "call [PHONE] now"
