@@ -70,14 +70,16 @@ BM25_SCALE = 1_000_000_000  # per-term quantization before the doc sum
 RERANK_C = 25  # coarse candidates fetched per query for the exact stage
 
 
-def bm25_topk_from(d: DataFrame) -> DataFrame:
-    """Top-10 documents of a (doc_id, text) relation for the fixed
-    query {spark, join, window} by summed BM25 term weights
-    (k1=1.2, b=0.75).
+def bm25_scored_from(d: DataFrame) -> DataFrame:
+    """BM25 scored stage of a (doc_id, text) relation for the fixed
+    query {spark, join, window}: one (doc_id, sq) row per document
+    containing at least one query term, sq = quantized summed term
+    weights (k1=1.2, b=0.75).
 
     One tokenize pass feeds both the per-doc length table and the
     (filtered) postings; idf = ln((N - df + 0.5)/(df + 0.5) + 1)
-    — the Lucene non-negative variant.
+    — the Lucene non-negative variant.  Shared by the standalone
+    top-k and the hybrid RRF fusion so the two cannot drift.
     """
     tok = d.select(
         "doc_id",
@@ -98,18 +100,33 @@ def bm25_topk_from(d: DataFrame) -> DataFrame:
         + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
     )
     qw = F.floor(idf * tfpart * F.lit(float(BM25_SCALE)) + F.lit(0.5))
-    scored = (
+    return (
         postings.join(dlen, "doc_id")
         .join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(qw).alias("sq"))
     )
+
+
+def _ranked_cut(scored: DataFrame, depth: int) -> DataFrame:
+    """Top-`depth` (doc_id, sq, rk) of a (doc_id, sq) relation by
+    (sq desc, doc_id asc) — orderBy().limit() first so the plan is
+    TakeOrderedAndProject; the row_number window then runs over
+    `depth` rows, not the corpus."""
     wr = Window.orderBy(F.col("sq").desc(), F.col("doc_id").asc())
     return (
         scored.orderBy(F.col("sq").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOPK)
+        .limit(depth)
         .withColumn("rk", F.row_number().over(wr).cast("int"))
+    )
+
+
+def bm25_topk_from(d: DataFrame) -> DataFrame:
+    """Top-10 documents of a (doc_id, text) relation by BM25 (see
+    :func:`bm25_scored_from` for the scored stage)."""
+    return (
+        _ranked_cut(bm25_scored_from(d), BM25_TOPK)
         .select(
             "doc_id",
             (F.col("sq") / F.lit(float(BM25_SCALE))).alias("bm25"),
@@ -359,3 +376,132 @@ ORDER BY q_id, rk
 ANN_IVFADC_RERANK_ORACLE = _ivfadc_rerank_oracle_sql()
 
 register("ann_ivfadc_rerank", ann_ivfadc_rerank, ANN_IVFADC_RERANK_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid sparse+dense retrieval via Reciprocal Rank Fusion (Cormack,
+# Clarke & Büttcher, SIGIR 2009): fuse the BM25 lexical ranking with
+# a dense cosine ranking by summing 1/(K + rank) contributions —
+# the standard score-free fusion every hybrid-search deployment
+# (Elasticsearch/OpenSearch/Vespa) ships, robust to incomparable
+# score scales by construction.
+#
+# The dense ranker here is a brute cosine scan against ONE broadcast
+# query vector (doc DENSE_QUERY_ID's embedding as query-by-example):
+# a single map-side pass + TakeOrderedAndProject, no shuffle — fine
+# even at 100 TB for one query, and at serving scale the fusion is
+# ranker-agnostic: swap in ann_ivfadc_rerank's output (same
+# (doc_id, rk) shape) without touching the fusion stage.  The sparse
+# side reuses bm25_scored_from VERBATIM (and the oracle reuses
+# BM25_ORACLE_CTES), so standalone and hybrid BM25 cannot drift.
+#
+# Determinism: each RRF term is 1.0/(K + int rank) — one IEEE
+# division, identical in both engines; the fused score is ONE
+# addition of two such terms (full-outer join, not a float groupBy
+# sum), so no accumulation-order hazard exists.  Missing ranks
+# surface as -1 (not NULL: nullable ints degrade to float64 in
+# pandas on one side only).
+
+RRF_K = 60
+RRF_DEPTH = 50           # candidate depth taken from each ranker
+RRF_TOPK = 10
+DENSE_QUERY_ID = 7       # query-by-example vector
+
+
+def hybrid_rrf_from(d: DataFrame, e: DataFrame) -> DataFrame:
+    """RRF fusion of BM25(text query) and cosine(query-by-example)
+    over aligned (doc_id, text) / (vec_id, embedding) relations."""
+    sparse = _ranked_cut(bm25_scored_from(d), RRF_DEPTH).select(
+        "doc_id", F.col("rk").alias("srk")
+    )
+    qv = e.where(F.col("vec_id") == DENSE_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    dense_scored = (
+        e.where(F.col("vec_id") != DENSE_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine("qv", "embedding").alias("cos"),
+        )
+    )
+    wd = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    dense = (
+        dense_scored.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+        .withColumn("drk", F.row_number().over(wd).cast("int"))
+        .select("doc_id", "drk")
+    )
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("srk", F.lit(-1)).alias("srk"),
+            F.coalesce("drk", F.lit(-1)).alias("drk"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("srk")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("drk")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    wr = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOPK)
+        .withColumn("rk", F.row_number().over(wr).cast("int"))
+        .orderBy("rk")
+    )
+
+
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the aligned documents/embeddings
+    fixtures (doc_id == vec_id by construction)."""
+    return hybrid_rrf_from(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+    )
+
+
+TEXT_HYBRID_RRF_ORACLE = f"""
+WITH {BM25_ORACLE_CTES},
+sparse AS (
+  SELECT doc_id, rk AS srk FROM bm25_ranked WHERE rk <= {RRF_DEPTH}
+),
+qv AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {DENSE_QUERY_ID}
+),
+dense AS (
+  SELECT doc_id, CAST(drk AS INTEGER) AS drk FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY {duck_cosine('q.qv', 'e.embedding')} DESC,
+                      e.vec_id ASC) AS drk
+    FROM embeddings e CROSS JOIN qv q
+    WHERE e.vec_id <> {DENSE_QUERY_ID}
+  ) WHERE drk <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         CAST(coalesce(s.srk, -1) AS INTEGER) AS srk,
+         CAST(coalesce(d.drk, -1) AS INTEGER) AS drk,
+         coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.srk),
+                  CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.drk),
+                      CAST(0.0 AS DOUBLE)) AS rrf
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, srk, drk, rrf, rk FROM (
+  SELECT doc_id, srk, drk, rrf,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER)
+           AS rk
+  FROM fused
+) t
+WHERE rk <= {RRF_TOPK}
+ORDER BY rk
+"""
+
+register("text_hybrid_rrf_topk", text_hybrid_rrf_topk, TEXT_HYBRID_RRF_ORACLE)

@@ -194,3 +194,53 @@ def test_time_weighted_avg_bounds(spark):
         assert r["span_sec"] > 0
         lo, hi = band[r["user_id"]]
         assert lo - 1e-4 <= r["twa"] <= hi + 1e-4
+
+
+def test_hybrid_rrf_score_recomputes(spark):
+    from db_mapreduce_project_spark.operators.retrieval import RRF_K
+
+    rows = registry.QUERIES["text_hybrid_rrf_topk"](spark, SF).collect()
+    assert len(rows) == 10
+    assert [r.rk for r in rows] == list(range(1, 11))
+    for r in rows:
+        # every output doc came from at least one ranker's depth cut
+        assert r.srk != -1 or r.drk != -1
+        expect = (1.0 / (RRF_K + r.srk) if r.srk != -1 else 0.0) + (
+            1.0 / (RRF_K + r.drk) if r.drk != -1 else 0.0
+        )
+        assert r.rrf == expect
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_rrf_double_winner_is_overall_winner(spark):
+    """A doc ranked #1 by BOTH rankers strictly dominates every
+    other achievable RRF score (2/(K+1) > 1/(K+1) + 1/(K+2)), so
+    the fusion must put it first — planted corpus where doc 0 wins
+    both the lexical and the dense ranking."""
+    from db_mapreduce_project_spark.operators.retrieval import (
+        DENSE_QUERY_ID,
+        hybrid_rrf_from,
+    )
+
+    filler = "lorem ipsum dolor sit amet " * 4
+    docs = spark.createDataFrame(
+        [(0, "spark join window spark join window " + filler)]
+        + [(i, ("spark " if i % 2 else "") + filler) for i in range(1, 40)],
+        "doc_id bigint, text string",
+    )
+    # embeddings: doc 0 is nearly parallel to the query vector
+    # (DENSE_QUERY_ID), the rest point progressively away
+    embs = spark.createDataFrame(
+        [(DENSE_QUERY_ID, [1.0, 0.0, 0.0])]
+        + [(0, [0.999, 0.04, 0.0])]
+        + [
+            (i, [1.0 - 0.02 * i, 0.02 * i, 0.3])
+            for i in range(1, 40)
+            if i != DENSE_QUERY_ID
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = hybrid_rrf_from(docs, embs).collect()
+    assert out[0].doc_id == 0
+    assert out[0].srk == 1 and out[0].drk == 1
