@@ -1231,3 +1231,171 @@ ORDER BY c_custkey
 """
 
 register("text_redact_pii", text_redact_pii, TEXT_REDACT_PII_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al.,
+# NeurIPS 2023): score every raw document by the log importance
+# ratio of a target distribution to the raw distribution, both
+# modeled as bag-of-hashed-bigrams with add-one smoothing:
+#
+#   w(doc) = sum over bigram occurrences g of
+#            ln((ct[b(g)]+1)/(Nt+B)) - ln((cs[b(g)]+1)/(Ns+B))
+#
+# where ct/cs are hashed-bucket counts in the target / raw corpus.
+# This is the standard pre-training data-selection method (used for
+# the DSIR-filtered Pile); the target here is the corpus' English
+# slice (CCNet-style "select raw docs that look like the trusted
+# distribution").  Reference parity: the reference's only scoring
+# primitive is word count (SURVEY.md §2.1 #8); this is that
+# counting machinery grown into distribution matching.
+#
+# Determinism: bucket counts are exact ints; each per-bucket log
+# ratio quantizes to micro-units BEFORE the per-doc sum (the BM25 /
+# stable.py discipline), so the only float boundary is ln() on
+# identical rationals.  Buckets come from the portable charhash, so
+# DuckDB reproduces the stream bit-for-bit.
+#
+# Scale shape (100 TB): the bucket-weight table is <= DSIR_BUCKETS
+# rows regardless of corpus size (two map-side-combining groupBys
+# fold the corpus into it) and BROADCASTS to the scoring join; the
+# only corpus-sized shuffle is the final per-doc sum.  Docs with
+# fewer than 2 tokens have no bigrams and drop out by contract.
+
+DSIR_BUCKETS = 4096
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_LANG = "en"
+
+
+def _bigram_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per bigram occurrence,
+    bucket = portable charhash of 'w1 w2' mod DSIR_BUCKETS."""
+    ws = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+", -1), lambda w: w != ""
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            ws,
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda g: g.contains(" "),
+    )
+    return (
+        d.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        .select(
+            "doc_id",
+            "lang",
+            (spark_charhash(F.col("bigram")) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+
+
+def dsir_importance_weights_from(d: DataFrame) -> DataFrame:
+    """Per-doc DSIR log importance weight of a (doc_id, text, lang)
+    relation against its own `lang = DSIR_TARGET_LANG` slice."""
+    bk = _bigram_buckets(d)
+    ct = (
+        bk.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_t"))
+    )
+    cs = bk.groupBy("bucket").agg(F.count("*").alias("c_s"))
+    tot = bk.agg(
+        F.count("*").alias("n_s"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("n_t"),
+    )
+    weights = (
+        cs.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                        / (F.col("n_t") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                    - F.log(
+                        (F.col("c_s") + 1.0)
+                        / (F.col("n_s") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                )
+                * F.lit(float(DSIR_SCALE))
+                + F.lit(0.5)
+            ).alias("qw"),
+        )
+    )
+    scored = (
+        bk.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("qw").alias("sq"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            (F.col("sq").cast("double") / DSIR_SCALE).alias("dsir_weight"),
+            (F.col("sq") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the documents fixture."""
+    return dsir_importance_weights_from(load_table(spark, sf_dir, "documents"))
+
+
+CURATE_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM toks WHERE len(ws) >= 2
+),
+bk AS (
+  SELECT doc_id, lang,
+         {duck_charhash('bigram')} % {DSIR_BUCKETS} AS bucket
+  FROM bg
+),
+cs AS (SELECT bucket, count(*) AS c_s FROM bk GROUP BY bucket),
+ct AS (
+  SELECT bucket, count(*) AS c_t FROM bk
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+),
+tot AS (
+  SELECT count(*) AS n_s,
+         count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS n_t
+  FROM bk
+),
+w AS (
+  SELECT cs.bucket,
+         CAST(floor(
+           (ln((coalesce(ct.c_t, 0) + 1.0) / (tot.n_t + {DSIR_BUCKETS}.0))
+            - ln((cs.c_s + 1.0) / (tot.n_s + {DSIR_BUCKETS}.0)))
+           * {DSIR_SCALE}.0 + 0.5) AS BIGINT) AS qw
+  FROM cs LEFT JOIN ct ON ct.bucket = cs.bucket CROSS JOIN tot
+),
+doc AS (
+  SELECT b.doc_id, count(*) AS n_bigrams, CAST(sum(w.qw) AS BIGINT) AS sq
+  FROM bk b JOIN w ON w.bucket = b.bucket
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(sq AS DOUBLE) / {DSIR_SCALE} AS dsir_weight,
+       sq > 0 AS keep
+FROM doc
+ORDER BY doc_id
+"""
+
+register("curate_dsir_weights", curate_dsir_weights, CURATE_DSIR_ORACLE)

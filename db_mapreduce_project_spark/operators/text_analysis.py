@@ -541,3 +541,90 @@ ORDER BY doc_id
 """
 
 register("quality_gopher_rules", quality_gopher_rules, QUALITY_GOPHER_RULES_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition battery — duplicate LINE metrics (Rae et al.
+# 2021 Appendix A1.1, "repetitious text" rules), complementing
+# doc_ngram_repetition's n-gram view: the fraction of lines that
+# are repeats of an earlier line, and the fraction of CHARACTERS
+# living in those repeated occurrences.  Pure per-row array
+# algebra — n_dup_lines = n_lines - n_distinct_lines and
+# dup_char_frac = (total_line_chars - distinct_line_chars) /
+# total_line_chars, both exact integer ratios.
+#
+# Scale shape: scan-fused per-doc expressions, zero shuffle except
+# the stable-output orderBy; at 100 TB this rides the same corpus
+# scan as quality_gopher_rules.
+
+REP_MAX_DUP_LINE_FRAC = 0.30   # Gopher: duplicate line fraction
+REP_MAX_DUP_CHAR_FRAC = 0.20   # Gopher: duplicate line character fraction
+
+
+def quality_rep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lines = F.split("text", "\n", -1)
+    dlines = F.array_distinct(lines)
+    sum_len = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x).cast("bigint"),
+    )
+    n_lines = F.size(lines).cast("long")
+    n_distinct = F.size(dlines).cast("long")
+    chars_all = sum_len(lines)
+    chars_distinct = sum_len(dlines)
+    dup_line_frac = (n_lines - n_distinct).cast("double") / n_lines.cast(
+        "double"
+    )
+    dup_char_frac = F.when(chars_all == 0, F.lit(0.0)).otherwise(
+        (chars_all - chars_distinct).cast("double") / chars_all.cast("double")
+    )
+    base = d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        (n_lines - n_distinct).alias("n_dup_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_char_frac"),
+    )
+    keep = (F.col("dup_line_frac") <= REP_MAX_DUP_LINE_FRAC) & (
+        F.col("dup_char_frac") <= REP_MAX_DUP_CHAR_FRAC
+    )
+    return base.withColumn("keep", keep).orderBy("doc_id")
+
+
+QUALITY_REP_LINES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_distinct(string_split(text, chr(10))) AS dlines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(lines) - len(dlines) AS BIGINT) AS n_dup_lines,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(lines, l -> CAST(length(l) AS BIGINT))),
+              (a, x) -> a + x) AS BIGINT) AS chars_all,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(dlines, l -> CAST(length(l) AS BIGINT))),
+              (a, x) -> a + x) AS BIGINT) AS chars_distinct
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_lines, n_dup_lines,
+         CAST(n_dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
+         CASE WHEN chars_all = 0 THEN 0.0
+              ELSE CAST(chars_all - chars_distinct AS DOUBLE) / chars_all
+         END AS dup_char_frac
+  FROM m
+)
+SELECT *,
+       (dup_line_frac <= {REP_MAX_DUP_LINE_FRAC!r}
+        AND dup_char_frac <= {REP_MAX_DUP_CHAR_FRAC!r}) AS keep
+FROM r
+ORDER BY doc_id
+"""
+
+register("quality_rep_lines", quality_rep_lines, QUALITY_REP_LINES_ORACLE)

@@ -184,3 +184,77 @@ def test_redact_pii_email_before_phone_ordering(spark):
     assert rows[1].n_emails == 1 and rows[1].n_phones == 0
     assert rows[1].redacted == "x [EMAIL] y"
     assert rows[2].n_phones == 1 and rows[2].redacted == "call [PHONE] now"
+
+
+# --------------------------------------------------------------------- dsir
+
+
+def test_dsir_target_slice_scores_higher(spark):
+    # the defining property of importance weighting: documents drawn
+    # from the target (en) distribution average a higher log ratio
+    # than documents from any other language slice
+    out = cu.curate_dsir_weights(spark, SF_CORRECT)
+    langs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "lang")
+    means = {
+        r.lang: r.m
+        for r in out.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("dsir_weight").alias("m"))
+        .collect()
+    }
+    for lang, m in means.items():
+        if lang != cu.DSIR_TARGET_LANG:
+            assert means[cu.DSIR_TARGET_LANG] > m, (lang, means)
+
+
+def test_dsir_planted_distribution_shift(spark):
+    # target docs use vocabulary A, raw-only docs vocabulary B: an
+    # unseen doc written in A must outscore one written in B
+    a = "alpha beta gamma delta " * 20
+    b = "omega sigma theta kappa " * 20
+    rows = (
+        [(i, a, "en") for i in range(10)]
+        + [(i + 10, b, "zh") for i in range(10)]
+        + [(100, a, "fr"), (101, b, "fr")]  # probes, neither in target
+    )
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    w = {r.doc_id: r.dsir_weight for r in cu.dsir_importance_weights_from(d).collect()}
+    assert w[100] > w[101]
+    assert w[100] > 0 and not w[101] > 0
+
+
+def test_dsir_short_docs_drop_by_contract(spark):
+    d = spark.createDataFrame(
+        [(0, "solo", "en"), (1, "two tokens here now", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = cu.dsir_importance_weights_from(d).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].n_bigrams == 3
+
+
+# ---------------------------------------------------------------- rep lines
+
+
+def test_rep_lines_planted(spark, tmp_path):
+    docs = [
+        "a unique line\nanother unique line\nthird one",          # 0 clean
+        "same line\nsame line\nsame line\nsame line",             # 1 all dup
+        "x\n" * 10 + "y long tail line that dominates chars",     # 2 dup x's
+    ]
+    td = _write_docs(spark, tmp_path, docs)
+    rows = {r.doc_id: r for r in ta.quality_rep_lines(spark, td).collect()}
+    assert rows[0].n_dup_lines == 0 and rows[0].keep is True
+    assert rows[1].n_dup_lines == 3
+    assert rows[1].dup_line_frac == 0.75 and rows[1].keep is False
+    # doc 2: 12 lines (10 'x', tail, trailing ''), 9 dup 'x' lines but
+    # only 9 duplicated chars of 47 total -> line frac fails, char frac ok
+    assert rows[2].n_dup_lines == 9
+    assert rows[2].dup_char_frac < ta.REP_MAX_DUP_CHAR_FRAC
+    assert rows[2].keep is False
+
+
+def test_rep_lines_fraction_identity(spark):
+    for r in ta.quality_rep_lines(spark, SF_CORRECT).collect():
+        assert r.dup_line_frac == r.n_dup_lines / r.n_lines
+        assert 0.0 <= r.dup_char_frac <= 1.0
