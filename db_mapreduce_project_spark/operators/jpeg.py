@@ -609,3 +609,173 @@ register(
     multimodal_decode_jpeg_stats,
     MULTIMODAL_DECODE_JPEG_STATS_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) near-dup — the multimodal twin of the
+# text near-dup family: fingerprint = sign pattern of the
+# low-frequency DCT block against its median (the classic pHash
+# construction: DCT -> keep the top-left low-frequency block ->
+# bit_k = coef_k > median).  Because our DCT is fixed-point integer
+# (M_FIX above), the fingerprint is integer-deterministic and the
+# DuckDB oracle rebuilds BOTH hashes from first principles — the
+# source plane's and the JPEG-DECODED plane's — so the query also
+# certifies the property perceptual hashing exists for: the
+# fingerprint (mostly) survives lossy compression, reported per-doc
+# as ham_codec = popcount(phash_src XOR phash_dec).
+#
+# Dedup shape: docs sharing phash_dec form a family (exact-bucket
+# grouping — the LSH-bucket shape: one shuffle on the 15-bit key).
+# At 100 TB, Hamming<=k retrieval splits the hash into k+1 bands
+# and joins per band (the multi-index of Norouzi et al., CVPR 2012)
+# — same machinery as dedup_minhash_lsh's banding; the exact-bucket
+# form here is the k=0 rung of that ladder.
+
+PHASH_LF = 4                      # low-frequency block is 4x4
+PHASH_NBITS = PHASH_LF * PHASH_LF - 1  # 15 AC coefficients (DC excluded)
+
+
+def phash_of_plane(plane: np.ndarray) -> int:
+    """15-bit pHash of an 8x8 uint8 plane: integer DCT, 4x4
+    low-frequency block minus DC, bit k set iff coef > median
+    (median of 15 = the 8th smallest, integer-exact)."""
+    co = int_fdct(plane.astype(np.int64) - 128)
+    ac = co[:PHASH_LF, :PHASH_LF].flatten()[1:]
+    med = np.median(ac)
+    bits = 0
+    for k, v in enumerate(ac):
+        if v > med:
+            bits |= 1 << k
+    return bits
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, body, img in zip(pdf["doc_id"], pdf["body"], pdf["img"]):
+            src = np.frombuffer(bytes(body), dtype=np.uint8).reshape(
+                JPEG_N, JPEG_N
+            )
+            dec = decode_jpeg(bytes(img)).astype(np.uint8)
+            ps = phash_of_plane(src)
+            pdc = phash_of_plane(dec)
+            out.append((doc_id, ps, pdc, bin(ps ^ pdc).count("1")))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "phash_src", "phash_dec", "ham_codec"]
+        )
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash the corpus' image payloads (source AND
+    decoded planes), report codec robustness per doc, and group
+    exact-fingerprint families."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ph = build_jpeg_payloads(d).mapInPandas(
+        _phash_batches,
+        schema="doc_id bigint, phash_src bigint, phash_dec bigint, "
+        "ham_codec bigint",
+    )
+    w = Window.partitionBy("phash_dec")
+    return (
+        ph.withColumn("family_size", F.count("*").over(w).cast("long"))
+        .withColumn("is_dup", F.col("family_size") > 1)
+        .orderBy("doc_id")
+    )
+
+
+def _phash_chain_sql(src_rel: str, prefix: str) -> str:
+    """CTE fragment: forward fixed-point DCT of `src_rel(doc_id, r,
+    c, v)` (v already level-shifted), then the 15-bit pHash fold.
+    Emits CTEs {prefix}1, {prefix}2, {prefix}m, {prefix}h; the hash
+    lands in {prefix}h(doc_id, ph)."""
+    lf = PHASH_LF
+    return f"""{prefix}1 AS (
+  SELECT p.doc_id, m.u AS u, p.c AS j,
+         {_fdiv('sum(m.m * p.v) + ' + str(_HALF), _SCALE)} AS v
+  FROM {src_rel} p JOIN mconst m ON m.i = p.r
+  GROUP BY p.doc_id, m.u, p.c
+),
+{prefix}2 AS (
+  SELECT t.doc_id, t.u AS u, m.u AS vv,
+         {_fdiv('sum(m.m * t.v) + ' + str(_HALF), _SCALE)} AS v
+  FROM {prefix}1 t JOIN mconst m ON m.i = t.j
+  GROUP BY t.doc_id, t.u, m.u
+),
+{prefix}m AS (
+  SELECT doc_id, quantile_disc(v, 0.5) AS med
+  FROM {prefix}2 WHERE u < {lf} AND vv < {lf} AND NOT (u = 0 AND vv = 0)
+  GROUP BY doc_id
+),
+{prefix}h AS (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN s.v > m.med
+                  THEN CAST(1 AS BIGINT) << (s.u * {lf} + s.vv - 1)
+                  ELSE 0 END) AS BIGINT) AS ph
+  FROM {prefix}2 s JOIN {prefix}m m ON m.doc_id = s.doc_id
+  WHERE s.u < {lf} AND s.vv < {lf} AND NOT (s.u = 0 AND s.vv = 0)
+  GROUP BY s.doc_id
+)"""
+
+
+def _phash_oracle_sql() -> str:
+    m_rows = ", ".join(
+        f"({u}, {i}, {int(M_FIX[u][i])})" for u in range(8) for i in range(8)
+    )
+    q_rows = ", ".join(
+        f"({r}, {c}, {int(QTAB[r][c])})" for r in range(8) for c in range(8)
+    )
+    half = _HALF
+    return f"""
+WITH mconst(u, i, m) AS (SELECT * FROM (VALUES {m_rows})),
+qtab(r, c, q) AS (SELECT * FROM (VALUES {q_rows})),
+px AS (
+  SELECT doc_id, (j - 1) // 8 AS r, (j - 1) % 8 AS c,
+         CAST(ascii(substring(body, j, 1)) AS BIGINT) - 128 AS v
+  FROM (
+    SELECT doc_id, {_ascii_px_sql(JPEG_BODY_LEN)} AS body FROM documents
+  ) p, generate_series(1, {JPEG_BODY_LEN}) AS g(j)
+),
+{_phash_chain_sql('px', 's')},
+qd AS (
+  SELECT f.doc_id, f.u, f.vv,
+         (CASE WHEN f.v >= 0 THEN (f.v + q.q // 2) // q.q
+               ELSE -((-f.v + q.q // 2) // q.q) END) * q.q AS v
+  FROM s2 f JOIN qtab q ON q.r = f.u AND q.c = f.vv
+),
+i1 AS (
+  SELECT d.doc_id, m.i AS i, d.vv AS vv,
+         {_fdiv('sum(m.m * d.v) + ' + str(half), _SCALE)} AS v
+  FROM qd d JOIN mconst m ON m.u = d.u
+  GROUP BY d.doc_id, m.i, d.vv
+),
+recon AS (
+  SELECT t.doc_id, t.i AS r, m.i AS c,
+         least(greatest({_fdiv('sum(m.m * t.v) + ' + str(half), _SCALE)}
+                        + 128, 0), 255) - 128 AS v
+  FROM i1 t JOIN mconst m ON m.u = t.vv
+  GROUP BY t.doc_id, t.i, m.i
+),
+{_phash_chain_sql('recon', 'd')},
+fused AS (
+  SELECT s.doc_id, s.ph AS phash_src, d.ph AS phash_dec,
+         CAST(bit_count(xor(s.ph, d.ph)) AS BIGINT) AS ham_codec
+  FROM sh s JOIN dh d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, phash_src, phash_dec, ham_codec,
+       CAST(count(*) OVER (PARTITION BY phash_dec) AS BIGINT)
+         AS family_size,
+       count(*) OVER (PARTITION BY phash_dec) > 1 AS is_dup
+FROM fused
+ORDER BY doc_id
+"""
+
+
+MULTIMODAL_PHASH_NEARDUP_ORACLE = _phash_oracle_sql()
+
+register(
+    "multimodal_phash_neardup",
+    multimodal_phash_neardup,
+    MULTIMODAL_PHASH_NEARDUP_ORACLE,
+)

@@ -151,3 +151,55 @@ def test_registered_query_matches_oracle_shape(spark):
         assert (r["width"], r["height"]) == (JPEG_N, JPEG_N)
         assert 0 <= r["p_min"] <= r["p_max"] <= 255
         assert 0 <= r["max_abs_err"] <= 80  # fixture-measured max 75
+
+
+def test_phash_survives_codec_and_groups_families(spark):
+    """Perceptual robustness (the property pHash exists for): the
+    fingerprint mostly survives JPEG quantization loss — measured
+    mean Hamming 1.32/15 bits at sf0.01 — and exact-fingerprint
+    families are consistent with their window count."""
+    from collections import Counter
+
+    from db_mapreduce_project_spark.operators.jpeg import (
+        PHASH_NBITS,
+        multimodal_phash_neardup,
+    )
+
+    rows = multimodal_phash_neardup(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    hams = [r.ham_codec for r in rows]
+    assert sum(hams) / len(hams) < 3.0  # measured 1.318
+    fam = Counter(r.phash_dec for r in rows)
+    for r in rows:
+        assert 0 <= r.phash_src < (1 << PHASH_NBITS)
+        assert 0 <= r.phash_dec < (1 << PHASH_NBITS)
+        # ham_codec recomputes from the two hashes
+        assert r.ham_codec == bin(r.phash_src ^ r.phash_dec).count("1")
+        assert r.family_size == fam[r.phash_dec]
+        assert r.is_dup == (r.family_size > 1)
+
+
+def test_phash_planted_identical_prefix_same_family(spark):
+    """Docs identical in their first 64 sanitized bytes must land
+    in the same family; a doc with different low-frequency content
+    must not share their fingerprint."""
+    from db_mapreduce_project_spark.operators.jpeg import (
+        build_jpeg_payloads,
+        multimodal_phash_neardup,
+        phash_of_plane,
+    )
+
+    same = "the same leading sixty-four characters of text right here ok" + " tail A"
+    rows = [
+        (0, same + " and then totally different continuation one"),
+        (1, same + " with another divergent continuation two"),
+        (2, "Z" * 32 + "a" * 32),  # different plane entirely
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    planes = {
+        r["doc_id"]: np.frombuffer(bytes(r["body"]), dtype=np.uint8).reshape(8, 8)
+        for r in build_jpeg_payloads(d).collect()
+    }
+    h = {i: phash_of_plane(p) for i, p in planes.items()}
+    assert h[0] == h[1]
+    assert h[2] != h[0]
