@@ -1399,3 +1399,147 @@ ORDER BY doc_id
 """
 
 register("curate_dsir_weights", curate_dsir_weights, CURATE_DSIR_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document line dedup (Raffel et al. 2020, §2.2:
+# "we discard all but one of any three-sentence span occurring more
+# than once in the data set") — the corpus-global keep-first span
+# dedup every web-scale pipeline runs, distinct from the DOC-level
+# near-dup family: the unit of suppression is the span, and the
+# surviving document is REWRITTEN without its duplicated spans.
+#
+# The fixture corpus is single-line word soup, so the span relation
+# is constructed deterministically: each doc splits into 8-word
+# segments, then every doc appends a global boilerplate footer and
+# a per-source footer (the newsletter/attribution lines C4's rule
+# exists to kill).  The construction is mirrored in the oracle, so
+# suppression is non-trivial at every SF: the global footer
+# survives in exactly ONE document corpus-wide, the source footers
+# in one document per source.
+#
+# Keep-first semantics: an occurrence survives iff its span is
+# unique OR it is the corpus-minimal occurrence, ordered by
+# ord = doc_id * 1e6 + seg_idx (total order; idx < 1e6 by
+# contract).  min(ord) and count(*) are both map-side-combining
+# aggregates over the span key — no window over hot keys, so a
+# boilerplate span appearing in 10% of a 100 TB corpus costs one
+# combiner cell, not one reducer partition (the skew lesson from
+# SKEWSTRESS).  Reassembly is one groupBy(doc) of kept spans.
+
+LINE_SEG_W = 8
+LINE_ORD_BASE = 1_000_000
+LINE_FOOTER_GLOBAL = "subscribe to our newsletter for updates"
+
+
+def _doc_segments(d: DataFrame) -> DataFrame:
+    """(doc_id, idx, seg): 8-word segments of each doc, then the
+    global footer and the per-source footer appended."""
+    ws = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+", -1), lambda w: w != ""
+    )
+    n_seg = F.ceil(F.size(ws) / F.lit(LINE_SEG_W)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(ws, i * LINE_SEG_W + 1, LINE_SEG_W), " "
+        ),
+    )
+    with_footers = F.concat(
+        segs,
+        F.array(
+            F.lit(LINE_FOOTER_GLOBAL),
+            F.concat(F.lit("brought to you by "), F.col("source")),
+        ),
+    )
+    return d.select("doc_id", F.posexplode(with_footers).alias("idx", "seg"))
+
+
+def line_dedup_from(segments: DataFrame) -> DataFrame:
+    """Corpus-global keep-first span dedup of a (doc_id, idx, seg)
+    relation; returns per-doc suppression stats + rewritten text."""
+    occ = segments.withColumn(
+        "ord", F.col("doc_id") * LINE_ORD_BASE + F.col("idx")
+    )
+    keymin = occ.groupBy("seg").agg(
+        F.count("*").alias("cnt"), F.min("ord").alias("min_ord")
+    )
+    marked = occ.join(keymin, "seg").withColumn(
+        "kept", (F.col("cnt") == 1) | (F.col("ord") == F.col("min_ord"))
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("idx", "seg"))
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return per_doc.orderBy("doc_id")
+
+
+def curate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the constructed span relation."""
+    return line_dedup_from(
+        _doc_segments(load_table(spark, sf_dir, "documents"))
+    )
+
+
+CURATE_LINE_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         list_concat(
+           list_transform(
+             range(0, CAST(ceil(len(ws) / {LINE_SEG_W}.0) AS BIGINT)),
+             i -> array_to_string(
+                    ws[i * {LINE_SEG_W} + 1 : i * {LINE_SEG_W} + {LINE_SEG_W}],
+                    ' ')),
+           ['{LINE_FOOTER_GLOBAL}', 'brought to you by ' || source]
+         ) AS sl
+  FROM toks
+),
+occ0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(sl) + 1),
+           i -> struct_pack(idx := i - 1, seg := sl[i]))) AS o
+  FROM segs
+),
+occ AS (
+  SELECT doc_id, o.idx AS idx, o.seg AS seg,
+         doc_id * {LINE_ORD_BASE} + o.idx AS ord
+  FROM occ0
+),
+keymin AS (
+  SELECT seg, count(*) AS cnt, min(ord) AS min_ord FROM occ GROUP BY seg
+),
+marked AS (
+  SELECT o.doc_id, o.idx, o.seg,
+         (k.cnt = 1 OR o.ord = k.min_ord) AS kept
+  FROM occ o JOIN keymin k ON k.seg = o.seg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY idx),
+                '') AS new_text
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+register("curate_line_dedup", curate_line_dedup, CURATE_LINE_DEDUP_ORACLE)

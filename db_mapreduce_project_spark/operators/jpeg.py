@@ -779,3 +779,103 @@ register(
     multimodal_phash_neardup,
     MULTIMODAL_PHASH_NEARDUP_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hamming<=k pHash pairs via the multi-index (Norouzi, Punjani &
+# Fleet, CVPR 2012 "Fast Search in Hamming Space with Multi-Index
+# Hashing") — the scale path promised by multimodal_phash_neardup's
+# exact-bucket rung: split the 15-bit fingerprint into HAM_BANDS=3
+# disjoint 5-bit bands; by pigeonhole, any pair within Hamming
+# distance HAM_MAX=2 agrees EXACTLY on at least one band, so the
+# band-wise equi-join is a candidate set with DETERMINISTIC recall 1
+# (the containment-ensemble guarantee, transplanted to Hamming
+# space).  Verification is one popcount per candidate pair.
+#
+# Scale shape: 3 equi-joins on 5-bit band keys (band tables are the
+# corpus re-keyed — one shuffle each), candidate dedup via DISTINCT,
+# |candidates| ~ sum of squared bucket sizes / 2 — the same
+# quadratic-in-bucket geometry the dedup family's DF caps bound;
+# 2^5 buckets per band is fixture-sized, at real scale widen bands
+# with the hash (64-bit pHash -> 8-bit bands for k<=7).
+
+HAM_BANDS = 3
+HAM_BAND_BITS = 5
+HAM_MAX = 2
+
+
+def multimodal_phash_hamming_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All doc pairs whose decoded-plane pHashes differ in at most
+    HAM_MAX of 15 bits, found via the 3-band multi-index."""
+    d = load_table(spark, sf_dir, "documents")
+    ph = build_jpeg_payloads(d).mapInPandas(
+        _phash_batches,
+        schema="doc_id bigint, phash_src bigint, phash_dec bigint, "
+        "ham_codec bigint",
+    ).select("doc_id", "phash_dec")
+    bands = ph.select(
+        "doc_id",
+        "phash_dec",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash_dec", b * HAM_BAND_BITS).bitwiseAND(
+                        (1 << HAM_BAND_BITS) - 1
+                    )
+                    for b in range(HAM_BANDS)
+                ]
+            )
+        ).alias("b", "bv"),
+    )
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash_dec").alias("pa"),
+            F.col("b.phash_dec").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "ham", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long")
+        )
+        .where(F.col("ham") <= HAM_MAX)
+        .select("doc_a", "doc_b", "ham")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _phash_hamming_oracle_sql() -> str:
+    """INDEPENDENT oracle: the full first-principles pHash rebuild,
+    then the NAIVE quadratic Hamming filter — so the banded
+    candidate path is differentially tested against an oracle that
+    never bands (recall 1 is checked, not mirrored)."""
+    base = _phash_oracle_sql()
+    # reuse everything up to `fused`, replace the final projection
+    head = base[: base.rindex("SELECT doc_id, phash_src")]
+    return f"""{head}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash_dec, b.phash_dec)) AS BIGINT) AS ham
+FROM fused a JOIN fused b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash_dec, b.phash_dec)) <= {HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+MULTIMODAL_PHASH_HAMMING_ORACLE = _phash_hamming_oracle_sql()
+
+register(
+    "multimodal_phash_hamming_pairs",
+    multimodal_phash_hamming_pairs,
+    MULTIMODAL_PHASH_HAMMING_ORACLE,
+)

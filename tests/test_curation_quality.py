@@ -258,3 +258,88 @@ def test_rep_lines_fraction_identity(spark):
     for r in ta.quality_rep_lines(spark, SF_CORRECT).collect():
         assert r.dup_line_frac == r.n_dup_lines / r.n_lines
         assert 0.0 <= r.dup_char_frac <= 1.0
+
+
+# --------------------------------------------------------------- line dedup
+
+
+def test_line_dedup_keep_first_semantics(spark):
+    # the global footer survives in exactly ONE document corpus-wide;
+    # each per-source footer survives once per source
+    out = cu.curate_line_dedup(spark, SF_CORRECT).collect()
+    survivors = sum(
+        1 for r in out if cu.LINE_FOOTER_GLOBAL in r.new_text
+    )
+    assert survivors == 1
+    docs = load_table(spark, SF_CORRECT, "documents")
+    n_sources = docs.select("source").distinct().count()
+    footer_survivors = sum(
+        1 for r in out if "brought to you by " in r.new_text
+    )
+    assert footer_survivors == n_sources
+    # the keeper of a span is its corpus-minimal occurrence
+    keeper = min(r.doc_id for r in out if r.n_segs > 0)
+    first = [r for r in out if r.doc_id == keeper][0]
+    assert cu.LINE_FOOTER_GLOBAL in first.new_text
+
+
+def test_line_dedup_planted_rewrite(spark):
+    segs = spark.createDataFrame(
+        [
+            (0, 0, "alpha beta"),
+            (0, 1, "shared span"),
+            (0, 2, "gamma delta"),
+            (1, 0, "shared span"),     # duplicate, later ord -> removed
+            (1, 1, "epsilon zeta"),
+            (2, 0, "shared span"),     # duplicate -> removed
+            (2, 1, "shared span"),     # second occurrence in-doc -> removed
+        ],
+        "doc_id bigint, idx int, seg string",
+    )
+    rows = {r.doc_id: r for r in cu.line_dedup_from(segs).collect()}
+    assert rows[0].n_removed == 0
+    assert rows[0].new_text == "alpha beta shared span gamma delta"
+    assert rows[1].n_removed == 1 and rows[1].new_text == "epsilon zeta"
+    assert rows[2].n_removed == 2 and rows[2].new_text == ""
+
+
+def test_line_dedup_conserves_spans(spark):
+    # sum of kept + removed equals the constructed span count; and
+    # no removed span content survives anywhere beyond its keeper
+    out = cu.curate_line_dedup(spark, SF_CORRECT)
+    agg = out.agg(
+        F.sum("n_segs").alias("t"), F.sum("n_removed").alias("r")
+    ).collect()[0]
+    assert agg.t > agg.r > 0
+
+
+# ------------------------------------------------------------ hamming pairs
+
+
+def test_phash_hamming_pairs_match_bruteforce(spark):
+    """Deterministic recall of the 3-band multi-index: the banded
+    candidate path must produce EXACTLY the naive quadratic answer
+    (the oracle also checks this cross-engine; this pins it
+    in-engine against the registered per-doc hashes)."""
+    from db_mapreduce_project_spark.operators.jpeg import (
+        HAM_MAX,
+        multimodal_phash_hamming_pairs,
+        multimodal_phash_neardup,
+    )
+
+    hashes = {
+        r.doc_id: r.phash_dec
+        for r in multimodal_phash_neardup(spark, SF_CORRECT).collect()
+    }
+    ids = sorted(hashes)
+    expect = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= HAM_MAX
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.ham)
+        for r in multimodal_phash_hamming_pairs(spark, SF_CORRECT).collect()
+    }
+    assert got == expect and len(got) > 0
