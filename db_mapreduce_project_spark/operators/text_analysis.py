@@ -628,3 +628,140 @@ ORDER BY doc_id
 """
 
 register("quality_rep_lines", quality_rep_lines, QUALITY_REP_LINES_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction — the WET step every web-corpus pipeline
+# (C4, CCNet, RefinedWeb) runs before any quality/dedup pass:
+# drop script/style blocks with their contents, strip markup,
+# decode the core entities, collapse whitespace.  Reference parity:
+# the reference normalizes [a-zA-Z]+lower (SURVEY.md §2.1 #3); this
+# is that regex-rewrite stage grown into the real boilerplate
+# stripper.
+#
+# The fixture is plain word soup, so each doc first renders into a
+# deterministic HTML page (title/head/style/script blocks, heading,
+# paragraph with entities, per-source attribution list) — mirrored
+# in the oracle, so extraction is non-trivial at every SF and the
+# oracle checks the EXTRACTED text value, not just counts.
+#
+# Scale shape: a fixed chain of per-row Catalyst regexp_replace
+# calls (RE2/Java-compatible subset: no backrefs, no lookaround;
+# the constructed pages are single-line so '.' needs no DOTALL) —
+# scan-fused, zero shuffle except the stable-output orderBy.
+
+HTML_BLOCK_RE = r"<(script|style)>[^<]*</(script|style)>"
+HTML_TAG_RE = r"<[^>]*>"
+
+
+def _html_pages(d: DataFrame) -> DataFrame:
+    """Deterministic HTML rendering of each document: first words
+    become title/heading/body fragments with entity escapes."""
+    ws = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+", -1), lambda w: w != ""
+    )
+    w = lambda i: F.element_at(ws, i)  # noqa: E731
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        w(1),
+        F.lit(" "),
+        w(2),
+        F.lit("</title><style>body{margin:0}</style>"),
+        F.lit("<script>var t=1;</script></head><body><h1>"),
+        w(3),
+        F.lit("</h1><p>"),
+        F.array_join(F.slice(ws, 4, 12), " "),
+        F.lit(" &amp; "),
+        w(16),
+        F.lit(" &lt;"),
+        w(17),
+        F.lit("&gt;</p><ul><li>source "),
+        F.col("source"),
+        F.lit("</li><li>lang "),
+        F.col("lang"),
+        F.lit("</li></ul><footer>&quot;"),
+        w(18),
+        F.lit("&quot;</footer></body></html>"),
+    )
+    return d.where(F.size(ws) >= 18).select("doc_id", html.alias("html"))
+
+
+def html_extract_from(pages: DataFrame) -> DataFrame:
+    """Extract visible text from a (doc_id, html) relation."""
+    no_blocks = F.regexp_replace("html", HTML_BLOCK_RE, " ")
+    no_tags = F.regexp_replace(no_blocks, HTML_TAG_RE, " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(no_tags, F.lit("&lt;"), F.lit("<")),
+                F.lit("&gt;"),
+                F.lit(">"),
+            ),
+            F.lit("&quot;"),
+            F.lit('"'),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return (
+        pages.select(
+            "doc_id",
+            F.regexp_count(F.col("html"), F.lit(HTML_TAG_RE))
+            .cast("long")
+            .alias("n_tags"),
+            F.length("html").cast("long").alias("raw_len"),
+            clean.alias("extracted"),
+        )
+        .withColumn("text_len", F.length("extracted").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: render deterministic pages, then extract."""
+    return html_extract_from(_html_pages(load_table(spark, sf_dir, "documents")))
+
+
+_HTML_PAGE_SQL = """
+  '<html><head><title>' || ws[1] || ' ' || ws[2]
+  || '</title><style>body{margin:0}</style>'
+  || '<script>var t=1;</script></head><body><h1>' || ws[3]
+  || '</h1><p>' || array_to_string(ws[4:15], ' ')
+  || ' &amp; ' || ws[16] || ' &lt;' || ws[17] || '&gt;</p><ul><li>source '
+  || source || '</li><li>lang ' || lang || '</li></ul><footer>&quot;'
+  || ws[18] || '&quot;</footer></body></html>'
+"""
+
+TEXT_HTML_EXTRACT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, ({_HTML_PAGE_SQL}) AS html
+  FROM toks WHERE len(ws) >= 18
+),
+ex AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(html, '{HTML_TAG_RE}')) AS BIGINT)
+           AS n_tags,
+         CAST(length(html) AS BIGINT) AS raw_len,
+         trim(regexp_replace(
+           replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(html, '{HTML_BLOCK_RE}', ' ', 'g'),
+               '{HTML_TAG_RE}', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS extracted
+  FROM pages
+)
+SELECT doc_id, n_tags, raw_len, extracted,
+       CAST(length(extracted) AS BIGINT) AS text_len
+FROM ex
+ORDER BY doc_id
+"""
+
+register("text_html_extract", text_html_extract, TEXT_HTML_EXTRACT_ORACLE)

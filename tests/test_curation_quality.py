@@ -343,3 +343,37 @@ def test_phash_hamming_pairs_match_bruteforce(spark):
         for r in multimodal_phash_hamming_pairs(spark, SF_CORRECT).collect()
     }
     assert got == expect and len(got) > 0
+
+
+# --------------------------------------------------------------------- html
+
+
+def test_html_extract_drops_markup_and_blocks(spark):
+    rows = ta.text_html_extract(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        # script/style CONTENT gone, not just the tags
+        assert "var t=1" not in r.extracted
+        assert "margin:0" not in r.extracted
+        assert "<html" not in r.extracted and "</p>" not in r.extracted
+        # decoded entities survive as literals
+        assert " & " in r.extracted and '"' in r.extracted
+        assert "<" in r.extracted and ">" in r.extracted  # from &lt;w&gt;
+        assert r.text_len == len(r.extracted) < r.raw_len
+        assert r.n_tags >= 15
+
+
+def test_html_extract_planted_page(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "<html><head><style>x{}</style><script>evil()</script>"
+                "</head><body><p>keep &amp; hold</p></body></html>",
+            )
+        ],
+        "doc_id bigint, html string",
+    )
+    r = ta.html_extract_from(pages).collect()[0]
+    assert r.extracted == "keep & hold"
+    assert "evil" not in r.extracted
