@@ -46,6 +46,11 @@ from db_mapreduce_project_spark.operators.lm import (
     kn3_worst_from,
     kn_worst_from,
 )
+from db_mapreduce_project_spark.operators.curation import (
+    _doc_segments,
+    dsir_importance_weights_from,
+    line_dedup_from,
+)
 from db_mapreduce_project_spark.operators.sketches import (
     bloom_from,
     kmv_from,
@@ -70,6 +75,13 @@ FAMILIES = {
     "kn3_heldout": kn3_worst_from,
     "sketch_kmv": kmv_from,
     "sketch_bloom": bloom_from,
+    # round-7 late additions: C4 span dedup (the key-shifted copies
+    # make EVERY span a corpus-wide duplicate — the worst-case hot
+    # span geometry; the global footer key alone folds docs-many
+    # occurrences through one combiner cell) and DSIR scoring (the
+    # bucket-weight table stays <= 4096 rows at every rung)
+    "line_dedup": lambda docs: line_dedup_from(_doc_segments(docs)),
+    "dsir_weights": dsir_importance_weights_from,
 }
 
 
