@@ -1349,52 +1349,61 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights_from(load_table(spark, sf_dir, "documents"))
 
 
-CURATE_DSIR_ORACLE = f"""
-WITH toks AS (
+def dsir_cte_sql(src: str) -> str:
+    """DuckDB CTE fragment mirroring
+    :func:`dsir_importance_weights_from` over `src(doc_id, text,
+    lang)`; ends in `dsir_doc(doc_id, n_bigrams, sq)`.  Shared by
+    the standalone oracle and the composed c4 pipeline oracle."""
+    return f"""dsir_toks AS (
   SELECT doc_id, lang,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      w -> w <> '') AS ws
-  FROM documents
+  FROM {src}
 ),
-bg AS (
+dsir_bg AS (
   SELECT doc_id, lang,
          unnest(list_transform(range(1, len(ws)),
                                i -> ws[i] || ' ' || ws[i + 1])) AS bigram
-  FROM toks WHERE len(ws) >= 2
+  FROM dsir_toks WHERE len(ws) >= 2
 ),
-bk AS (
+dsir_bk AS (
   SELECT doc_id, lang,
          {duck_charhash('bigram')} % {DSIR_BUCKETS} AS bucket
-  FROM bg
+  FROM dsir_bg
 ),
-cs AS (SELECT bucket, count(*) AS c_s FROM bk GROUP BY bucket),
-ct AS (
-  SELECT bucket, count(*) AS c_t FROM bk
+dsir_cs AS (SELECT bucket, count(*) AS c_s FROM dsir_bk GROUP BY bucket),
+dsir_ct AS (
+  SELECT bucket, count(*) AS c_t FROM dsir_bk
   WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
 ),
-tot AS (
+dsir_tot AS (
   SELECT count(*) AS n_s,
          count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS n_t
-  FROM bk
+  FROM dsir_bk
 ),
-w AS (
+dsir_w AS (
   SELECT cs.bucket,
          CAST(floor(
            (ln((coalesce(ct.c_t, 0) + 1.0) / (tot.n_t + {DSIR_BUCKETS}.0))
             - ln((cs.c_s + 1.0) / (tot.n_s + {DSIR_BUCKETS}.0)))
            * {DSIR_SCALE}.0 + 0.5) AS BIGINT) AS qw
-  FROM cs LEFT JOIN ct ON ct.bucket = cs.bucket CROSS JOIN tot
+  FROM dsir_cs cs LEFT JOIN dsir_ct ct ON ct.bucket = cs.bucket
+  CROSS JOIN dsir_tot tot
 ),
-doc AS (
+dsir_doc AS (
   SELECT b.doc_id, count(*) AS n_bigrams, CAST(sum(w.qw) AS BIGINT) AS sq
-  FROM bk b JOIN w ON w.bucket = b.bucket
+  FROM dsir_bk b JOIN dsir_w w ON w.bucket = b.bucket
   GROUP BY b.doc_id
-)
+)"""
+
+
+CURATE_DSIR_ORACLE = f"""
+WITH {dsir_cte_sql('documents')}
 SELECT doc_id,
        CAST(n_bigrams AS BIGINT) AS n_bigrams,
        CAST(sq AS DOUBLE) / {DSIR_SCALE} AS dsir_weight,
        sq > 0 AS keep
-FROM doc
+FROM dsir_doc
 ORDER BY doc_id
 """
 
@@ -1494,14 +1503,17 @@ def curate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CURATE_LINE_DEDUP_ORACLE = f"""
-WITH toks AS (
+def line_dedup_cte_sql(src: str) -> str:
+    """DuckDB CTE fragment mirroring the constructed-span line
+    dedup over `src(doc_id, text, source)`; ends in
+    `ld_marked(doc_id, idx, seg, kept)`."""
+    return f"""ld_toks AS (
   SELECT doc_id, source,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      w -> w <> '') AS ws
-  FROM documents
+  FROM {src}
 ),
-segs AS (
+ld_segs AS (
   SELECT doc_id,
          list_concat(
            list_transform(
@@ -1511,35 +1523,133 @@ segs AS (
                     ' ')),
            ['{LINE_FOOTER_GLOBAL}', 'brought to you by ' || source]
          ) AS sl
-  FROM toks
+  FROM ld_toks
 ),
-occ0 AS (
+ld_occ0 AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(sl) + 1),
            i -> struct_pack(idx := i - 1, seg := sl[i]))) AS o
-  FROM segs
+  FROM ld_segs
 ),
-occ AS (
+ld_occ AS (
   SELECT doc_id, o.idx AS idx, o.seg AS seg,
          doc_id * {LINE_ORD_BASE} + o.idx AS ord
-  FROM occ0
+  FROM ld_occ0
 ),
-keymin AS (
-  SELECT seg, count(*) AS cnt, min(ord) AS min_ord FROM occ GROUP BY seg
+ld_keymin AS (
+  SELECT seg, count(*) AS cnt, min(ord) AS min_ord
+  FROM ld_occ GROUP BY seg
 ),
-marked AS (
+ld_marked AS (
   SELECT o.doc_id, o.idx, o.seg,
          (k.cnt = 1 OR o.ord = k.min_ord) AS kept
-  FROM occ o JOIN keymin k ON k.seg = o.seg
-)
+  FROM ld_occ o JOIN ld_keymin k ON k.seg = o.seg
+)"""
+
+
+LINE_DEDUP_FINAL_SQL = """
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_segs,
        CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
        coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY idx),
                 '') AS new_text
-FROM marked
+FROM ld_marked
 GROUP BY doc_id
+"""
+
+CURATE_LINE_DEDUP_ORACLE = f"""
+WITH {line_dedup_cte_sql('documents')}
+{LINE_DEDUP_FINAL_SQL}
 ORDER BY doc_id
 """
 
 register("curate_line_dedup", curate_line_dedup, CURATE_LINE_DEDUP_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# The composed C4-style curation pipeline — the whole round-7
+# LLM-data chain fused into ONE job under ONE oracle: Gopher
+# quality gates (numeric battery, stopword rule dropped per the
+# CCNet/RefinedWeb multilingual convention) AND the duplicate-line
+# repetition gate select survivors; survivors' spans dedup
+# corpus-globally (keep-first) and each doc is REWRITTEN; the
+# rewritten corpus is DSIR-scored against its own English slice to
+# produce the final selection flag.  Every stage is the SAME code
+# as its standalone query (gopher_rules_from / rep_lines_from /
+# line_dedup_from / dsir_importance_weights_from, and the oracle
+# composes the SAME CTE fragments), so pipeline and parts cannot
+# drift — the pipeline_end_to_end discipline applied to the
+# training-data path.
+#
+# Scale shape: the union of its stages' shapes — scan-fused gates,
+# two combinable span aggregates + one doc regroup, broadcast
+# bucket weights + one doc sum.  Docs failing a gate or (by DSIR
+# contract) holding < 2 tokens after rewrite drop out.
+
+def c4_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import gopher_rules_from, rep_lines_from
+
+    d = load_table(spark, sf_dir, "documents")
+    g = gopher_rules_from(d, require_stops=False).where("keep").select(
+        "doc_id"
+    )
+    r = rep_lines_from(d).where("keep").select("doc_id")
+    survivors = d.join(g, "doc_id").join(r, "doc_id")
+    rewritten = line_dedup_from(_doc_segments(survivors))
+    redocs = rewritten.join(survivors.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", F.col("new_text").alias("text"), "lang"
+    )
+    w = dsir_importance_weights_from(redocs)
+    return (
+        rewritten.join(w, "doc_id")
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_removed",
+            "n_bigrams",
+            "dsir_weight",
+            F.col("keep").alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+C4_PIPELINE_ORACLE = f"""
+WITH {{gopher_ctes}},
+{{rep_ctes}},
+survivors AS (
+  SELECT d.doc_id, d.text, d.lang, d.source
+  FROM documents d
+  JOIN gq ON gq.doc_id = d.doc_id AND gq.keep
+  JOIN rq ON rq.doc_id = d.doc_id AND rq.keep
+),
+{{line_ctes}},
+rewritten AS ({LINE_DEDUP_FINAL_SQL}),
+redocs AS (
+  SELECT r.doc_id, r.new_text AS text, s.lang
+  FROM rewritten r JOIN survivors s ON s.doc_id = r.doc_id
+),
+{{dsir_ctes}}
+SELECT r.doc_id, r.n_segs, r.n_removed,
+       CAST(dd.n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(dd.sq AS DOUBLE) / {DSIR_SCALE} AS dsir_weight,
+       dd.sq > 0 AS selected
+FROM rewritten r JOIN dsir_doc dd ON dd.doc_id = r.doc_id
+ORDER BY r.doc_id
+"""
+
+
+def _c4_pipeline_oracle_sql() -> str:
+    from .text_analysis import gopher_cte_sql, rep_cte_sql
+
+    return C4_PIPELINE_ORACLE.format(
+        gopher_ctes=gopher_cte_sql("documents", require_stops=False),
+        rep_ctes=rep_cte_sql("documents"),
+        line_ctes=line_dedup_cte_sql("survivors"),
+        dsir_ctes=dsir_cte_sql("redocs"),
+    )
+
+
+register(
+    "c4_pipeline_end_to_end", c4_pipeline_end_to_end, _c4_pipeline_oracle_sql()
+)

@@ -409,15 +409,19 @@ GOPHER_MIN_REQ_STOPS = 2
 _REQ_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_REQ_STOPS) + "]"
 
 
-def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Gopher rule metrics + composite keep flag.
+def gopher_rules_from(d: DataFrame, require_stops: bool = True) -> DataFrame:
+    """Per-document Gopher rule metrics + composite keep flag over a
+    (doc_id, text) relation.
 
     Every metric is an integer count or a ratio of integer counts
     (double division of exact ints — deterministic cross-engine);
     words are whitespace tokens, lines are LF-split segments, and
     the symbol alphabet is {'#', '...', '…'} per the paper.
+    `require_stops=False` drops the English-stopword rule — the
+    CCNet/RefinedWeb convention for multilingual corpora (the
+    composed c4 pipeline uses it; the registered battery keeps the
+    full Gopher rule set).
     """
-    d = load_table(spark, sf_dir, "documents")
     words = F.filter(
         F.split(F.trim("text"), r"\s+", -1), lambda w: w != ""
     )
@@ -479,22 +483,38 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("bullet_frac") < GOPHER_MAX_BULLET_FRAC)
         & (F.col("ellipsis_frac") < GOPHER_MAX_ELLIPSIS_FRAC)
         & (F.col("alpha_frac") > GOPHER_MIN_ALPHA_FRAC)
-        & (F.col("n_req_stops") >= GOPHER_MIN_REQ_STOPS)
     )
+    if require_stops:
+        keep = keep & (F.col("n_req_stops") >= GOPHER_MIN_REQ_STOPS)
     return base.withColumn("keep", keep).orderBy("doc_id")
 
 
-QUALITY_GOPHER_RULES_ORACLE = f"""
-WITH base AS (
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`gopher_rules_from` (full rule set)
+    over the documents fixture."""
+    return gopher_rules_from(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_cte_sql(src: str, require_stops: bool = True) -> str:
+    """DuckDB CTE fragment mirroring :func:`gopher_rules_from` over
+    `src(doc_id, text)`; ends in `gq(doc_id, ..., keep)`.  Shared by
+    the standalone oracle and the composed c4 pipeline oracle so the
+    two cannot drift."""
+    stops_clause = (
+        f"\n        AND n_req_stops >= {GOPHER_MIN_REQ_STOPS}"
+        if require_stops
+        else ""
+    )
+    return f"""gq_base AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\\s+'),
                      w -> w <> '') AS words,
          string_split(text, chr(10)) AS lines,
          length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
          len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols
-  FROM documents
+  FROM {src}
 ),
-m AS (
+gq_m AS (
   SELECT doc_id,
          CAST(len(words) AS BIGINT) AS n_words,
          CAST(len(lines) AS BIGINT) AS n_lines,
@@ -512,9 +532,9 @@ m AS (
          CAST(len(list_intersect(
               list_distinct(list_transform(words, w -> lower(w))),
               {_REQ_STOPS_SQL})) AS BIGINT) AS n_req_stops
-  FROM base
+  FROM gq_base
 ),
-r AS (
+gq_r AS (
   SELECT doc_id, n_words,
          CASE WHEN n_words = 0 THEN 0.0
               ELSE CAST(n_nonspace AS DOUBLE) / n_words END AS mean_word_len,
@@ -525,18 +545,24 @@ r AS (
          CASE WHEN n_words = 0 THEN 0.0
               ELSE CAST(n_alpha_words AS DOUBLE) / n_words END AS alpha_frac,
          n_req_stops
-  FROM m
-)
-SELECT *,
+  FROM gq_m
+),
+gq AS (
+  SELECT *,
        (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
         AND mean_word_len >= {GOPHER_MIN_MEAN_LEN!r}
         AND mean_word_len <= {GOPHER_MAX_MEAN_LEN!r}
         AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO!r}
         AND bullet_frac < {GOPHER_MAX_BULLET_FRAC!r}
         AND ellipsis_frac < {GOPHER_MAX_ELLIPSIS_FRAC!r}
-        AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC!r}
-        AND n_req_stops >= {GOPHER_MIN_REQ_STOPS}) AS keep
-FROM r
+        AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC!r}{stops_clause}) AS keep
+  FROM gq_r
+)"""
+
+
+QUALITY_GOPHER_RULES_ORACLE = f"""
+WITH {gopher_cte_sql('documents')}
+SELECT * FROM gq
 ORDER BY doc_id
 """
 
@@ -561,8 +587,9 @@ REP_MAX_DUP_LINE_FRAC = 0.30   # Gopher: duplicate line fraction
 REP_MAX_DUP_CHAR_FRAC = 0.20   # Gopher: duplicate line character fraction
 
 
-def quality_rep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def rep_lines_from(d: DataFrame) -> DataFrame:
+    """Duplicate-line metrics + keep flag over a (doc_id, text)
+    relation."""
     lines = F.split("text", "\n", -1)
     dlines = F.array_distinct(lines)
     sum_len = lambda arr: F.aggregate(  # noqa: E731
@@ -593,14 +620,21 @@ def quality_rep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.withColumn("keep", keep).orderBy("doc_id")
 
 
-QUALITY_REP_LINES_ORACLE = f"""
-WITH base AS (
+def quality_rep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`rep_lines_from`."""
+    return rep_lines_from(load_table(spark, sf_dir, "documents"))
+
+
+def rep_cte_sql(src: str) -> str:
+    """DuckDB CTE fragment mirroring :func:`rep_lines_from` over
+    `src(doc_id, text)`; ends in `rq(doc_id, ..., keep)`."""
+    return f"""rq_base AS (
   SELECT doc_id,
          string_split(text, chr(10)) AS lines,
          list_distinct(string_split(text, chr(10))) AS dlines
-  FROM documents
+  FROM {src}
 ),
-m AS (
+rq_m AS (
   SELECT doc_id,
          CAST(len(lines) AS BIGINT) AS n_lines,
          CAST(len(lines) - len(dlines) AS BIGINT) AS n_dup_lines,
@@ -610,20 +644,27 @@ m AS (
          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
               list_transform(dlines, l -> CAST(length(l) AS BIGINT))),
               (a, x) -> a + x) AS BIGINT) AS chars_distinct
-  FROM base
+  FROM rq_base
 ),
-r AS (
+rq_r AS (
   SELECT doc_id, n_lines, n_dup_lines,
          CAST(n_dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
          CASE WHEN chars_all = 0 THEN 0.0
               ELSE CAST(chars_all - chars_distinct AS DOUBLE) / chars_all
          END AS dup_char_frac
-  FROM m
-)
-SELECT *,
+  FROM rq_m
+),
+rq AS (
+  SELECT *,
        (dup_line_frac <= {REP_MAX_DUP_LINE_FRAC!r}
         AND dup_char_frac <= {REP_MAX_DUP_CHAR_FRAC!r}) AS keep
-FROM r
+  FROM rq_r
+)"""
+
+
+QUALITY_REP_LINES_ORACLE = f"""
+WITH {rep_cte_sql('documents')}
+SELECT * FROM rq
 ORDER BY doc_id
 """
 

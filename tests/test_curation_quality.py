@@ -377,3 +377,39 @@ def test_html_extract_planted_page(spark):
     r = ta.html_extract_from(pages).collect()[0]
     assert r.extracted == "keep & hold"
     assert "evil" not in r.extracted
+
+
+# ----------------------------------------------------------------- pipeline
+
+
+def test_c4_pipeline_composes_its_stages(spark):
+    """The fused pipeline must equal its stages run separately —
+    the no-drift contract of sharing the stage functions."""
+    out = {r.doc_id: r for r in cu.c4_pipeline_end_to_end(spark, SF_CORRECT).collect()}
+    assert 0 < len(out) < 500
+    d = load_table(spark, SF_CORRECT, "documents")
+    g = {
+        r.doc_id
+        for r in ta.gopher_rules_from(d, require_stops=False)
+        .where("keep")
+        .collect()
+    }
+    r_ = {r.doc_id for r in ta.rep_lines_from(d).where("keep").collect()}
+    survivors = d.join(
+        spark.createDataFrame([(i,) for i in sorted(g & r_)], "doc_id bigint"),
+        "doc_id",
+    )
+    rewritten = {
+        r.doc_id: r
+        for r in cu.line_dedup_from(cu._doc_segments(survivors)).collect()
+    }
+    # every pipeline row is a gate survivor with matching span stats
+    for doc_id, row in out.items():
+        assert doc_id in g and doc_id in r_
+        assert row.n_segs == rewritten[doc_id].n_segs
+        assert row.n_removed == rewritten[doc_id].n_removed
+        assert row.selected == (row.dsir_weight > 0)
+    # survivors absent from the output lost all bigrams by contract
+    for doc_id, rw in rewritten.items():
+        if doc_id not in out:
+            assert len(rw.new_text.split()) < 2
