@@ -108,6 +108,18 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "sketch_cms_frequency",
     "sketch_bloom_decontaminate",
+    # round-7 late additions
+    "sketch_quantile_hist",
+    "quality_gopher_rules",
+    "quality_rep_lines",
+    "text_redact_pii",
+    "text_hybrid_rrf_topk",
+    "text_html_extract",
+    "curate_dsir_weights",
+    "curate_line_dedup",
+    "multimodal_phash_neardup",
+    "multimodal_phash_hamming_pairs",
+    "c4_pipeline_end_to_end",
 ]
 
 

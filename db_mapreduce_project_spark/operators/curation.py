@@ -1295,38 +1295,36 @@ def dsir_importance_weights_from(d: DataFrame) -> DataFrame:
     """Per-doc DSIR log importance weight of a (doc_id, text, lang)
     relation against its own `lang = DSIR_TARGET_LANG` slice."""
     bk = _bigram_buckets(d)
-    ct = (
-        bk.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("c_t"))
-    )
-    cs = bk.groupBy("bucket").agg(F.count("*").alias("c_s"))
-    tot = bk.agg(
-        F.count("*").alias("n_s"),
+    # ONE corpus aggregation produces both distributions' bucket
+    # counts (conditional sum for the target slice); the corpus
+    # totals then come from summing the <=4096-row bucket table,
+    # not from a second corpus pass — 2 corpus scans total (counts
+    # + scoring join), down from 4 in the naive form.
+    counts = bk.groupBy("bucket").agg(
+        F.count("*").alias("c_s"),
         F.sum(
             F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("n_t"),
+        ).alias("c_t"),
     )
-    weights = (
-        cs.join(ct, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.floor(
-                (
-                    F.log(
-                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
-                        / (F.col("n_t") + F.lit(float(DSIR_BUCKETS)))
-                    )
-                    - F.log(
-                        (F.col("c_s") + 1.0)
-                        / (F.col("n_s") + F.lit(float(DSIR_BUCKETS)))
-                    )
+    tot = counts.agg(
+        F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t")
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log(
+                    (F.col("c_t") + 1.0)
+                    / (F.col("n_t") + F.lit(float(DSIR_BUCKETS)))
                 )
-                * F.lit(float(DSIR_SCALE))
-                + F.lit(0.5)
-            ).alias("qw"),
-        )
+                - F.log(
+                    (F.col("c_s") + 1.0)
+                    / (F.col("n_s") + F.lit(float(DSIR_BUCKETS)))
+                )
+            )
+            * F.lit(float(DSIR_SCALE))
+            + F.lit(0.5)
+        ).alias("qw"),
     )
     scored = (
         bk.join(F.broadcast(weights), "bucket")
@@ -1595,8 +1593,16 @@ def c4_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = rep_lines_from(d).where("keep").select("doc_id")
     survivors = d.join(g, "doc_id").join(r, "doc_id")
-    rewritten = line_dedup_from(_doc_segments(survivors))
-    redocs = rewritten.join(survivors.select("doc_id", "lang"), "doc_id").select(
+    # the rewritten relation is doc-count-sized (one row per
+    # survivor) but its lineage is the whole gate+dedup chain; the
+    # DSIR stage reads it twice (bucket counts, scoring join) and
+    # the final join a third time — localCheckpoint materializes it
+    # once so the corpus scans upstream run once, not three times
+    rewritten = line_dedup_from(_doc_segments(survivors)).localCheckpoint()
+    # lang comes from the bare table scan, not `survivors`, so the
+    # gate subplan is not re-run just to recover a column (rewritten
+    # already restricts to survivor doc_ids)
+    redocs = rewritten.join(d.select("doc_id", "lang"), "doc_id").select(
         "doc_id", F.col("new_text").alias("text"), "lang"
     )
     w = dsir_importance_weights_from(redocs)
