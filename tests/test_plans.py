@@ -279,6 +279,15 @@ _UNKEYED_JOIN_OK = {
     # <= CONTAIN_STRATUM_MAX-row strata table range-joined (stratum >=
     # q_stratum) onto the posting index — broadcast NLJ by construction
     "dedup_containment_ensemble",
+    "text_hybrid_rrf_topk",     # 1-row query-vector + 1-row BM25 stats
+    "curate_dsir_weights",      # 1-row corpus-totals scalar broadcast
+    "sketch_quantile_hist",     # 3-row permille x <=256-row bin probes
+    "ann_ivfadc_topk",          # broadcast NLJ against N_CELLS centroids
+    "ann_ivfadc_rerank",        # same centroid/codebook broadcasts
+    "ann_ivf_filtered",         # same centroid broadcasts
+    "sketch_kmv_distinct",      # 1-row sketch x 1-row exact-count join
+    "unigram_piece_probs",      # 1-row corpus-total + piece-table broadcasts
+    "unigram_segment_words",    # same piece-table broadcasts
 }
 
 # Queries whose construction triggers eager execution (iterative
@@ -301,6 +310,9 @@ _EAGER = {
     # (round-7 ADVICE); the candidate pipeline's plan is asserted
     # lazily in test_ensemble_candidate_plan_shape below
     "dedup_containment_ensemble",
+    # localCheckpoints the doc-count-sized rewrite stage so the
+    # gate+dedup chain runs once per job, not per consumer
+    "c4_pipeline_end_to_end",
 }
 
 
