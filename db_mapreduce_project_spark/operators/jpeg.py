@@ -810,11 +810,22 @@ def multimodal_phash_hamming_pairs(
     """All doc pairs whose decoded-plane pHashes differ in at most
     HAM_MAX of 15 bits, found via the 3-band multi-index."""
     d = load_table(spark, sf_dir, "documents")
-    ph = build_jpeg_payloads(d).mapInPandas(
-        _phash_batches,
-        schema="doc_id bigint, phash_src bigint, phash_dec bigint, "
-        "ham_codec bigint",
-    ).select("doc_id", "phash_dec")
+    # the fingerprint table is doc-count-sized (two bigints/doc) but
+    # its lineage is the full JPEG encode+decode kernel; the band
+    # self-join reads it from BOTH sides, which would run the codec
+    # kernel twice (4 mapInPandas instances in the lazy plan).
+    # localCheckpoint materializes fingerprints ONCE — also the
+    # 100 TB shape: hash the corpus once, then index the hashes.
+    ph = (
+        build_jpeg_payloads(d)
+        .mapInPandas(
+            _phash_batches,
+            schema="doc_id bigint, phash_src bigint, phash_dec bigint, "
+            "ham_codec bigint",
+        )
+        .select("doc_id", "phash_dec")
+        .localCheckpoint()
+    )
     bands = ph.select(
         "doc_id",
         "phash_dec",

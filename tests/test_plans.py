@@ -313,6 +313,9 @@ _EAGER = {
     # localCheckpoints the doc-count-sized rewrite stage so the
     # gate+dedup chain runs once per job, not per consumer
     "c4_pipeline_end_to_end",
+    # localCheckpoints the fingerprint table so the band self-join
+    # does not run the JPEG+pHash kernel once per side
+    "multimodal_phash_hamming_pairs",
 }
 
 
