@@ -120,6 +120,7 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "multimodal_phash_hamming_pairs",
     "c4_pipeline_end_to_end",
+    "ann_mrl_rerank",
 ]
 
 

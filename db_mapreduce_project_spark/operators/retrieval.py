@@ -505,3 +505,162 @@ ORDER BY rk
 """
 
 register("text_hybrid_rrf_topk", text_hybrid_rrf_topk, TEXT_HYBRID_RRF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncated-dimension ANN + exact rerank —
+# Kusupati et al., NeurIPS 2022 "Matryoshka Representation
+# Learning": embeddings trained so any PREFIX of the vector is
+# itself a valid lower-capacity embedding, letting the ENTIRE index
+# (centroids, assignment, probes, candidate scoring) run on the
+# first MRL_DIM of D dims (4x less compute and memory here) while
+# only the final RERANK_C-bounded exact stage ever touches full
+# vectors — the adaptive-retrieval serving shape MRL deployments
+# use, and the dimension-truncation counterpart of the
+# quantization-based ann_ivfadc_rerank.
+#
+# The coarse stage reuses the SHARED IVF machinery verbatim
+# (ivf_centroids / ivf_assign / ivf_probes from similarity.py)
+# applied to the sliced relation, so the index semantics cannot
+# drift from ann_ivf_topk's; the rerank is the same
+# |q| x RERANK_C equi-join shape as the other rerank forms.
+
+MRL_DIM = 16  # prefix dims used by the whole coarse index (of 64)
+
+
+def mrl_rerank_from(
+    e: DataFrame,
+    rerank_c: int = RERANK_C,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    mrl_dim: int = MRL_DIM,
+) -> DataFrame:
+    from .similarity import ivf_assign, ivf_centroids, ivf_probes
+    from ..functions.vectors import l2
+
+    trunc = e.select(
+        "vec_id", F.slice("embedding", 1, mrl_dim).alias("embedding")
+    )
+    t = trunc.select("vec_id", "embedding", l2("embedding").alias("norm"))
+    cents = ivf_centroids(t, n_cells)
+    assigned = ivf_assign(t, cents)
+    probes = ivf_probes(t, cents, n_probe)
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("tcos").desc(), F.col("n_id").asc()
+    )
+    cands = (
+        probes.join(
+            assigned.select(
+                F.col("vec_id").alias("n_id"),
+                F.col("embedding").alias("nv"),
+                F.col("norm").alias("n_norm"),
+                "cell",
+            ),
+            "cell",
+        )
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "tcos",
+            dot("qv", "nv")
+            / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+        )
+        .withColumn("crk", F.row_number().over(wc))
+        .where(F.col("crk") <= rerank_c)
+        .select("q_id", "n_id")
+    )
+    full_q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("fq")
+    )
+    full_n = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("fn")
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        cands.join(full_q, "q_id")
+        .join(full_n, "n_id")
+        .withColumn("cos", cosine("fq", "fn"))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= TOPK)
+        .select("q_id", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def ann_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over the embeddings fixture."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return mrl_rerank_from(e)
+
+
+def _mrl_oracle_sql() -> str:
+    from ..functions.vectors import duck_dot, duck_l2
+
+    tr = f"embedding[1:{MRL_DIM}]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, {tr} AS tv, embedding,
+         {duck_l2(tr)} AS tnorm FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, tv AS cv, tnorm AS c_norm
+  FROM e ORDER BY vec_id LIMIT {N_CELLS}
+),
+best AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             ({duck_dot('e.tv', 'c.cv')}
+              / nullif(e.tnorm * c.c_norm, 0.0)) DESC, c.cell ASC) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+),
+assigned AS (
+  SELECT e.vec_id, e.tv, e.tnorm, b.cell
+  FROM e JOIN best b USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS q_id, tv AS qv, tnorm AS q_norm
+  FROM e WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT q_id, qv, q_norm, cell FROM (
+    SELECT q.q_id, q.qv, q.q_norm, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             ({duck_dot('q.qv', 'c.cv')}
+              / nullif(q.q_norm * c.c_norm, 0.0)) DESC, c.cell ASC) AS prk
+    FROM q CROSS JOIN cents c
+  ) t WHERE prk <= {N_PROBE}
+),
+cands AS (
+  SELECT q_id, n_id FROM (
+    SELECT p.q_id, a.vec_id AS n_id,
+           row_number() OVER (PARTITION BY p.q_id ORDER BY
+             ({duck_dot('p.qv', 'a.tv')}
+              / nullif(p.q_norm * a.tnorm, 0.0)) DESC, a.vec_id ASC) AS crk
+    FROM probes p JOIN assigned a USING (cell)
+    WHERE p.q_id <> a.vec_id
+  ) t WHERE crk <= {RERANK_C}
+),
+rerank AS (
+  SELECT c.q_id, c.n_id,
+         {duck_cosine('qe.embedding', 'ne.embedding')} AS cos
+  FROM cands c
+  JOIN embeddings qe ON qe.vec_id = c.q_id
+  JOIN embeddings ne ON ne.vec_id = c.n_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM rerank
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_MRL_RERANK_ORACLE = _mrl_oracle_sql()
+
+register("ann_mrl_rerank", ann_mrl_rerank, ANN_MRL_RERANK_ORACLE)

@@ -51,8 +51,10 @@ from pyspark.sql import functions as F
 
 from db_mapreduce_project_spark.io import load_table
 from db_mapreduce_project_spark.operators.retrieval import (
+    MRL_DIM,
     RERANK_C,
     ivfadc_rerank_from,
+    mrl_rerank_from,
     two_stage_rerank_from,
 )
 from db_mapreduce_project_spark.operators.similarity import (
@@ -247,6 +249,17 @@ def main() -> None:
             {"planes": N_PLANES, "rerank_c": RERANK_C},
             measure(two_stage_rerank_from(e), exact),
         )
+        record(
+            sf,
+            "mrl_rerank",
+            {
+                "dims": MRL_DIM,
+                "cells": N_CELLS,
+                "probe": N_PROBE,
+                "rerank_c": RERANK_C,
+            },
+            measure(mrl_rerank_from(e), exact),
+        )
         # filtered ANN: ground truth is the SAME-LABEL exact top-k
         # (the filtered query answers a different question than the
         # unfiltered paths, so it gets its own truth set)
@@ -367,6 +380,17 @@ def main() -> None:
         "ivfadc_rerank",
         {"cells": N_CELLS, "probe": N_PROBE, "rerank_c": RERANK_C},
         measure(ivfadc_rerank_from(rung), exact),
+    )
+    record(
+        corpus,
+        "mrl_rerank",
+        {
+            "dims": MRL_DIM,
+            "cells": N_CELLS,
+            "probe": N_PROBE,
+            "rerank_c": RERANK_C,
+        },
+        measure(mrl_rerank_from(rung), exact),
     )
     record(
         corpus,

@@ -26,6 +26,7 @@ Two fixtures, two stories:
 from db_mapreduce_project_spark.io import load_table
 from db_mapreduce_project_spark.operators.retrieval import (
     ivfadc_rerank_from,
+    mrl_rerank_from,
     two_stage_rerank_from,
 )
 from db_mapreduce_project_spark.operators.similarity import (
@@ -66,11 +67,15 @@ def test_ann_recall_floors_fixture(spark):
         "ivf": measure(ivf_topk_from(e), exact),
         "sq8": measure(sq8_adc_from(e), exact),
         "two_stage": measure(two_stage_rerank_from(e), exact),
+        "mrl": measure(mrl_rerank_from(e), exact),
     }
     e.unpersist()
     assert got["lsh"]["recall"] >= 0.10, got
     assert got["ivf"]["recall"] >= 0.32, got
     assert got["sq8"]["recall"] >= 0.10, got
+    # truncated coarse index loses candidate quality on uniform
+    # data (measured 0.26 vs IVF's 0.36 at full dims)
+    assert got["mrl"]["recall"] >= 0.22, got
     # the exact rerank can only fix ranking INSIDE the candidate
     # set, never lose ground to the quantized scorer
     assert got["two_stage"]["recall"] >= got["sq8"]["recall"] - 1e-9, got
@@ -93,6 +98,7 @@ def test_ann_recall_floors_clustered(spark):
         "ivfadc": measure(ivfadc_topk_from(e), exact),
         "ivfadc_rerank": measure(ivfadc_rerank_from(e), exact),
         "two_stage": measure(two_stage_rerank_from(e), exact),
+        "mrl": measure(mrl_rerank_from(e), exact),
     }
     e.unpersist()
     assert got["lsh"]["recall"] >= 0.78, got
@@ -105,6 +111,10 @@ def test_ann_recall_floors_clustered(spark):
     # clone families (measured 1.0, worst-query 1.0)
     assert got["ivfadc_rerank"]["recall"] >= 0.95, got
     assert got["two_stage"]["recall"] >= 0.78, got
+    # the quarter-dimension coarse index routes clone families
+    # perfectly and the exact rerank finishes the job (measured
+    # 1.0, worst-query 1.0 here AND at the 20k rung)
+    assert got["mrl"]["recall"] >= 0.95, got
 
 
 def test_pq_index_shape(spark):
