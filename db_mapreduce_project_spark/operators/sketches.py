@@ -504,16 +504,32 @@ QH_PERMILLE = (500, 900, 990)  # p50 / p90 / p99
 QH_MICRO = 1_000_000
 
 
-def quantile_hist_from(vals: DataFrame) -> DataFrame:
-    """Histogram-quantile estimates of a single-column (`v` double)
-    relation.  Returns (permille, target_rank, bin_idx, est) rows."""
-    binned = vals.select(
-        F.least(
-            F.floor(F.col("v") / QH_WIDTH).cast("long"),
-            F.lit(QH_BINS - 1),
-        ).alias("bin")
+def hist_from_values(
+    vals: DataFrame, width: float = QH_WIDTH, bins: int = QH_BINS
+) -> DataFrame:
+    """(bin, cnt) fixed-grid histogram of a (`v` double) relation —
+    the MERGEABLE state: histograms from shards/batches combine by
+    summing cnt per bin (the streaming sink exploits exactly this)."""
+    return (
+        vals.select(
+            F.least(
+                F.floor(F.col("v") / width).cast("long"),
+                F.lit(bins - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
     )
-    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+
+
+def quantile_probe_from_hist(
+    hist: DataFrame, width_micro: int
+) -> DataFrame:
+    """Quantile probes over a (bin, cnt) histogram relation.
+    `width_micro` = bin width in exact micro-units, so the
+    interpolation stays in bigint arithmetic for any (possibly
+    fractional) grid width.  Returns (permille, target_rank,
+    bin_idx, est) rows."""
     wcum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -527,7 +543,7 @@ def quantile_hist_from(vals: DataFrame) -> DataFrame:
             )
         ).alias("n"),
     )
-    qs = vals.sparkSession.createDataFrame(
+    qs = hist.sparkSession.createDataFrame(
         [(p,) for p in QH_PERMILLE], "permille int"
     )
     target = F.expr(f"(permille * n + 999) div 1000")
@@ -539,8 +555,8 @@ def quantile_hist_from(vals: DataFrame) -> DataFrame:
             & (F.col("cum") - F.col("cnt") < F.col("target_rank"))
         )
     )
-    est_micro = F.col("bin") * QH_WIDTH * QH_MICRO + F.expr(
-        f"({QH_WIDTH} * (target_rank - (cum - cnt)) * {QH_MICRO}) div cnt"
+    est_micro = F.col("bin") * F.lit(width_micro) + F.expr(
+        f"({width_micro} * (target_rank - (cum - cnt))) div cnt"
     )
     return (
         probe.select(
@@ -550,6 +566,16 @@ def quantile_hist_from(vals: DataFrame) -> DataFrame:
             (est_micro.cast("double") / QH_MICRO).alias("est"),
         )
         .orderBy("permille")
+    )
+
+
+def quantile_hist_from(
+    vals: DataFrame, width: int = QH_WIDTH, bins: int = QH_BINS
+) -> DataFrame:
+    """Histogram-quantile estimates of a single-column (`v` double)
+    relation.  Returns (permille, target_rank, bin_idx, est) rows."""
+    return quantile_probe_from_hist(
+        hist_from_values(vals, width, bins), width * QH_MICRO
     )
 
 

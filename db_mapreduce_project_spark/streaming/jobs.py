@@ -1021,3 +1021,152 @@ register(
     stream_sink_left_outer_join,
     STREAM_SINK_LEFT_OUTER_JOIN_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-SINK query #6: the mergeable histogram-quantile sketch
+# under streaming ingest — the reason sketch_quantile_hist chose an
+# order-free estimator gets PROVEN end-to-end here: each micro-batch
+# writes its fixed-grid bin counts into a batch-owned subdirectory
+# (idempotent under replay, the hourly_counts discipline) and the
+# read side merges by summing bin counts, so the final quantile
+# estimates are IDENTICAL to the batch estimate for every possible
+# micro-batch partitioning of the input — the property
+# order-dependent sketches (t-digest, GK) structurally cannot give
+# a streaming sink.
+
+QH_MICRO = 1_000_000           # micro-unit scale (= sketches.QH_MICRO)
+EV_QH_WIDTH_MICRO = 2_000_000  # 2.0-unit bins over events.value
+EV_QH_BINS = 256               # domain [0, 512) covers value 0.01-490
+
+
+def hist_partials_emitter(out_dir: str):
+    """foreachBatch emitter: per-batch fixed-grid bin counts of
+    events.value, written idempotently into b<batch_id>/."""
+    import os as _os
+
+    def emit_batch(batch_df, batch_id: int) -> None:
+        part = (
+            batch_df.select(
+                F.least(
+                    F.floor(
+                        F.col("value") * F.lit(QH_MICRO)
+                        / F.lit(EV_QH_WIDTH_MICRO)
+                    ).cast("long"),
+                    F.lit(EV_QH_BINS - 1),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("_batch", F.lit(batch_id))
+        )
+        part.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    return emit_batch
+
+
+def stream_append_hist(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    source_dir: str | None = None,
+):
+    ev = _stream_events(spark, sf_dir, source_dir)
+    return (
+        ev.writeStream.foreachBatch(hist_partials_emitter(out_dir))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+
+
+def read_hist_quantiles(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read: sum bin counts across batch-owned partials,
+    then run the SAME probe stage as the batch sketch."""
+    from ..operators.sketches import quantile_probe_from_hist
+
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return quantile_probe_from_hist(merged, EV_QH_WIDTH_MICRO)
+
+
+def stream_sink_quantile_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-visible streaming-SINK query #6 (see module note
+    above): file-stream the events fixture through the additive
+    histogram sink, then return the merged quantile estimates —
+    batch-boundary-invariant by bin-count associativity."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_qh_q_")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    q = stream_append_hist(spark, sf_dir, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        raise TimeoutError(
+            "stream_sink_quantile_hist: stream did not terminate "
+            "within 300 s"
+        )
+    result = (
+        read_hist_quantiles(spark, out)
+        .orderBy("permille")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def _qh_sink_oracle_sql() -> str:
+    from ..operators.sketches import QH_PERMILLE
+
+    permille_rows = ", ".join(f"({p})" for p in QH_PERMILLE)
+    w = EV_QH_WIDTH_MICRO
+    return f"""
+WITH vals AS (SELECT value AS v FROM events),
+hist AS (
+  SELECT least(CAST(floor(v * {QH_MICRO} / {w}) AS BIGINT),
+               {EV_QH_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM hist
+),
+qs AS (SELECT * FROM (VALUES {permille_rows}) AS t(permille)),
+probe AS (
+  SELECT q.permille, c.bin, c.cnt, c.cum,
+         (q.permille * c.n + 999) // 1000 AS target_rank
+  FROM cum c CROSS JOIN qs q
+  WHERE c.cum >= (q.permille * c.n + 999) // 1000
+    AND c.cum - c.cnt < (q.permille * c.n + 999) // 1000
+)
+SELECT CAST(permille AS INTEGER) AS permille,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(bin AS BIGINT) AS bin_idx,
+       CAST(bin * {w} + ({w} * (target_rank - (cum - cnt))) // cnt
+            AS DOUBLE) / {QH_MICRO} AS est
+FROM probe
+ORDER BY permille
+"""
+
+
+register(
+    "stream_sink_quantile_hist",
+    stream_sink_quantile_hist,
+    _qh_sink_oracle_sql(),
+)

@@ -746,3 +746,54 @@ def test_left_outer_join_eviction_boundary(spark, tmp_path):
     assert set(got) == {4, 11}, got
     assert got[11].n_clicks == 1
     assert got[4].n_clicks == 0
+
+
+def test_quantile_hist_sink_batch_boundary_invariant(spark, sf_dir, tmp_path):
+    """The histogram sink's defining property: quantile estimates
+    from MERGED per-batch bin counts equal the single-pass batch
+    estimate for any micro-batch partitioning — 4 files -> 4
+    batches here, vs the whole fixture in one pass."""
+    import glob
+
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.operators.sketches import (
+        quantile_probe_from_hist,
+    )
+    from db_mapreduce_project_spark.streaming.jobs import (
+        EV_QH_BINS,
+        EV_QH_WIDTH_MICRO,
+        QH_MICRO,
+        read_hist_quantiles,
+        stream_append_hist,
+    )
+    from pyspark.sql import functions as F
+
+    src = _staged_multibatch_events(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "qh_out")
+    ckpt = str(tmp_path / "qh_ckpt")
+    q = stream_append_hist(spark, sf_dir, out, ckpt, source_dir=src)
+    assert q.awaitTermination(120)
+    # the stream really ran multiple batches
+    assert len(glob.glob(out + "/b*")) >= 4
+    got = _rows(
+        read_hist_quantiles(spark, out),
+        ["permille", "target_rank", "bin_idx", "est"],
+    )
+    batch_hist = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.least(
+                F.floor(F.col("value") * QH_MICRO / EV_QH_WIDTH_MICRO).cast(
+                    "long"
+                ),
+                F.lit(EV_QH_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    want = _rows(
+        quantile_probe_from_hist(batch_hist, EV_QH_WIDTH_MICRO),
+        ["permille", "target_rank", "bin_idx", "est"],
+    )
+    assert got == want and len(got) == 3
