@@ -797,3 +797,46 @@ def test_quantile_hist_sink_batch_boundary_invariant(spark, sf_dir, tmp_path):
         ["permille", "target_rank", "bin_idx", "est"],
     )
     assert got == want and len(got) == 3
+
+
+def test_quantile_hist_sink_exactly_once_across_crash_restart(
+    spark, sf_dir, tmp_path
+):
+    """Crash after batch 1's bin-count write lands but before its
+    offset commits, restart from the same checkpoint: the replayed
+    batch OVERWRITES its own subdirectory, so merged counts (and
+    therefore the quantile estimates) equal the no-crash run — an
+    append-mode additive sink double-counts exactly here."""
+    import pytest
+
+    from db_mapreduce_project_spark.streaming.jobs import (
+        hist_partials_emitter,
+        read_hist_quantiles,
+        stream_append_hist,
+    )
+
+    src = _staged_multibatch_events(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "qhc_out")
+    ckpt = str(tmp_path / "qhc_ckpt")
+    q = _run_with_crash(
+        spark, src, hist_partials_emitter(out), ckpt,
+        str(tmp_path / "qhc_crashed"),
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    q2 = stream_append_hist(spark, sf_dir, out, ckpt, source_dir=src)
+    assert q2.awaitTermination(120)
+    got = _rows(
+        read_hist_quantiles(spark, out),
+        ["permille", "target_rank", "bin_idx", "est"],
+    )
+    # clean reference run, same source, fresh sink+checkpoint
+    out2 = str(tmp_path / "qhc_out2")
+    ckpt2 = str(tmp_path / "qhc_ckpt2")
+    q3 = stream_append_hist(spark, sf_dir, out2, ckpt2, source_dir=src)
+    assert q3.awaitTermination(120)
+    want = _rows(
+        read_hist_quantiles(spark, out2),
+        ["permille", "target_rank", "bin_idx", "est"],
+    )
+    assert got == want and len(got) == 3
