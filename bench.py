@@ -121,6 +121,7 @@ HEADLINE = [
     "multimodal_phash_hamming_pairs",
     "c4_pipeline_end_to_end",
     "ann_mrl_rerank",
+    "stream_sink_quantile_hist",
 ]
 
 

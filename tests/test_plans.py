@@ -285,6 +285,7 @@ _UNKEYED_JOIN_OK = {
     "ann_ivfadc_topk",          # broadcast NLJ against N_CELLS centroids
     "ann_ivfadc_rerank",        # same centroid/codebook broadcasts
     "ann_ivf_filtered",         # same centroid broadcasts
+    "ann_mrl_rerank",           # same centroid broadcasts (truncated dims)
     "sketch_kmv_distinct",      # 1-row sketch x 1-row exact-count join
     "unigram_piece_probs",      # 1-row corpus-total + piece-table broadcasts
     "unigram_segment_words",    # same piece-table broadcasts
