@@ -1169,21 +1169,24 @@ def redact_pii_from(notes: DataFrame) -> DataFrame:
     email first so the phone pattern can never split an address's
     digit runs."""
     n_email = F.regexp_count(F.col("note"), F.lit(PII_EMAIL_RE)).cast("long")
-    redacted = F.regexp_replace(
-        F.regexp_replace("note", PII_EMAIL_RE, "[EMAIL]"),
-        PII_PHONE_RE,
-        "[PHONE]",
+    # Materialize the email-redacted intermediate ONCE (a withColumn
+    # stage, mirroring the oracle's pass1 CTE): Catalyst does not
+    # reliably CSE regexp_replace across projection expressions, so
+    # deriving both `redacted` and `n_phones` from inline copies
+    # would run the email regex twice per row.
+    pass1 = notes.withColumn(
+        "after_email", F.regexp_replace("note", PII_EMAIL_RE, "[EMAIL]")
     )
-    n_phone = F.regexp_count(
-        F.regexp_replace("note", PII_EMAIL_RE, "[EMAIL]"),
-        F.lit(PII_PHONE_RE),
-    ).cast("long")
     return (
-        notes.select(
+        pass1.select(
             "c_custkey",
             n_email.alias("n_emails"),
-            n_phone.alias("n_phones"),
-            redacted.alias("redacted"),
+            F.regexp_count(F.col("after_email"), F.lit(PII_PHONE_RE))
+            .cast("long")
+            .alias("n_phones"),
+            F.regexp_replace("after_email", PII_PHONE_RE, "[PHONE]").alias(
+                "redacted"
+            ),
         )
         .orderBy("c_custkey")
     )
@@ -1446,12 +1449,18 @@ def _doc_segments(d: DataFrame) -> DataFrame:
         F.split(F.lower(F.trim("text")), r"\s+", -1), lambda w: w != ""
     )
     n_seg = F.ceil(F.size(ws) / F.lit(LINE_SEG_W)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(
-            F.slice(ws, i * LINE_SEG_W + 1, LINE_SEG_W), " "
+    # Guard n_seg == 0 (empty / whitespace-only doc): sequence(0, -1)
+    # would DESCEND in Spark (default step -1) and emit two empty
+    # segments, while the oracle's range(0, 0) emits none.
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(ws, i * LINE_SEG_W + 1, LINE_SEG_W), " "
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     with_footers = F.concat(
         segs,
         F.array(

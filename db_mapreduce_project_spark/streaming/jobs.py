@@ -18,7 +18,10 @@ Scale/streaming notes:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +32,15 @@ from ..io import load_table
 from ..registry import register
 
 GAP = "5 minutes"
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that is removed at interpreter exit — streaming
+    staging/checkpoint dirs are per-run scratch, and bench loops
+    would otherwise accumulate one leaked dir per query run."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,7 +196,7 @@ def _stream_events(
         # The driver fixture is a single flat file; test-written
         # fixtures are Spark output DIRECTORIES, whose part files
         # are staged individually.
-        stage = tempfile.mkdtemp(prefix="events_stream_")
+        stage = _scratch_dir("events_stream_")
         if os.path.isdir(path):
             import glob
 
@@ -209,12 +221,13 @@ def _stream_events(
             # left to evict.
             import glob
 
-            tmp = tempfile.mkdtemp(prefix="events_flush_")
+            tmp = _scratch_dir("events_flush_")
             spark.createDataFrame([], raw_schema).coalesce(1).write.parquet(
                 os.path.join(tmp, "empty")
             )
             part = glob.glob(os.path.join(tmp, "empty", "part-*.parquet"))[0]
             os.replace(part, os.path.join(stage, "zz_flush.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
     else:
         stage = source_dir
         raw_schema = spark.read.parquet(source_dir).schema
@@ -530,7 +543,7 @@ def stream_wordcount(
 
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    stage = _scratch_dir("docs_stream_")
     os.symlink(path, os.path.join(stage, "documents.parquet"))
     docs = (
         spark.readStream.schema(schema)
@@ -604,7 +617,7 @@ def stream_sink_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="stream_sink_q_")
+    root = _scratch_dir("stream_sink_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     q = stream_upsert_latest_per_user(spark, sf_dir, out, ckpt)
@@ -738,7 +751,7 @@ def stream_sink_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="stream_hourly_q_")
+    root = _scratch_dir("stream_hourly_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     q = stream_append_hourly_counts(spark, sf_dir, out, ckpt)
@@ -851,7 +864,7 @@ def stream_sink_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    root = _scratch_dir("stream_dedup_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     q = stream_dedup_pairs(spark, sf_dir, out, ckpt)
@@ -959,7 +972,7 @@ def stream_sink_left_outer_join(
     import shutil
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="stream_loj_q_")
+    root = _scratch_dir("stream_loj_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     q = stream_left_outer_attribution(spark, sf_dir, out, ckpt)
@@ -1035,7 +1048,9 @@ register(
 # order-dependent sketches (t-digest, GK) structurally cannot give
 # a streaming sink.
 
-QH_MICRO = 1_000_000           # micro-unit scale (= sketches.QH_MICRO)
+from ..operators.sketches import QH_MICRO  # single source of the
+# micro-unit scale — quantile_probe_from_hist divides by it, so a
+# local redefinition could silently diverge from the probe stage.
 EV_QH_WIDTH_MICRO = 2_000_000  # 2.0-unit bins over events.value
 EV_QH_BINS = 256               # domain [0, 512) covers value 0.01-490
 
@@ -1107,7 +1122,7 @@ def stream_sink_quantile_hist(
     import shutil
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="stream_qh_q_")
+    root = _scratch_dir("stream_qh_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     q = stream_append_hist(spark, sf_dir, out, ckpt)

@@ -303,6 +303,37 @@ def test_line_dedup_planted_rewrite(spark):
     assert rows[2].n_removed == 2 and rows[2].new_text == ""
 
 
+def test_doc_segments_empty_doc_guard(spark):
+    # n_seg == 0 docs (empty / whitespace-only text): Spark's
+    # sequence(0, -1) DESCENDS by default, so an unguarded segment
+    # builder would emit two phantom empty-string segments that the
+    # oracle's range(0, 0) never produces.  Such docs must yield
+    # exactly their two footers, with idx 0 and 1.
+    docs = spark.createDataFrame(
+        [
+            (0, "", "srcA"),
+            (1, "   \t  \n ", "srcA"),
+            (2, "one two three", "srcB"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    segs = cu._doc_segments(docs).collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append((r.idx, r.seg))
+    for d in (0, 1):
+        assert sorted(by_doc[d]) == [
+            (0, cu.LINE_FOOTER_GLOBAL),
+            (1, "brought to you by srcA"),
+        ]
+    assert sorted(by_doc[2]) == [
+        (0, "one two three"),
+        (1, cu.LINE_FOOTER_GLOBAL),
+        (2, "brought to you by srcB"),
+    ]
+    assert all(r.seg != "" for r in segs)
+
+
 def test_line_dedup_conserves_spans(spark):
     # sum of kept + removed equals the constructed span count; and
     # no removed span content survives anywhere beyond its keeper
