@@ -252,22 +252,136 @@ ORDER BY l_orderkey, l_linenumber
 
 
 # ---------------------------------------------------------------
-# Edit-distance fuzzy matching: the string-similarity primitive
-# (levenshtein) applied as a self-match of part names — the same
-# shape as a fuzzy-dedup verification pass.
+# Edit-distance fuzzy matching, the scale-correct way: a
+# candidate -> verify pipeline (the discipline every dedup path in
+# this repo follows; cf. dedup_containment_lsh, dedup.py).
+#
+#   1. Collapse the corpus to DISTINCT strings first — at 100 TB a
+#      key-level fuzzy self-join is quadratic in the hottest
+#      duplicate group; the dictionary of distinct names is tiny by
+#      comparison and the corpus itself never self-joins.
+#   2. Length-band EQUI-join: ed(a,b) <= k implies
+#      |len(a)-len(b)| <= k, so banding lengths into width-(k+1)
+#      buckets and exploding the probe side to its 3 neighbor bands
+#      finds every true pair (recall 1) while strings whose lengths
+#      differ by > 2k+1 can never meet the join.
+#   3. Shared-q-gram count prefilter (Gravano et al., VLDB 2001):
+#      one edit destroys at most q q-grams, so ed(a,b) <= k implies
+#      multiset-shared-grams >= max(len)-q+1-k*q.  Applied with the
+#      bound clamped at 0 (vacuous for short strings, never lossy).
+#   4. levenshtein verify on the surviving candidates only.
+#
+# All joins are equi-joins (band, then name); there is no
+# crossJoin / BNLJ anywhere in the plan.
 # ---------------------------------------------------------------
-def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
-    a = p.select(F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("na"))
-    b = p.select(F.col("p_partkey").alias("pk_b"), F.col("p_name").alias("nb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("pk_a") < F.col("pk_b"))
-        .withColumn("dist", F.levenshtein("na", "nb"))
-        .where(F.col("dist") <= 12)
-        .select("pk_a", "pk_b", F.col("dist").cast("int").alias("dist"))
-        .orderBy("pk_a", "pk_b")
+
+def _grams(name_col, q: int):
+    """Multiset of character q-grams of a string column (empty for
+    strings shorter than q)."""
+    n = F.length(name_col)
+    return F.when(
+        n >= q,
+        F.transform(
+            F.sequence(F.lit(1), n - (q - 1)),
+            lambda i: name_col.substr(i, F.lit(q)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fuzzy_candidates_from(names: DataFrame, k: int, q: int) -> DataFrame:
+    """Candidate pairs (na, nb, la, lb) of a 1-column `name`
+    relation that survive the length-band equi-join and the
+    q-gram count filter; na < nb.  Recall 1 for ed <= k."""
+    prof = names.select(
+        F.col("name"),
+        F.length("name").alias("len"),
+        _grams(F.col("name"), q).alias("grams"),
+        (F.floor(F.length("name") / (k + 1))).cast("int").alias("band"),
     )
+    build = prof.select(
+        F.col("name").alias("na"),
+        F.col("len").alias("la"),
+        F.col("grams").alias("ga"),
+        F.col("band").alias("jband"),
+    )
+    probe = prof.select(
+        F.col("name").alias("nb"),
+        F.col("len").alias("lb"),
+        F.col("grams").alias("gb"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("jband"),
+    )
+    # multiset intersection: sum over distinct grams of
+    # min(count_a, count_b) — built-ins only, stays in codegen
+    common = F.aggregate(
+        F.array_distinct(F.col("ga")),
+        F.lit(0),
+        lambda acc, g: acc
+        + F.least(
+            F.size(F.filter(F.col("ga"), lambda x: x == g)),
+            F.size(F.filter(F.col("gb"), lambda x: x == g)),
+        ),
+    )
+    gram_bound = F.greatest(
+        F.greatest(F.col("la"), F.col("lb")) - (q - 1) - k * q, F.lit(0)
+    )
+    return (
+        build.join(probe, "jband")
+        .where(F.col("na") < F.col("nb"))
+        .where(F.abs(F.col("la") - F.col("lb")) <= k)
+        .where(common >= gram_bound)
+        .select("na", "nb", "la", "lb")
+    )
+
+
+def fuzzy_name_pairs(names: DataFrame, k: int, q: int) -> DataFrame:
+    """Verified distinct-name pairs within edit distance k:
+    candidates -> levenshtein verify."""
+    return (
+        fuzzy_candidates_from(names, k, q)
+        .withColumn("dist", F.levenshtein("na", "nb"))
+        .where(F.col("dist") <= k)
+        .select("na", "nb", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level fuzzy self-match of part names (dist <= 12 over
+    p_partkey <= 200), rebuilt candidate-first: fuzzy-match the
+    DISTINCT name dictionary, then map verified name pairs back to
+    keys with two name equi-joins; same-name key pairs (dist 0)
+    come from one name equi self-join.  Output identical to the
+    brute-force oracle; plan has no BNLJ."""
+    k = 12
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 200)
+        .select("p_partkey", "p_name")
+    )
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    verified = fuzzy_name_pairs(names, k=k, q=3)
+    ka = p.select(F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"))
+    kb = p.select(F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb"))
+    cross_name = (
+        verified.join(ka, "na")
+        .join(kb, "nb")
+        .select(
+            F.least("ka", "kb").alias("pk_a"),
+            F.greatest("ka", "kb").alias("pk_b"),
+            "dist",
+        )
+    )
+    same_name = (
+        ka.join(kb, F.col("na") == F.col("nb"))
+        .where(F.col("ka") < F.col("kb"))
+        .select(
+            F.col("ka").alias("pk_a"),
+            F.col("kb").alias("pk_b"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    return cross_name.unionByName(same_name).orderBy("pk_a", "pk_b")
 
 
 FUZZY_LEV_ORACLE = """
@@ -278,6 +392,40 @@ WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
   AND a.p_partkey < b.p_partkey
   AND levenshtein(a.p_name, b.p_name) <= 12
 ORDER BY pk_a, pk_b
+"""
+
+
+def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-level fuzzy join at a DISCRIMINATING threshold
+    (dist <= 2, q=2) over ALL parts — no key cap: the distinct-name
+    dictionary bounds the work, so the corpus size only enters
+    through the distinct + count aggregation.  Reports each fuzzy
+    name pair with its occurrence counts."""
+    p = load_table(spark, sf_dir, "part").select("p_name")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").alias("n_parts")
+    )
+    pairs = fuzzy_name_pairs(names.select("name"), k=2, q=2)
+    ca = names.select(F.col("name").alias("na"), F.col("n_parts").alias("n_a"))
+    cb = names.select(F.col("name").alias("nb"), F.col("n_parts").alias("n_b"))
+    return (
+        pairs.join(ca, "na")
+        .join(cb, "nb")
+        .select("na", "nb", "dist", "n_a", "n_b")
+        .orderBy("na", "nb")
+    )
+
+
+FUZZY_JOIN_NAMES_ORACLE = """
+WITH names AS (
+  SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY p_name
+)
+SELECT a.name AS na, b.name AS nb,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+       a.n_parts AS n_a, b.n_parts AS n_b
+FROM names a, names b
+WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2
+ORDER BY na, nb
 """
 
 
@@ -313,4 +461,5 @@ register("agg_collect_lists", agg_collect_lists, AGG_COLLECT_ORACLE)
 register("agg_corr_moments", agg_corr_moments, AGG_CORR_ORACLE)
 register("try_arithmetic", try_arithmetic, TRY_ARITH_ORACLE)
 register("fuzzy_levenshtein", fuzzy_levenshtein, FUZZY_LEV_ORACLE)
+register("fuzzy_join_names", fuzzy_join_names, FUZZY_JOIN_NAMES_ORACLE)
 register("agg_mode_median", agg_mode_median, AGG_MODE_MEDIAN_ORACLE)
