@@ -621,3 +621,179 @@ ORDER BY permille
 
 
 register("sketch_quantile_hist", sketch_quantile_hist, _quantile_hist_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantiles — the NON-order-free member of the quantile
+# family, included deliberately as a rows-only query: its merged
+# state depends on partition visit order, so it structurally cannot
+# sit under the cross-engine value hash (SURVEY §2.3 sketches row
+# documents the exclusion; sketch_quantile_hist is the order-free,
+# hash-oracled twin).  Certification is by PROPERTY instead
+# (tests/test_sketches.py): the rank error of every estimate vs the
+# exact order statistic is within the scale-function bound, and a
+# shard-built + merged digest obeys the same bound as a single-pass
+# digest — the mergeability contract that makes it usable as a
+# distributed/streaming accumulator.
+#
+# Variant: Dunning's merging t-digest with the uniform (k0) scale
+# function — cluster weight cap 2n/delta, giving a worst-case rank
+# error of ~n/delta per probe (delta=200 -> 0.5%).  k0 is chosen
+# over the asin k1 because its error bound is uniform in q and
+# therefore directly assertable for every probe.
+#
+# Scale shape (100 TB): stage 1 is a deterministic hash-sharded
+# applyInPandas building <= delta centroids per shard (the corpus
+# is seen once, map-side); stage 2 merges the <= shards*delta
+# centroid rows — thousands of rows regardless of corpus size — in
+# one tiny task that also answers the probes.  Digests from
+# different days/shards merge by concatenation + recompress, the
+# same path stage 2 exercises.
+# ---------------------------------------------------------------------------
+
+TD_DELTA = 200
+TD_SHARDS = 32
+TD_PERMILLE = (500, 900, 990)
+
+
+def td_compress(means, weights, delta: int = TD_DELTA):
+    """Merge weighted points into t-digest centroids (k0 scale:
+    cluster weight cap 2n/delta).  Pure numpy; used by the Spark
+    stages AND directly by the property tests.  Returns
+    (means, weights) sorted by mean."""
+    import numpy as np
+
+    m = np.asarray(means, dtype="float64")
+    w = np.asarray(weights, dtype="float64")
+    order = np.argsort(m, kind="stable")
+    m, w = m[order], w[order]
+    n = float(w.sum())
+    cap = 2.0 * n / delta
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(m[0]), float(w[0])
+    for i in range(1, len(m)):
+        wi = float(w[i])
+        if cur_w + wi <= cap:
+            cur_m += (float(m[i]) - cur_m) * wi / (cur_w + wi)
+            cur_w += wi
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cur_m, cur_w = float(m[i]), wi
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.array(out_m), np.array(out_w)
+
+
+def td_quantile(means, weights, vmin: float, vmax: float, q: float) -> float:
+    """Estimate the q-quantile from centroids sorted by mean:
+    linear interpolation between centroid mid-ranks, clamped to the
+    tracked [vmin, vmax] at the tails."""
+    import numpy as np
+
+    m = np.asarray(means, dtype="float64")
+    w = np.asarray(weights, dtype="float64")
+    n = float(w.sum())
+    target = q * n
+    mid = np.cumsum(w) - w / 2.0
+    if target <= mid[0]:
+        frac = target / mid[0] if mid[0] > 0 else 1.0
+        return vmin + (float(m[0]) - vmin) * frac
+    if target >= mid[-1]:
+        span = n - mid[-1]
+        frac = (target - mid[-1]) / span if span > 0 else 1.0
+        return float(m[-1]) + (vmax - float(m[-1])) * frac
+    j = int(np.searchsorted(mid, target, side="right"))
+    lo, hi = mid[j - 1], mid[j]
+    frac = (target - lo) / (hi - lo) if hi > lo else 0.0
+    return float(m[j - 1]) + (float(m[j]) - float(m[j - 1])) * frac
+
+
+_TD_PARTIAL_SCHEMA = (
+    "mean double, weight double, vmin double, vmax double"
+)
+
+
+def tdigest_partials_from(
+    vals: DataFrame, delta: int = TD_DELTA, shards: int = TD_SHARDS
+) -> DataFrame:
+    """Stage 1: per-shard t-digest centroids of a (`v` double)
+    relation — the mergeable state, <= delta rows per shard."""
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf["v"].to_numpy(dtype="float64")
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pd.DataFrame(
+                columns=["mean", "weight", "vmin", "vmax"]
+            ).astype("float64")
+        m, w = td_compress(v, np.ones_like(v), delta)
+        return pd.DataFrame(
+            {
+                "mean": m,
+                "weight": w,
+                "vmin": float(v.min()),
+                "vmax": float(v.max()),
+            }
+        )
+
+    return (
+        vals.withColumn("shard", F.pmod(F.hash("v"), F.lit(shards)))
+        .groupBy("shard")
+        .applyInPandas(build, schema=_TD_PARTIAL_SCHEMA)
+    )
+
+
+def tdigest_quantiles_from(
+    vals: DataFrame,
+    delta: int = TD_DELTA,
+    shards: int = TD_SHARDS,
+    permille=TD_PERMILLE,
+) -> DataFrame:
+    """Full pipeline: shard partials -> merge + probe.  Returns
+    (permille, est, n) rows."""
+    probes = tuple(permille)
+
+    def merge_and_probe(pdf):
+        import pandas as pd
+
+        m, w = td_compress(
+            pdf["mean"].to_numpy(), pdf["weight"].to_numpy(), delta
+        )
+        vmin, vmax = float(pdf["vmin"].min()), float(pdf["vmax"].max())
+        n = int(round(float(w.sum())))
+        return pd.DataFrame(
+            {
+                "permille": list(probes),
+                "est": [
+                    td_quantile(m, w, vmin, vmax, p / 1000.0)
+                    for p in probes
+                ],
+                "n": n,
+            }
+        )
+
+    return (
+        tdigest_partials_from(vals, delta, shards)
+        .withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            merge_and_probe, schema="permille int, est double, n long"
+        )
+        .orderBy("permille")
+    )
+
+
+def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (rows-only) form over lineitem.l_extendedprice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return tdigest_quantiles_from(
+        li.select(F.col("l_extendedprice").alias("v"))
+    )
+
+
+register("sketch_tdigest_quantiles", sketch_tdigest_quantiles)

@@ -108,3 +108,84 @@ def test_bloom_planted_membership(spark):
     assert out["src1"].n_bloom_pos >= 1
     assert out["src2"].n_true_pos == 0
     assert out["src2"].n_false_pos == out["src2"].n_bloom_pos
+
+
+# ------------------------------------------------------------- t-digest
+
+
+def _exact_rank(sorted_vals, x):
+    """Number of values <= x (bisect on the exact sorted corpus)."""
+    import bisect
+
+    return bisect.bisect_right(sorted_vals, x)
+
+
+def test_tdigest_rank_error_bound(spark):
+    # every probe's estimate must land within the k0 scale bound of
+    # the exact order statistic: rank error <= ~2n/delta (cluster
+    # cap 2n/delta, interpolation adds at most another half-cap)
+    import numpy as np
+
+    li = (
+        sk.load_table(spark, SF_CORRECT, "lineitem")
+        .select(F.col("l_extendedprice").alias("v"))
+    )
+    exact = np.sort(np.array([r.v for r in li.collect()]))
+    n = len(exact)
+    rows = sk.tdigest_quantiles_from(li).collect()
+    assert [r.permille for r in rows] == list(sk.TD_PERMILLE)
+    assert all(r.n == n for r in rows)
+    bound = 2.0 * n / sk.TD_DELTA + 2
+    for r in rows:
+        err = abs(_exact_rank(list(exact), r.est) - r.permille / 1000.0 * n)
+        assert err <= bound, (r.permille, r.est, err, bound)
+        assert exact[0] <= r.est <= exact[-1]
+
+
+def test_tdigest_shard_merge_matches_single_pass(spark):
+    # mergeability: centroids built over S shards then merged obey
+    # the same rank bound as a single-shard (one-pass) digest, and
+    # the two estimates agree within twice the bound
+    import numpy as np
+
+    li = (
+        sk.load_table(spark, SF_CORRECT, "lineitem")
+        .select(F.col("l_extendedprice").alias("v"))
+    )
+    exact = np.sort(np.array([r.v for r in li.collect()]))
+    n = len(exact)
+    bound = 2.0 * n / sk.TD_DELTA + 2
+    one = {r.permille: r.est for r in
+           sk.tdigest_quantiles_from(li, shards=1).collect()}
+    many = {r.permille: r.est for r in
+            sk.tdigest_quantiles_from(li, shards=16).collect()}
+    for p in sk.TD_PERMILLE:
+        for est in (one[p], many[p]):
+            err = abs(_exact_rank(list(exact), est) - p / 1000.0 * n)
+            assert err <= bound, (p, est, err)
+        r1 = _exact_rank(list(exact), one[p])
+        r2 = _exact_rank(list(exact), many[p])
+        assert abs(r1 - r2) <= 2 * bound
+
+
+def test_tdigest_compress_invariants():
+    # pure-core properties: total weight conserved, means sorted,
+    # cluster cap respected (single heavy points exempt), and the
+    # centroid count stays O(delta)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    v = rng.lognormal(3.0, 1.5, size=20000)
+    m, w = sk.td_compress(v, np.ones_like(v), delta=sk.TD_DELTA)
+    assert abs(w.sum() - len(v)) < 1e-6
+    assert np.all(np.diff(m) >= 0)
+    cap = 2.0 * len(v) / sk.TD_DELTA
+    assert np.all(w <= cap + 1e-9)
+    assert len(m) <= 2 * sk.TD_DELTA
+    # probe sweep: every permille decile within the rank bound
+    exact = np.sort(v)
+    bound = 2.0 * len(v) / sk.TD_DELTA + 2
+    for q in np.arange(0.05, 1.0, 0.05):
+        est = sk.td_quantile(m, w, float(v.min()), float(v.max()), q)
+        r = np.searchsorted(exact, est, side="right")
+        assert abs(r - q * len(v)) <= bound, (q, est)
