@@ -1185,3 +1185,319 @@ register(
     stream_sink_quantile_hist,
     _qh_sink_oracle_sql(),
 )
+
+
+# ---------------------------------------------------------------
+# Driver-visible sink #7: stream-stream FULL OUTER interval join —
+# the right-side eviction half the left-outer sink never exercises:
+# clicks with NO qualifying purchase also emit a null-extended row
+# once the watermark proves no future purchase can match them.
+# ---------------------------------------------------------------
+
+
+def stream_full_outer_attribution(
+    spark: SparkSession, sf_dir: str, out: str, ckpt: str
+):
+    """Full-outer stream-stream interval join into an append parquet
+    sink.  Same interval condition as the left-outer sink (clicks in
+    the 30 minutes preceding a same-user purchase); BOTH unmatched
+    sides emit on watermark-proven closability: a purchase when the
+    global watermark passes p_ts (no earlier click can still
+    arrive), a click when it passes c_ts + 30 min (no purchase it
+    could precede can still arrive).  State on each side is bounded
+    by its eviction frontier exactly as in the left-outer case."""
+    clicks = (
+        _stream_events(spark, sf_dir, flush_sentinel=True)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir, flush_sentinel=True)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_ts >= p_ts - INTERVAL 30 MINUTES AND
+            c_ts <= p_ts
+            """
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id", "p_user", "p_ts", "amount", "click_id", "c_user",
+        "c_ts",
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_sink_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-visible streaming-SINK query #7: runs the full-outer
+    stream-stream join end-to-end, then tidies the sink into one row
+    per emitted entity: kind='purchase' rows carry n_partner =
+    matched click count (0 = purchase-side eviction row), kind=
+    'click_unmatched' rows are the click-side eviction rows.  The
+    oracle applies the two closability filters the engine's
+    watermark eviction implements: unmatched purchases emit iff
+    p_ts < wm strictly (the left-outer sink's pinned rule),
+    unmatched clicks iff c_ts + 30 min < wm strictly, where wm is
+    the min of the two ms-truncated stream frontiers minus the
+    10-minute delay."""
+    import shutil
+
+    root = _scratch_dir("stream_foj_q_")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    q = stream_full_outer_attribution(spark, sf_dir, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        raise TimeoutError(
+            "stream_sink_full_outer_join: stream did not terminate "
+            "within 300 s"
+        )
+    sunk = spark.read.schema(
+        "purchase_id bigint, p_user bigint, p_ts timestamp, "
+        "amount double, click_id bigint, c_user bigint, c_ts timestamp"
+    ).parquet(out)
+    purchases = (
+        sunk.where(F.col("purchase_id").isNotNull())
+        .groupBy("purchase_id", "p_user", "p_ts", "amount")
+        .agg(F.count("click_id").alias("n_partner"))
+        .select(
+            F.lit("purchase").alias("kind"),
+            F.col("purchase_id").alias("id"),
+            F.col("p_user").alias("user"),
+            F.col("p_ts").alias("ts"),
+            "amount",
+            "n_partner",
+        )
+    )
+    clicks = sunk.where(F.col("purchase_id").isNull()).select(
+        F.lit("click_unmatched").alias("kind"),
+        F.col("click_id").alias("id"),
+        F.col("c_user").alias("user"),
+        F.col("c_ts").alias("ts"),
+        F.lit(None).cast("double").alias("amount"),
+        F.lit(0).cast("long").alias("n_partner"),
+    )
+    result = (
+        purchases.unionByName(clicks)
+        .orderBy("kind", "id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+STREAM_SINK_FULL_OUTER_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id,
+         value AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least(
+           (SELECT (epoch_us(max(c_ts)) // 1000 - 600000) * 1000 FROM clicks),
+           (SELECT (epoch_us(max(p_ts)) // 1000 - 600000) * 1000 FROM purchases)
+         ) AS wm_us
+),
+p_side AS (
+  SELECT p.purchase_id, p.p_user, p.p_ts, p.amount,
+         CAST(count(c.click_id) AS BIGINT) AS n_partner
+  FROM purchases p
+  LEFT JOIN clicks c
+    ON p.p_user = c.c_user
+   AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+   AND c.c_ts <= p.p_ts
+  GROUP BY p.purchase_id, p.p_user, p.p_ts, p.amount
+),
+c_unmatched AS (
+  SELECT c.click_id, c.c_user, c.c_ts
+  FROM clicks c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM purchases p
+    WHERE p.p_user = c.c_user
+      AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+      AND c.c_ts <= p.p_ts
+  )
+)
+SELECT kind, id, user, ts, amount, n_partner FROM (
+  SELECT 'purchase' AS kind, purchase_id AS id, p_user AS user, p_ts AS ts,
+         amount, n_partner
+  FROM p_side, wm
+  WHERE n_partner > 0 OR epoch_us(p_ts) < wm_us
+  UNION ALL
+  SELECT 'click_unmatched' AS kind, click_id AS id, c_user AS user,
+         c_ts AS ts, CAST(NULL AS DOUBLE) AS amount, CAST(0 AS BIGINT)
+  FROM c_unmatched, wm
+  WHERE epoch_us(c_ts) + 1800000000 < wm_us
+)
+ORDER BY kind, id
+"""
+
+register(
+    "stream_sink_full_outer_join",
+    stream_sink_full_outer_join,
+    STREAM_SINK_FULL_OUTER_JOIN_ORACLE,
+)
+
+
+# ---------------------------------------------------------------
+# Driver-visible sink #8: dropDuplicatesWithinWatermark — the
+# TTL-bounded streaming dedup that completes the dedup matrix
+# (dropDuplicates keeps ALL keys forever; this keeps a key only
+# until the watermark passes its event time + delay, the state
+# bound a 100 TB ingest needs).
+# ---------------------------------------------------------------
+
+DWW_DELAY = "48 hours"
+DWW_SLICE_HOURS = 24
+DWW_SLICE_OFFSET_HOURS = 12
+
+
+def _stage_events_time_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as one parquet file per 24-hour
+    slice, slice boundaries OFFSET to noon so every day-bucket key
+    spans exactly two micro-batches (cross-batch suppression is
+    exercised, not just in-batch dedup).  Files get ascending mtimes
+    so the file source replays them in event-time order — which is
+    what makes the watermark progression, and therefore the
+    TTL-dedup output, deterministic."""
+    import glob
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = _scratch_dir("events_dww_")
+    tmp = os.path.join(stage, "_build")
+    slice_us = DWW_SLICE_HOURS * 3600 * 1_000_000
+    off_us = DWW_SLICE_OFFSET_HOURS * 3600 * 1_000_000
+    (
+        ev.withColumn(
+            "slice",
+            F.floor(
+                (F.unix_micros("ts") + off_us) / F.lit(slice_us)
+            ).cast("int"),
+        )
+        .repartition(1)
+        .write.partitionBy("slice")
+        .parquet(tmp)
+    )
+    now = time.time()
+    for i, d in enumerate(sorted(glob.glob(os.path.join(tmp, "slice=*")))):
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"slice_{i:04d}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (now + i, now + i))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    out: str,
+    ckpt: str,
+    source_dir: str | None = None,
+    emitter=None,
+):
+    """Streaming TTL-DEDUP: emit each (user_id, event_type, day)
+    key once and suppress re-occurrences while the key's state
+    lives; state is dropped once the watermark passes day + 48 h —
+    bounded-state first-occurrence suppression (the fingerprint-
+    suppressor ingest shape where the seen-set must not grow
+    forever).
+
+    Determinism: the dedup key INCLUDES the watermark column (the
+    day bucket), so every duplicate of a key carries the SAME event
+    time — the state expiry never depends on which duplicate a
+    batch saw first — and the time-ordered slice staging pins the
+    watermark sequence.  A day's rows all arrive while the
+    watermark is >= 36 h below the day's expiry, so no key can be
+    re-emitted after eviction; the emitted set is exactly DISTINCT
+    (user_id, event_type, day)."""
+    if source_dir is None:
+        source_dir = _stage_events_time_slices(spark, sf_dir)
+    ev = _stream_events(spark, None, source_dir)
+    dedup = (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .withWatermark("day", DWW_DELAY)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    emit = emitter or distinct_pairs_emitter(out)
+    return (
+        dedup.writeStream.foreachBatch(emit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def stream_sink_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-visible streaming-SINK query #8: the TTL dedup over
+    the time-sliced event stream; compaction read + distinct (the
+    replay-safety discipline shared by every batch-owned sink)."""
+    import shutil
+
+    root = _scratch_dir("stream_dww_q_")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    q = stream_dedup_within_watermark(spark, sf_dir, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        raise TimeoutError(
+            "stream_sink_dedup_within_watermark: stream did not "
+            "terminate within 300 s"
+        )
+    result = (
+        read_dedup_pairs(spark, out)
+        .orderBy("user_id", "event_type", "day")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+STREAM_SINK_DWW_ORACLE = """
+SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+FROM events
+ORDER BY user_id, event_type, day
+"""
+
+register(
+    "stream_sink_dedup_within_watermark",
+    stream_sink_dedup_within_watermark,
+    STREAM_SINK_DWW_ORACLE,
+)

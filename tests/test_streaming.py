@@ -840,3 +840,166 @@ def test_quantile_hist_sink_exactly_once_across_crash_restart(
         ["permille", "target_rank", "bin_idx", "est"],
     )
     assert got == want and len(got) == 3
+
+
+# ---------------------------------------------------------------
+# stream-stream FULL OUTER join: both-side eviction boundaries
+# ---------------------------------------------------------------
+
+
+def test_full_outer_join_eviction_boundaries(spark, tmp_path):
+    """Pins BOTH eviction rules of the full-outer sink: an unmatched
+    purchase emits iff p_ts < wm strictly (the left-outer rule), an
+    unmatched click iff c_ts + 30 min < wm strictly — where wm is
+    the final global watermark (ms-truncated max event time - 10
+    min, min over the two sides)."""
+    import datetime as dt
+
+    from db_mapreduce_project_spark.streaming.jobs import (
+        stream_sink_full_outer_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, ts, uid, typ, val):
+        return (eid, ts, uid, typ, float(val), "{}")
+
+    rows = [
+        # frontier events pin both stream watermarks to base+60min
+        ev(1, base + dt.timedelta(minutes=70), 99, "click", 1),
+        ev(2, base + dt.timedelta(minutes=70), 98, "purchase", 5),
+        # matched pair (emitted regardless of watermark)
+        ev(10, base + dt.timedelta(minutes=1), 7, "click", 1),
+        ev(11, base + dt.timedelta(minutes=2), 7, "purchase", 7),
+        # unmatched PURCHASE probes around wm (eviction iff p_ts < wm)
+        ev(3, base + dt.timedelta(minutes=60), 1, "purchase", 10),   # == wm
+        ev(
+            4,
+            base + dt.timedelta(minutes=60) - dt.timedelta(milliseconds=1),
+            2,
+            "purchase",
+            20,
+        ),                                                           # < wm
+        # unmatched CLICK probes around wm-30min (eviction iff
+        # c_ts + 30min < wm, i.e. c_ts < base+30min)
+        ev(
+            5,
+            base + dt.timedelta(minutes=30) - dt.timedelta(milliseconds=1),
+            3,
+            "click",
+            1,
+        ),                                                           # evicts
+        ev(6, base + dt.timedelta(minutes=30), 4, "click", 1),       # == bound
+        ev(7, base + dt.timedelta(minutes=45), 5, "click", 1),       # held
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    td = str(tmp_path / "foj")
+    df.coalesce(1).write.parquet(td + "/events.parquet")
+    got = {
+        (r.kind, r.id): r
+        for r in stream_sink_full_outer_join(spark, td).collect()
+    }
+    assert set(got) == {
+        ("purchase", 11),          # matched
+        ("purchase", 4),           # strictly-below-wm purchase eviction
+        ("click_unmatched", 5),    # strictly-below-bound click eviction
+    }, got
+    assert got[("purchase", 11)].n_partner == 1
+    assert got[("purchase", 4)].n_partner == 0
+    assert got[("click_unmatched", 5)].n_partner == 0
+
+
+# ---------------------------------------------------------------
+# dropDuplicatesWithinWatermark sink: suppression + crash restart
+# ---------------------------------------------------------------
+
+
+def _batch_distinct_day_triples(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.io import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .distinct()
+    )
+
+
+def test_dww_sink_multibatch_suppression(spark, sf_dir):
+    """The TTL dedup over the time-sliced staging: emitted set ==
+    batch DISTINCT (user_id, event_type, day), and the raw
+    (pre-distinct) sink union is ALREADY duplicate-free — each key
+    crossed the sink in exactly one micro-batch even though every
+    day bucket spans two noon-boundary slices."""
+    from db_mapreduce_project_spark.streaming.jobs import (
+        _stage_events_time_slices,
+        read_dedup_pairs,
+        stream_dedup_within_watermark,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        src = _stage_events_time_slices(spark, sf_dir)
+        out = td + "/out"
+        ckpt = td + "/ckpt"
+        q = stream_dedup_within_watermark(
+            spark, None, out, ckpt, source_dir=src
+        )
+        assert q.awaitTermination(180)
+        cols = ["user_id", "event_type", "day"]
+        got = _rows(read_dedup_pairs(spark, out), cols)
+        want = _rows(_batch_distinct_day_triples(spark, sf_dir), cols)
+        assert got == want
+        raw = spark.read.option("recursiveFileLookup", "true").parquet(out)
+        assert raw.count() == raw.distinct().count() == len(want)
+
+
+def test_dww_sink_exactly_once_across_crash_restart(spark, sf_dir, tmp_path):
+    """Crash after batch 1's sink write lands but before its offset
+    commits, restart from the same checkpoint: state rolls back with
+    the failed batch, the replay re-emits into the SAME batch-owned
+    directory, and the compacted set equals the batch distinct."""
+    import os
+
+    from db_mapreduce_project_spark.streaming.jobs import (
+        _stage_events_time_slices,
+        distinct_pairs_emitter,
+        read_dedup_pairs,
+        stream_dedup_within_watermark,
+    )
+
+    src = _stage_events_time_slices(spark, sf_dir)
+    out = str(tmp_path / "dww_out")
+    ckpt = str(tmp_path / "dww_ckpt")
+    crash_flag = str(tmp_path / "dww_crashed")
+    inner = distinct_pairs_emitter(out)
+
+    def crashing(df, batch_id):
+        inner(df, batch_id)
+        if batch_id == 1 and not os.path.exists(crash_flag):
+            with open(crash_flag, "w") as f:
+                f.write("crashed")
+            raise RuntimeError("injected crash after sink write")
+
+    q = stream_dedup_within_watermark(
+        spark, None, out, ckpt, source_dir=src, emitter=crashing
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+    assert os.path.exists(crash_flag)
+    q2 = stream_dedup_within_watermark(
+        spark, None, out, ckpt, source_dir=src
+    )
+    assert q2.awaitTermination(180)
+    cols = ["user_id", "event_type", "day"]
+    got = _rows(read_dedup_pairs(spark, out), cols)
+    want = _rows(_batch_distinct_day_triples(spark, sf_dir), cols)
+    assert got == want
+    assert got  # non-vacuous
