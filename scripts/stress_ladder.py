@@ -110,8 +110,29 @@ def main() -> None:
     spark.catalog.clearCache()
 
     records = []
+    import shutil
+    import tempfile
+
     for copies in rungs:
-        docs = base if copies == 1 else expand(base, ["doc_id"], copies)
+        # Round-8 harness fix (verdict item 6): MATERIALIZE the
+        # expanded corpus to parquet before timing.  The old 100-way
+        # union fixture put ~100 scan branches into every measured
+        # plan, so cheap operators (DSIR's two passes) measured the
+        # fixture constructor, not the operator — the 50k rung read
+        # union-overhead-bound at 23.1 s vs 24.2 s at 500k.  A real
+        # on-disk table also gives multiple row groups, so the scan
+        # parallelizes like a production input.
+        scratch = None
+        if copies == 1:
+            docs = base
+        else:
+            scratch = tempfile.mkdtemp(prefix=f"ladder_{copies}x_")
+            expand(base, ["doc_id"], copies).write.mode("overwrite").parquet(
+                os.path.join(scratch, "documents.parquet")
+            )
+            docs = spark.read.parquet(
+                os.path.join(scratch, "documents.parquet")
+            )
         for fam, fn in families.items():
             t0 = time.perf_counter()
             n = fn(docs).count()
@@ -127,6 +148,8 @@ def main() -> None:
             records.append(rec)
             print(json.dumps(rec), flush=True)
             spark.catalog.clearCache()
+        if scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
     if out_path:
         json.dump(records, open(out_path, "w"), indent=1)
 
