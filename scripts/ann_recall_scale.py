@@ -62,11 +62,22 @@ NOISE = 0.02
 RERANK_C_SCALE = 50
 
 
-def expand_perturbed_explode(e, copies: int, noise: float = NOISE):
+def expand_perturbed_explode(
+    e, copies: int, noise: float = NOISE, query_copy_mod: int = 10
+):
     """Same clone-family geometry as ann_recall.expand_perturbed
     (key-shifted copies, deterministic sin perturbation, copy 0
     untouched) built with ONE explode instead of a copies-way
-    union, so the expansion is a single linear pass."""
+    union, so the expansion is a single linear pass.
+
+    Query thinning: the engine paths select queries by
+    vec_id % QUERY_MOD == 0, and at 500k vectors the query side of
+    every path scales as queries x corpus/cells — so the rung
+    relabels ids to vec_id*2 + copy*1e8, +1 on copies NOT divisible
+    by `query_copy_mod`.  Odd ids never qualify, so only 1-in-
+    `query_copy_mod` copies contribute queries (80 base identities
+    each — diverse), all ids stay collision-free, and the corpus
+    geometry is untouched."""
     return (
         e.select(
             "vec_id",
@@ -79,8 +90,11 @@ def expand_perturbed_explode(e, copies: int, noise: float = NOISE):
         )
         .withColumn(
             "vec_id",
-            F.col("vec_id")
-            + F.col("copy").cast("long") * F.lit(100_000_000),
+            F.col("vec_id") * 2
+            + F.col("copy").cast("long") * F.lit(100_000_000)
+            + F.when(
+                F.col("copy") % query_copy_mod == 0, F.lit(0)
+            ).otherwise(F.lit(1)),
         )
         .select(
             "vec_id",
@@ -143,7 +157,10 @@ def main() -> None:
     for copies in rungs:
         scratch = tempfile.mkdtemp(prefix=f"ann_rung_{copies}x_")
         t0 = time.perf_counter()
-        expand_perturbed_explode(base, copies).write.mode(
+        # repartition(32): the explode of the single-row-group base
+        # yields ~1 input split; without this every downstream stage
+        # runs ~13-wide instead of using all 32 cores
+        expand_perturbed_explode(base, copies).repartition(32).write.mode(
             "overwrite"
         ).parquet(os.path.join(scratch, "embeddings.parquet"))
         rung = spark.read.parquet(
@@ -224,21 +241,65 @@ def main() -> None:
                 exact,
             ),
         )
+        # rerank_c MUST exceed the duplicate-cluster size on a
+        # clone-heavy corpus: within a clone family the PQ codes are
+        # identical, ADC cannot rank siblings, and a cut smaller
+        # than the family keeps the tie-break's pick, not the true
+        # top-k.  The sweep demonstrates the recovery the fixed cut
+        # cannot give (copies = family size).
+        if copies >= 50:
+            for rc in (copies + TOPK, 4 * copies):
+                record(
+                    "ivfadc_rerank",
+                    {
+                        "cells": cells,
+                        "probe": probe,
+                        "rerank_c": rc,
+                        "state": state,
+                    },
+                    measure(
+                        ivfadc_rerank_from(rung, rc, cells, probe),
+                        exact,
+                    ),
+                )
+            record(
+                "mrl_rerank",
+                {
+                    "dims": MRL_DIM,
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": copies + TOPK,
+                },
+                measure(
+                    mrl_rerank_from(rung, copies + TOPK, cells, probe),
+                    exact,
+                ),
+            )
         shutil.rmtree(scratch, ignore_errors=True)
         spark.catalog.clearCache()
 
+    # merge with an existing artifact (re-runs extend, keyed by
+    # corpus+path+params; a re-measured key replaces the old row)
+    old: list[dict] = []
+    if os.path.exists(out_path):
+        try:
+            old = json.load(open(out_path)).get("measurements", [])
+        except (OSError, ValueError):
+            old = []
+    key = lambda r: (r["corpus"], r["path"], json.dumps(r["params"], sort_keys=True))  # noqa: E731
+    merged = {key(r): r for r in old}
+    merged.update({key(r): r for r in results})
     artifact = {
         "topk": TOPK,
         "recall_def": "pooled |approx ∩ exact| / |exact|; exact = "
         "brute-force cosine top-k (driver-side BLAS over the "
         "collected rung), ties cos DESC n_id ASC",
-        "rungs": rungs,
         "noise": NOISE,
-        "measurements": results,
+        "measurements": list(merged.values()),
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
-    print(f"wrote {out_path} ({len(results)} measurements)")
+    print(f"wrote {out_path} ({len(merged)} measurements)")
 
 
 if __name__ == "__main__":

@@ -350,3 +350,44 @@ def test_filtered_ivf_recall_floor(spark):
     exact = top_map(_same_label_ground_truth(spark).collect())
     res = measure(ivf_filtered_topk_from(_labeled(spark)), exact)
     assert res["recall"] >= 0.30, res
+
+
+def test_ann_recall_500k_artifact_floors():
+    """Corpus-scale certification floors (round-8 verdict #1):
+    ANN_RECALL_r8.json is produced by scripts/ann_recall_scale.py
+    (100k / 500k-vector rungs, driver-side BLAS ground truth, the
+    engine paths in Spark).  Pins (a) the serving paths' floors at
+    500k vectors, (b) the clone-family scaling rule: a rerank cut
+    SMALLER than the duplicate-cluster size collapses (PQ codes are
+    identical within a family, so ADC cannot rank siblings), and a
+    cut >= family size + k recovers.  Every number is deterministic
+    (seeded perturbation, deterministic centroids and tie-breaks),
+    so re-running the script reproduces the artifact."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "ANN_RECALL_r8.json")
+    rows = json.load(open(path))["measurements"]
+
+    def get(corpus_n, path_name, rerank_c=None):
+        for r in rows:
+            if (
+                f"({corpus_n} vectors)" in r["corpus"]
+                and r["path"] == path_name
+                and (rerank_c is None or r["params"].get("rerank_c") == rerank_c)
+            ):
+                return r
+        raise AssertionError((corpus_n, path_name, rerank_c))
+
+    # 500k floors: exact-scoring IVF and float-coarse MRL hold
+    assert get(500000, "ivf_topk")["recall"] >= 0.99
+    assert get(500000, "mrl_rerank", 255)["recall"] >= 0.99
+    assert get(500000, "ivfadc_rerank", 1000)["recall"] >= 0.99
+    # the scaling rule, monotone across the cut sweep
+    r50 = get(500000, "ivfadc_rerank", 50)["recall"]
+    r255 = get(500000, "ivfadc_rerank", 255)["recall"]
+    r1000 = get(500000, "ivfadc_rerank", 1000)["recall"]
+    assert r50 < 0.5 < r255 <= r1000, (r50, r255, r1000)
+    # 100k rung: family size 50 == rerank_c 50 cut -> rerank holds
+    assert get(100000, "ivfadc_rerank", 50)["recall"] >= 0.9
+    assert get(100000, "ivf_topk")["recall"] >= 0.99
