@@ -1056,7 +1056,250 @@ ORDER BY doc_id
 MULTIMODAL_AUDIO_MULAW_STATS_ORACLE = _mulaw_oracle_sql()
 
 
+# ---------------------------------------------------------------- GIF
+# Seventh from-scratch codec: GIF87a with LZW-compressed index
+# stream (the public CompuServe spec).  Geometry: the 48 rpad'ed
+# body bytes become a 48x1 image of GRAYSCALE palette indices
+# (global color table entry i = (i,i,i)), so the decoded index
+# stream IS the body byte stream and the channel arithmetic
+# ((j-1) % 3) reuses the PPM/PNG oracle shape with GIF dimensions.
+# Encoder and decoder are independent spec implementations
+# (forward LZW dictionary build vs code-table reconstruction), so
+# a bug in either side breaks the value-hash oracle.
+
+GIF_W = _PPM_BODY_LEN  # 48x1 pixels, one palette index per body byte
+GIF_H = 1
+_GIF_MIN_CODE = 8  # 256-entry palette -> 8-bit symbols
+
+
+def encode_gif(indices: bytes) -> bytes:
+    """GIF87a encoder: header + logical screen descriptor + 256-gray
+    global color table + one image descriptor + LZW-compressed index
+    stream (LSB-first packing, clear/end codes, width growth to 12
+    bits, dictionary reset when full)."""
+    w, h = len(indices), 1
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 8 bpp, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += b"\x00"  # no local color table, not interlaced
+    out += bytes([_GIF_MIN_CODE])
+
+    clear, end = 256, 257
+    codes: list[tuple[int, int]] = [(clear, 9)]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        codes.append((table[run], width))
+        table[cand] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << width) and width < 12:
+            width += 1
+        elif nxt > 4095:
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        run = bytes([b])
+    if run:
+        codes.append((table[run], width))
+    codes.append((end, width))
+
+    acc = bits = 0
+    packed = bytearray()
+    for code, cw in codes:
+        acc |= code << bits
+        bits += cw
+        while bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        packed.append(acc & 0xFF)
+    for s in range(0, len(packed), 255):
+        block = packed[s : s + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
+    """From-scratch GIF parser + LZW decoder: validates the header,
+    reads the global color table, the image descriptor, and the
+    sub-blocked LZW stream (LSB-first, clear-code table resets,
+    width growth at table-full boundaries, KwKwK first-entry case);
+    returns (width, height, gray bytes via the palette)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w = int.from_bytes(buf[6:8], "little")
+    h = int.from_bytes(buf[8:10], "little")
+    flags = buf[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        palette = buf[pos : pos + 3 * size]
+        pos += 3 * size
+    if buf[pos] != 0x2C:
+        raise ValueError(f"unsupported block 0x{buf[pos]:02x}")
+    iw = int.from_bytes(buf[pos + 5 : pos + 7], "little")
+    ih = int.from_bytes(buf[pos + 7 : pos + 9], "little")
+    if buf[pos + 9] & 0xC0:
+        raise ValueError("local palette / interlace unsupported")
+    pos += 10
+    min_code = buf[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            break
+        data += buf[pos : pos + n]
+        pos += n
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    acc = bits = bitpos = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [
+        b"",
+        b"",
+    ]
+    prev: bytes | None = None
+    out = bytearray()
+
+    def read_code() -> int:
+        nonlocal acc, bits, bitpos
+        while bits < width:
+            acc |= data[bitpos] << bits
+            bits += 8
+            bitpos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = table[: (1 << min_code) + 2]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != iw * ih:
+        raise ValueError(f"decoded {len(out)} pixels, expected {iw * ih}")
+    gray = bytes(palette[3 * i] for i in out) if palette else bytes(out)
+    return w, h, gray
+
+
+def _encode_gif_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "img": [encode_gif(bytes(b)) for b in pdf["body"]],
+            }
+        )
+
+
+def build_gif_payloads(d: DataFrame) -> DataFrame:
+    """Assemble a REAL GIF87a per document (the same 48 rpad'ed
+    body bytes as the PPM/PNG pipelines, as a 48x1 grayscale-
+    palette image); LZW needs a dictionary, which Catalyst can't
+    express, so the build runs in an Arrow mapInPandas kernel."""
+    body = _ascii_body(_PPM_BODY_LEN)
+    src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
+    return src.mapInPandas(
+        _encode_gif_batches, schema="doc_id bigint, img binary"
+    )
+
+
+def _decode_gif_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, img in zip(pdf["doc_id"], pdf["img"]):
+            w, h, gray = decode_gif(bytes(img))
+            arr = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+            out.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    int(arr[0::3].sum()),
+                    int(arr[1::3].sum()),
+                    int(arr[2::3].sum()),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "width", "height", "r_sum", "g_sum", "b_sum"],
+        )
+
+
+def multimodal_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dictionary-codec decode: documents -> real GIF87a
+    payloads (LZW, sub-blocks, grayscale palette) -> from-scratch
+    GIF parse + LZW decode inside a second Arrow kernel -> channel
+    sums over the recovered byte plane.  Same oracle arithmetic as
+    PPM/PNG (the codecs must all round-trip the identical bytes),
+    with GIF's own 48x1 dimensions."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = build_gif_payloads(d).mapInPandas(
+        _decode_gif_stats_batches, schema=DECODE_SCHEMA
+    )
+    return stats.orderBy("doc_id")
+
+
+MULTIMODAL_DECODE_GIF_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST({GIF_W} AS INTEGER) AS width,
+       CAST({GIF_H} AS INTEGER) AS height,
+       CAST(sum(CASE WHEN (j - 1) % 3 = 0
+                THEN ascii(substring(px, j, 1)) END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN (j - 1) % 3 = 1
+                THEN ascii(substring(px, j, 1)) END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN (j - 1) % 3 = 2
+                THEN ascii(substring(px, j, 1)) END) AS BIGINT) AS b_sum
+FROM (
+  SELECT doc_id, {_ascii_px_sql(_PPM_BODY_LEN)} AS px
+  FROM documents
+) p, generate_series(1, {_PPM_BODY_LEN}) AS g(j)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 register("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_ORACLE)
+register(
+    "multimodal_decode_gif_stats",
+    multimodal_decode_gif_stats,
+    MULTIMODAL_DECODE_GIF_STATS_ORACLE,
+)
 register(
     "multimodal_decode_wav_stats",
     multimodal_decode_wav_stats,

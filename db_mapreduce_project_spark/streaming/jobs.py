@@ -1378,7 +1378,15 @@ register(
 # ---------------------------------------------------------------
 
 DWW_DELAY = "48 hours"
-DWW_SLICE_HOURS = 24
+# 72 h slices, noon-offset: a day bucket spans two micro-batches
+# whenever it crosses a slice boundary (1 day in 3 — cross-batch
+# suppression stays exercised by thousands of keys) while the
+# 30-day fixture replays in ~11 batches instead of ~31.  The
+# determinism argument is unchanged: when a day-d row arrives, the
+# watermark is at most slice_start - 48 h < d (never late, state
+# never yet evicted), and day-d rows stop arriving long before the
+# watermark reaches the d + 48 h expiry (never re-emitted).
+DWW_SLICE_HOURS = 72
 DWW_SLICE_OFFSET_HOURS = 12
 
 

@@ -472,3 +472,73 @@ def test_payload_planes_survive_non_ascii_text(spark):
         w, h, _maxval, samples = decode_ppm(bytes(r["img"]))
         assert (w, h) == (PPM_W, PPM_H)
         assert len(samples) == PPM_W * PPM_H * 3
+
+
+# ------------------------------------------------------------- GIF / LZW
+
+
+def test_gif_lzw_roundtrip_properties():
+    """Encoder and decoder are independent LZW implementations:
+    round-trip identity over runs (KwKwK first-entry case), cycles,
+    full-byte alphabets, and a 20000-symbol stream that crosses
+    every code-width boundary AND the 4096-entry dictionary-full
+    clear-code reset."""
+    import random
+
+    from db_mapreduce_project_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        b"a" * 100,                 # KwKwK immediately
+        b"ab" * 200,
+        b"abc" * 300,
+        bytes(range(256)) * 20,
+        bytes(rng.randrange(256) for _ in range(20000)),
+    ]
+    for data in cases:
+        w, h, gray = decode_gif(encode_gif(data))
+        assert (w, h) == (len(data), 1)
+        assert gray == data
+
+
+def test_gif_payloads_are_valid_images(spark, sf_dir):
+    """Every built payload is a structurally valid GIF87a whose
+    decoded plane is exactly the sanitized 48-byte body."""
+    from db_mapreduce_project_spark.operators.multimodal import (
+        _PPM_BODY_LEN,
+        build_gif_payloads,
+        decode_gif,
+    )
+    from db_mapreduce_project_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    for r in build_gif_payloads(d).collect():
+        img = bytes(r["img"])
+        assert img[:6] == b"GIF87a"
+        assert img[-1:] == b"\x3b"
+        w, h, gray = decode_gif(img)
+        assert (w, h) == (_PPM_BODY_LEN, 1)
+        assert len(gray) == _PPM_BODY_LEN
+        assert all(0x20 <= b <= 0x7E for b in gray)
+
+
+def test_gif_and_ppm_pipelines_agree(spark, sf_dir):
+    """The GIF pipeline must recover the identical channel sums the
+    PPM pipeline reads raw — the cross-codec losslessness pin."""
+    from db_mapreduce_project_spark.operators.multimodal import (
+        multimodal_decode_gif_stats,
+        multimodal_decode_stats,
+    )
+
+    gif = {
+        r.doc_id: (r.r_sum, r.g_sum, r.b_sum)
+        for r in multimodal_decode_gif_stats(spark, sf_dir).collect()
+    }
+    ppm = {
+        r.doc_id: (r.r_sum, r.g_sum, r.b_sum)
+        for r in multimodal_decode_stats(spark, sf_dir).collect()
+    }
+    assert gif == ppm
