@@ -1003,3 +1003,104 @@ def test_dww_sink_exactly_once_across_crash_restart(spark, sf_dir, tmp_path):
     want = _rows(_batch_distinct_day_triples(spark, sf_dir), cols)
     assert got == want
     assert got  # non-vacuous
+
+
+# ---------------------------------------------------------------
+# tws.py StatefulProcessor semantics WITHOUT the protobuf transport
+# ---------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_semantics_without_transport(spark, sf_dir):
+    """The container lacks protobuf, which gates only the
+    JVM<->Python TRANSPORT of transformWithStateInPandas — the
+    StatefulProcessor itself is plain Python.  Drive
+    UserTotalsProcessor directly through its public contract
+    (init/handleInputRows per key, state persisting across calls)
+    under TWO different micro-batch slicings and assert the final
+    per-user totals are slice-invariant and equal the batch
+    aggregate — the exactly-once state fold, executed in-process."""
+    import pandas as pd
+
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.streaming.tws import (
+        UserTotalsProcessor,
+    )
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.functions.stable import qsum
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .toPandas()
+    )
+
+    # keyed state: one ValueState per key, as the engine provides
+    class _KeyedProc(UserTotalsProcessor):
+        def init(self, handle):
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            self._state = self._handle.getValueState(
+                f"totals-{key[0]}", "n BIGINT, qs BIGINT"
+            )
+            yield from UserTotalsProcessor.handleInputRows(
+                self, key, rows, timerValues
+            )
+
+    def run_keyed(n_slices):
+        proc = _KeyedProc()
+        proc.init(_FakeHandle())
+        final = {}
+        for i in range(n_slices):
+            s = ev.iloc[i::n_slices]
+            for uid, grp in s.groupby("user_id"):
+                out = list(
+                    proc.handleInputRows(
+                        (uid,), iter([grp.reset_index(drop=True)]), None
+                    )
+                )
+                row = out[0].iloc[0]
+                final[int(uid)] = (
+                    int(row["n_events"]),
+                    float(row["sum_value"]),
+                )
+        return final
+
+    one = run_keyed(1)
+    many = run_keyed(7)
+    assert one == many  # slice-invariance of the quantized fold
+
+    batch = {
+        int(r.user_id): (int(r.n_events), float(r.sum_value))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            qsum("value", 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert one == batch
