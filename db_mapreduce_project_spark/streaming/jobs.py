@@ -34,6 +34,26 @@ from ..registry import register
 GAP = "5 minutes"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Scope spark.sql.shuffle.partitions for a streaming sink run.
+    A stateful micro-batch pays per-partition state-store open/
+    commit EVERY batch; at fixture scale 32 state partitions are
+    pure overhead (stream_sink_left_outer_join: 21.4 s -> 13.7 s at
+    8).  Production sizes this UP with state volume — the knob is
+    per-query because Spark pins a stream's state partitioning in
+    its checkpoint, so each fresh-checkpoint sink picks its own."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _scratch_dir(prefix: str) -> str:
     """mkdtemp that is removed at interpreter exit — streaming
     staging/checkpoint dirs are per-run scratch, and bench loops
@@ -975,14 +995,15 @@ def stream_sink_left_outer_join(
     root = _scratch_dir("stream_loj_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    q = stream_left_outer_attribution(spark, sf_dir, out, ckpt)
-    if not q.awaitTermination(300):
-        q.stop()
-        shutil.rmtree(root, ignore_errors=True)
-        raise TimeoutError(
-            "stream_sink_left_outer_join: stream did not terminate "
-            "within 300 s"
-        )
+    with _state_partitions(spark, 8):
+        q = stream_left_outer_attribution(spark, sf_dir, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            shutil.rmtree(root, ignore_errors=True)
+            raise TimeoutError(
+                "stream_sink_left_outer_join: stream did not terminate "
+                "within 300 s"
+            )
     sunk = spark.read.schema(
         "purchase_id bigint, p_user bigint, p_ts timestamp, "
         "amount double, click_id bigint"
@@ -1270,14 +1291,15 @@ def stream_sink_full_outer_join(
     root = _scratch_dir("stream_foj_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    q = stream_full_outer_attribution(spark, sf_dir, out, ckpt)
-    if not q.awaitTermination(300):
-        q.stop()
-        shutil.rmtree(root, ignore_errors=True)
-        raise TimeoutError(
-            "stream_sink_full_outer_join: stream did not terminate "
-            "within 300 s"
-        )
+    with _state_partitions(spark, 8):
+        q = stream_full_outer_attribution(spark, sf_dir, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            shutil.rmtree(root, ignore_errors=True)
+            raise TimeoutError(
+                "stream_sink_full_outer_join: stream did not terminate "
+                "within 300 s"
+            )
     sunk = spark.read.schema(
         "purchase_id bigint, p_user bigint, p_ts timestamp, "
         "amount double, click_id bigint, c_user bigint, c_ts timestamp"
@@ -1481,14 +1503,15 @@ def stream_sink_dedup_within_watermark(
     root = _scratch_dir("stream_dww_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    q = stream_dedup_within_watermark(spark, sf_dir, out, ckpt)
-    if not q.awaitTermination(300):
-        q.stop()
-        shutil.rmtree(root, ignore_errors=True)
-        raise TimeoutError(
-            "stream_sink_dedup_within_watermark: stream did not "
-            "terminate within 300 s"
-        )
+    with _state_partitions(spark, 8):
+        q = stream_dedup_within_watermark(spark, sf_dir, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            shutil.rmtree(root, ignore_errors=True)
+            raise TimeoutError(
+                "stream_sink_dedup_within_watermark: stream did not "
+                "terminate within 300 s"
+            )
     result = (
         read_dedup_pairs(spark, out)
         .orderBy("user_id", "event_type", "day")
