@@ -391,3 +391,9 @@ def test_ann_recall_500k_artifact_floors():
     # 100k rung: family size 50 == rerank_c 50 cut -> rerank holds
     assert get(100000, "ivfadc_rerank", 50)["recall"] >= 0.9
     assert get(100000, "ivf_topk")["recall"] >= 0.99
+    # LSH family at 500k: float scoring inside buckets holds
+    assert get(500000, "lsh_bucketed")["recall"] >= 0.95
+    assert get(500000, "lsh_multitable")["recall"] >= 0.99
+    # SQ8's collapse is the same quantization-tie mechanism as raw
+    # ADC: the clone perturbation is ~1 int8 step (documented)
+    assert get(500000, "sq8_adc")["recall"] < 0.5
