@@ -542,3 +542,64 @@ def test_gif_and_ppm_pipelines_agree(spark, sf_dir):
         for r in multimodal_decode_stats(spark, sf_dir).collect()
     }
     assert gif == ppm
+
+
+def test_gif_anim_roundtrip_and_extension_walk():
+    """Multi-frame container: NETSCAPE + per-frame GCE extensions
+    must be walked structurally (not pattern-matched), every frame
+    LZW round-trips, and single-frame decode_gif rejects an
+    animation (frame-count contract)."""
+    import random
+
+    import pytest as _pytest
+
+    from db_mapreduce_project_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    rng = random.Random(5)
+    frames = [
+        bytes(rng.randrange(256) for _ in range(48)) for _ in range(6)
+    ]
+    buf = encode_gif_anim(frames, 48)
+    assert buf[:6] == b"GIF89a"
+    w, h, got = decode_gif_frames(buf)
+    assert (w, h) == (48, 1)
+    assert got == frames
+    with _pytest.raises(ValueError, match="expected 1 frame"):
+        decode_gif(buf)
+
+
+def test_video_frame_sampling_decodes_only_kept_frames(spark, sf_dir):
+    """The sampled output: frames 0 and 2 of 4 per doc, each
+    frame's sums equal the direct window arithmetic on the
+    sanitized text."""
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.operators.multimodal import (
+        _PPM_BODY_LEN,
+        VID_STEP,
+        multimodal_video_frame_stats,
+    )
+    import re
+
+    out = multimodal_video_frame_stats(spark, sf_dir).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 2] for v in by_doc.values())
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").limit(20).collect()
+    }
+    for doc_id, text in docs.items():
+        clean = re.sub(r"[^ -~]", "x", text or "")
+        body = (clean[:120] + "x" * 120)[:120]
+        for r in [x for x in out if x.doc_id == doc_id]:
+            win = body[r.frame_idx * VID_STEP :][:_PPM_BODY_LEN]
+            want = [0, 0, 0]
+            for j, ch in enumerate(win):
+                want[j % 3] += ord(ch)
+            assert (r.r_sum, r.g_sum, r.b_sum) == tuple(want), doc_id
