@@ -29,8 +29,9 @@ container) is from-scratch too — see operators/jpeg.py.  Round 8
 adds GIF87a/LZW (seventh codec) AND a multi-frame GIF89a animation
 pipeline (`multimodal_video_frame_stats`): container walk over
 extension blocks + per-sampled-frame LZW decode — the video
-frame-sampling stage over a real multi-frame container.  Only
-CODEC video (H.264/VP9) and the FLAC/MP3 container stacks remain
+frame-sampling stage over a real multi-frame container — plus a
+from-scratch FLAC subset (operators/flac.py; the WAV->FLAC->stats
+pipeline below).  Only CODEC video (H.264/VP9) and MP3 remain
 env-gated: they genuinely need native libraries this environment
 doesn't ship; they would plug into the same kernels via the
 identical (binary -> parsed array -> stats) shape.
@@ -915,6 +916,64 @@ def multimodal_decode_rice_stats(
     return stats.orderBy("doc_id")
 
 
+# ---------------------------------------------------------------- FLAC
+# Eighth codec: the FLAC container + fixed-prediction + Rice-
+# partition subset in operators/flac.py (from-scratch; retires the
+# 'FLAC remains env-gated' concession).  Pipeline mirrors the Rice
+# one: real WAV payloads -> RIFF decode -> FLAC encode -> FLAC
+# decode (CRC-8/CRC-16/MD5 verified) -> per-channel stats under
+# the SAME sample-plane value-hash oracle.
+
+
+def _flac_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from .flac import decode_flac, encode_flac
+
+    for pdf in batches:
+        out = []
+        for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+            n_ch, rate, samples = decode_wav(bytes(wav))
+            packed = encode_flac(samples.astype(np.int64), n_ch, rate)
+            got_ch, got_rate, got = decode_flac(packed)
+            if got_ch != n_ch or got_rate != rate or not (got == samples).all():
+                raise ValueError(
+                    f"flac round-trip mismatch for doc {doc_id}"
+                )
+            frames = got.reshape(-1, got_ch).astype(np.int64)
+            out.append(
+                (
+                    doc_id,
+                    frames.shape[0],
+                    got_rate,
+                    int(frames[:, 0].sum()),
+                    int(frames[:, 1].sum()),
+                    int(np.abs(frames).max()),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_frames", "rate", "l_sum", "r_sum", "peak"],
+        )
+
+
+def multimodal_decode_flac_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END FLAC: real WAV payloads -> RIFF decode -> from-
+    scratch FLAC encode (STREAMINFO + MD5, framed CRC-8/CRC-16,
+    per-subframe CONSTANT/FIXED/VERBATIM choice, Rice partitions)
+    -> from-scratch FLAC decode -> per-channel stats.  Equal to the
+    plain WAV pipeline by construction, so the same value-hash
+    oracle certifies the whole container+prediction+entropy loop
+    lossless."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = build_wav_payloads(d).mapInPandas(
+        _flac_stats_batches, schema=WAV_STATS_SCHEMA
+    )
+    return stats.orderBy("doc_id")
+
+
 # -------------------------------------------------------------- μ-law
 # G.711 μ-law companding constants (public ITU-T spec / the classic
 # linear2ulaw implementation): clamp, bias, 8 exponent segments.
@@ -1508,6 +1567,13 @@ register(
     "multimodal_audio_mulaw_stats",
     multimodal_audio_mulaw_stats,
     MULTIMODAL_AUDIO_MULAW_STATS_ORACLE,
+)
+register(
+    "multimodal_decode_flac_stats",
+    multimodal_decode_flac_stats,
+    # same sample-plane arithmetic as WAV/Rice: the FLAC pipeline
+    # must reconstruct the identical samples
+    MULTIMODAL_DECODE_WAV_STATS_ORACLE,
 )
 register(
     "multimodal_decode_rice_stats",
