@@ -806,3 +806,84 @@ register(
     sample_reservoir_per_group,
     SAMPLE_RESERVOIR_PER_GROUP_ORACLE,
 )
+
+
+# ---------------------------------------------------------------
+# SQL-DEFINED functions (Spark 4 CREATE FUNCTION ... RETURN):
+# a scalar SQL UDF and a SQL table function (RETURNS TABLE),
+# both resolved by the analyzer and INLINED into the plan — the
+# declarative alternative to Python UDFs: zero serialization
+# boundary, full codegen, the right way to package reusable
+# expression logic at 100 TB.  The table function drives a LATERAL
+# join over documents (the tokenizer as a SQL-defined UDTF).
+# ---------------------------------------------------------------
+def sql_defined_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE
+        RETURN p * (1.0 - d)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION doc_tokens(s STRING)
+        RETURNS TABLE(tok STRING)
+        RETURN SELECT explode(filter(
+                 split(lower(regexp_replace(s, '[^a-zA-Z ]', '')), ' '),
+                 t -> t != ''))
+        """
+    )
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_returnflag,
+                 CAST(sum(CAST(floor(disc_price(l_extendedprice, l_discount)
+                                     * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS rev_cents,
+                 count(*) AS n_items
+          FROM lineitem
+          GROUP BY l_returnflag
+        ),
+        toks AS (
+          SELECT count(*) AS n_tokens, count(DISTINCT t.tok) AS n_distinct
+          FROM documents d, LATERAL doc_tokens(d.text) t
+          WHERE d.doc_id < 100
+        )
+        SELECT r.l_returnflag, r.rev_cents, r.n_items,
+               t.n_tokens, t.n_distinct
+        FROM rev r CROSS JOIN toks t
+        ORDER BY r.l_returnflag
+        """
+    )
+
+
+SQL_DEFINED_FUNCTIONS_ORACLE = """
+WITH rev AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                             * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+         count(*) AS n_items
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+toks AS (
+  SELECT count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+  FROM (
+    SELECT unnest(list_filter(
+             string_split(lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')),
+                          ' '),
+             t -> t <> '')) AS tok
+    FROM documents WHERE doc_id < 100
+  )
+)
+SELECT r.l_returnflag, r.rev_cents, r.n_items, t.n_tokens, t.n_distinct
+FROM rev r CROSS JOIN toks t
+ORDER BY r.l_returnflag
+"""
+
+register(
+    "sql_defined_functions", sql_defined_functions, SQL_DEFINED_FUNCTIONS_ORACLE
+)
