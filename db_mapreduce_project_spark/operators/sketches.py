@@ -797,3 +797,45 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sketch_tdigest_quantiles", sketch_tdigest_quantiles)
+
+
+# ---------------------------------------------------------------------------
+# Spark's BUILT-IN approximate percentile (percentile_approx — the
+# Greenwald-Khanna-style QuantileSummaries): registered rows-only
+# like the t-digest (its merged summary depends on partition visit
+# order, so it cannot sit under the cross-engine value hash) and
+# certified by the same property discipline — rank error <= n/acc
+# vs the exact order statistic (tests/test_sketches.py).  With the
+# t-digest this closes the quantile family's fourth quadrant:
+# {order-free oracled (histogram), from-scratch property-certified
+# (t-digest), engine-native property-certified (this)}.
+# ---------------------------------------------------------------------------
+
+AP_ACCURACY = 1000
+AP_PERCENTILES = (0.5, 0.9, 0.99)
+
+
+def approx_percentile_builtin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", list(AP_PERCENTILES), AP_ACCURACY
+            ).alias("pcts"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register("approx_percentile_builtin", approx_percentile_builtin)

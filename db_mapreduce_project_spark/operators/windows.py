@@ -459,3 +459,67 @@ register(
     window_time_range_rolling,
     WINDOW_TIME_RANGE_ROLLING_ORACLE,
 )
+
+
+# ---------------------------------------------------------------
+# Null-aware navigation: lead/lag/first/last with IGNORE NULLS and
+# nth_value — the gap-bridging window surface (carry last known
+# reading forward across nulls), completing the navigation-family
+# coverage.  The null pattern is deterministic (event_id % 3 == 0
+# masks value), so both engines see the identical null placement.
+# ---------------------------------------------------------------
+def window_nulls_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    masked = e.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 3 != 0, qint("value", 4)).alias("qv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        masked.select(
+            "user_id",
+            "event_id",
+            (F.col("qv") / 10000.0).alias("v"),
+            (F.lag("qv", 1).over(w) / 10000.0).alias("prev_any"),
+            (F.last("qv", ignorenulls=True).over(w) / 10000.0).alias(
+                "carry_forward"
+            ),
+            (
+                F.first("qv", ignorenulls=True).over(wfull) / 10000.0
+            ).alias("first_known"),
+            (F.nth_value("qv", 2).over(wfull) / 10000.0).alias("second_row"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_NULLS_NAVIGATION_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 3 <> 0
+              THEN {duck_qint("value", 4)} END AS qv
+  FROM events
+  WHERE user_id % 25 = 0
+)
+SELECT user_id, event_id,
+       CAST(qv AS DOUBLE) / 10000.0 AS v,
+       CAST(lag(qv, 1) OVER w AS DOUBLE) / 10000.0 AS prev_any,
+       CAST(last_value(qv IGNORE NULLS) OVER w AS DOUBLE) / 10000.0
+           AS carry_forward,
+       CAST(first_value(qv IGNORE NULLS) OVER wf AS DOUBLE) / 10000.0
+           AS first_known,
+       CAST(nth_value(qv, 2) OVER wf AS DOUBLE) / 10000.0 AS second_row
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+       wf AS (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id, event_id
+"""
+
+register(
+    "window_nulls_navigation",
+    window_nulls_navigation,
+    WINDOW_NULLS_NAVIGATION_ORACLE,
+)

@@ -189,3 +189,28 @@ def test_tdigest_compress_invariants():
         est = sk.td_quantile(m, w, float(v.min()), float(v.max()), q)
         r = np.searchsorted(exact, est, side="right")
         assert abs(r - q * len(v)) <= bound, (q, est)
+
+
+def test_builtin_approx_percentile_rank_bound(spark):
+    # percentile_approx's GK-style guarantee: rank error <= n/acc
+    # (plus slack for the merge of per-partition summaries)
+    import bisect
+
+    rows = sk.approx_percentile_builtin(spark, SF_CORRECT).collect()
+    li = (
+        sk.load_table(spark, SF_CORRECT, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for r in rows:
+        vals = sorted(by_flag[r.l_returnflag])
+        n = len(vals)
+        assert r.n == n
+        bound = 2.0 * n / sk.AP_ACCURACY + 2
+        for q, est in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            rank = bisect.bisect_right(vals, est)
+            assert abs(rank - q * n) <= bound, (r.l_returnflag, q, est)
+            assert vals[0] <= est <= vals[-1]
