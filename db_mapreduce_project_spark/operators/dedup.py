@@ -1734,8 +1734,65 @@ register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
 register(
     "dedup_clusters_largestar", dedup_clusters_largestar, DEDUP_CLUSTERS_ORACLE
 )
+def dedup_keepers_by_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Policy-driven keeper selection: within each near-duplicate
+    component the SURVIVOR is the highest-quality member (longest
+    text by n_chars, doc_id ASC tiebreak) instead of apply_keepers'
+    min-id convention — the policy production dedup actually ships
+    (the longest near-duplicate usually dominates its truncated
+    copies).  One map-side-combining max_by per component; the
+    quality column rides the label shuffle, no extra join against
+    the corpus afterwards."""
+    labels = _min_label_assignments(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return (
+        labels.join(docs, "doc_id")
+        .groupBy("label")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), -F.col("doc_id"))
+            ).alias("keeper_doc_id"),
+            F.max("n_chars").alias("keeper_chars"),
+            (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+        )
+        .select("keeper_doc_id", "keeper_chars", "n_suppressed")
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_KEEPERS_BY_QUALITY_ORACLE = f"""{_CC_COMP_CTES},
+scored AS (
+  SELECT c.label, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT label, doc_id, n_chars,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT r.doc_id AS keeper_doc_id,
+       CAST(r.n_chars AS BIGINT) AS keeper_chars,
+       CAST(g.n - 1 AS BIGINT) AS n_suppressed
+FROM ranked r
+JOIN (SELECT label, count(*) AS n FROM scored GROUP BY label) g
+  ON g.label = r.label
+WHERE r.rk = 1
+ORDER BY keeper_doc_id
+"""
+
+
 register(
     "dedup_apply_keepers", dedup_apply_keepers, DEDUP_APPLY_KEEPERS_ORACLE
+)
+register(
+    "dedup_keepers_by_quality",
+    dedup_keepers_by_quality,
+    DEDUP_KEEPERS_BY_QUALITY_ORACLE,
 )
 
 
