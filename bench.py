@@ -127,6 +127,14 @@ HEADLINE = [
     "sketch_tdigest_quantiles",
     "stream_sink_full_outer_join",
     "stream_sink_dedup_within_watermark",
+    "fuzzy_jaro_winkler",
+    "multimodal_decode_gif_stats",
+    "multimodal_video_frame_stats",
+    "multimodal_decode_flac_stats",
+    "sql_defined_functions",
+    "window_nulls_navigation",
+    "approx_percentile_builtin",
+    "dedup_keepers_by_quality",
 ]
 
 

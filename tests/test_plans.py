@@ -250,9 +250,9 @@ _UNKEYED_JOIN_OK = {
     "ann_cosine_topk_bruteforce",
     "dedup_embedding_cosine_bruteforce",
     "ann_ivf_topk",          # broadcast NLJ against N_CELLS centroids
-    "fuzzy_levenshtein",     # edit-distance theta join (documented)
     "join_range",            # theta join (documented range predicate)
     "sql_subqueries",        # 1-row scalar subquery comparison
+    "sql_defined_functions", # 1-row token-stats scalar cross join
     "q19_disjunctive_predicates",  # OR-of-ANDs join predicate
     "sql_api_revenue",
     "q22_idle_customers",    # 1-row scalar avg broadcast comparison
