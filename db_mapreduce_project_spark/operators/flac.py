@@ -124,12 +124,29 @@ class _R:
         return v
 
     def unary(self) -> int:
+        """Count zeros to the terminating 1, scanning whole bytes:
+        the common case (q < 8) costs one table-free bit-scan
+        instead of per-bit reads."""
         q = 0
-        while self.r(1) == 0:
-            q += 1
-            if q > 1 << 20:
-                raise ValueError("flac unary run too long")
-        return q
+        buf, pos = self.buf, self.pos
+        nbits = len(buf) * 8
+        while True:
+            if pos >= nbits:
+                raise ValueError("flac stream truncated in unary")
+            byte = buf[pos >> 3]
+            avail = 8 - (pos & 7)
+            chunk = byte & ((1 << avail) - 1)
+            if chunk == 0:
+                q += avail
+                pos += avail
+                if q > 1 << 20:
+                    raise ValueError("flac unary run too long")
+                continue
+            lead = avail - chunk.bit_length()  # zeros before the 1
+            q += lead
+            pos += lead + 1
+            self.pos = pos
+            return q
 
     def signed(self, nbits: int) -> int:
         v = self.r(nbits)
@@ -220,9 +237,13 @@ def _encode_subframe(w: "_W", x: np.ndarray, bps: int) -> None:
     w.w(0, 2)
     w.w(0, 4)
     w.w(k, 4)
+    mask = (1 << k) - 1
+    one = 1 << k
     for uv in _zigzag(res):
-        w.unary(int(uv) >> k)
-        w.w(int(uv) & ((1 << k) - 1), k)
+        uv = int(uv)
+        # q zeros + terminating 1 + k remainder bits, fused into ONE
+        # accumulator write: value (1<<k)|rem at width q+1+k
+        w.w(one | (uv & mask), (uv >> k) + 1 + k)
 
 
 def _decode_subframe(r: "_R", n: int, bps: int) -> np.ndarray:

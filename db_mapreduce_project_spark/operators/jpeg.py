@@ -468,9 +468,11 @@ def build_jpeg_payloads(d: DataFrame) -> DataFrame:
     as the WAV pipeline: `_ascii_body` guarantees byte == ascii(char)
     for any input).  The source plane rides along for the loss-bound
     column."""
+    from .multimodal import _spread
+
     body = _ascii_body(JPEG_BODY_LEN)
     src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return src.mapInPandas(
+    return _spread(src).mapInPandas(
         _encode_jpeg_batches, schema="doc_id bigint, body binary, img binary"
     )
 

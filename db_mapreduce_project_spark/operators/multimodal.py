@@ -408,6 +408,17 @@ def _ascii_px_sql(n: int) -> str:
     )
 
 
+def _spread(d: DataFrame, min_parts: int = 8, parts: int = 32) -> DataFrame:
+    """Parallelize a Python-codec kernel stage: the fixture parquet
+    is single-row-group, so without this the whole per-doc codec
+    loop runs in ONE task.  Only widens narrow inputs — at real
+    scale the scan already has thousands of partitions and this is
+    a no-op (never a coalesce)."""
+    if d.rdd.getNumPartitions() < min_parts:
+        return d.repartition(parts)
+    return d
+
+
 def build_ppm_payloads(d: DataFrame) -> DataFrame:
     """Assemble a REAL P6 PPM container per document, entirely
     JVM-side: ASCII header + 48 raw sample bytes taken from the
@@ -487,7 +498,7 @@ def build_png_payloads(d: DataFrame) -> DataFrame:
     operators."""
     body = _ascii_body(_PPM_BODY_LEN)
     src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return src.mapInPandas(_encode_png_batches, schema="doc_id bigint, img binary")
+    return _spread(src).mapInPandas(_encode_png_batches, schema="doc_id bigint, img binary")
 
 
 def _decode_png_stats_batches(
@@ -658,7 +669,7 @@ def build_wav_payloads(d: DataFrame) -> DataFrame:
     row-by-row through Python between operators."""
     body = _ascii_body(WAV_BODY_LEN)
     src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return src.mapInPandas(
+    return _spread(src).mapInPandas(
         _encode_wav_batches, schema="doc_id bigint, wav binary"
     )
 
@@ -1360,7 +1371,7 @@ def build_gif_payloads(d: DataFrame) -> DataFrame:
     express, so the build runs in an Arrow mapInPandas kernel."""
     body = _ascii_body(_PPM_BODY_LEN)
     src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return src.mapInPandas(
+    return _spread(src).mapInPandas(
         _encode_gif_batches, schema="doc_id bigint, img binary"
     )
 
@@ -1459,7 +1470,7 @@ def _encode_gif_anim_batches(
 def build_gif_anim_payloads(d: DataFrame) -> DataFrame:
     body = _ascii_body(_VID_BODY_LEN)
     src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return src.mapInPandas(
+    return _spread(src).mapInPandas(
         _encode_gif_anim_batches, schema="doc_id bigint, vid binary"
     )
 
