@@ -296,6 +296,8 @@ def encode_flac(samples: np.ndarray, n_channels: int, rate: int) -> bytes:
         raise ValueError(f"rate {rate} not in subset table")
     frames = samples.reshape(-1, n_channels)
     n = frames.shape[0]
+    if n == 0:
+        raise ValueError("cannot encode an empty sample stream")
     blocksize = min(n, 4096)
     md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
 
@@ -368,6 +370,10 @@ def decode_flac(buf: bytes) -> tuple[int, int, np.ndarray]:
             break
     if rate is None or bps != 16:
         raise ValueError("missing STREAMINFO / unsupported bps")
+    if total == 0:
+        # encode_flac refuses empty streams, so a zero-sample
+        # STREAMINFO is malformed input, not a degenerate success
+        raise ValueError("empty stream: STREAMINFO total_samples == 0")
 
     frames = []
     got = 0

@@ -1295,6 +1295,8 @@ def decode_gif_frames(buf: bytes) -> tuple[int, int, list]:
     pipeline picks which frames to decode by index."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(buf) < 13:
+        raise ValueError("truncated GIF: short header")
     w = int.from_bytes(buf[6:8], "little")
     h = int.from_bytes(buf[8:10], "little")
     flags = buf[10]
@@ -1302,21 +1304,33 @@ def decode_gif_frames(buf: bytes) -> tuple[int, int, list]:
     palette = None
     if flags & 0x80:
         size = 2 << (flags & 0x07)
+        if pos + 3 * size > len(buf):
+            raise ValueError("truncated GIF: short global color table")
         palette = buf[pos : pos + 3 * size]
         pos += 3 * size
     frames: list[bytes] = []
+    end = len(buf)
     while True:
+        if pos >= end:
+            raise ValueError("truncated GIF: missing trailer")
         block = buf[pos]
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while buf[pos] != 0:
-                pos += 1 + buf[pos]
-            pos += 1
+            while True:
+                if pos >= end:
+                    raise ValueError("truncated GIF: unterminated extension")
+                n = buf[pos]
+                if n == 0:
+                    pos += 1
+                    break
+                pos += 1 + n
             continue
         if block != 0x2C:
             raise ValueError(f"unsupported block 0x{block:02x}")
+        if pos + 11 > end:
+            raise ValueError("truncated GIF: short image descriptor")
         iw = int.from_bytes(buf[pos + 5 : pos + 7], "little")
         ih = int.from_bytes(buf[pos + 7 : pos + 9], "little")
         if buf[pos + 9] & 0xC0:
@@ -1326,10 +1340,14 @@ def decode_gif_frames(buf: bytes) -> tuple[int, int, list]:
         pos += 1
         data = bytearray()
         while True:
+            if pos >= end:
+                raise ValueError("truncated GIF: unterminated image data")
             n = buf[pos]
             pos += 1
             if n == 0:
                 break
+            if pos + n > end:
+                raise ValueError("truncated GIF: short data sub-block")
             data += buf[pos : pos + n]
             pos += n
         out = _lzw_decode(bytes(data), min_code)

@@ -52,6 +52,20 @@ def test_integrity_checks_fire():
         decode_flac(b"fLaX" + bytes(buf[4:]))
 
 
+def test_empty_stream_rejected_clearly():
+    # ADVICE r8: zero samples must be a clear validation error on
+    # BOTH sides, not an opaque numpy failure deep in decode
+    with pytest.raises(ValueError, match="empty sample stream"):
+        encode_flac(np.zeros(0, dtype=np.int64), 1, 8000)
+    # a hand-built total_samples == 0 STREAMINFO (malformed input —
+    # the encoder refuses to produce it) must also raise cleanly
+    buf = bytearray(encode_flac(np.arange(64, dtype=np.int64), 1, 8000))
+    buf[21] &= 0xF0  # total_samples<35:32> low nibble of byte 21
+    buf[22:26] = b"\x00\x00\x00\x00"  # total_samples<31:0>
+    with pytest.raises(ValueError, match="total_samples == 0"):
+        decode_flac(bytes(buf))
+
+
 def test_crc_reference_vectors():
     # CRC-8 poly 0x07 and CRC-16 poly 0x8005 against the classic
     # '123456789' check values (0xF4 and 0xFEE8 — BUYPASS variant)

@@ -572,6 +572,31 @@ def test_gif_anim_roundtrip_and_extension_walk():
         decode_gif(buf)
 
 
+def test_gif_truncation_raises_valueerror_not_indexerror():
+    """ADVICE r8: a truncated/corrupt GIF must fail the parser's
+    ValueError contract at EVERY cut point, never an IndexError
+    from unchecked buf[pos] walks."""
+    import random
+
+    import pytest as _pytest
+
+    from db_mapreduce_project_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    rng = random.Random(11)
+    frames = [
+        bytes(rng.randrange(256) for _ in range(48)) for _ in range(3)
+    ]
+    buf = encode_gif_anim(frames, 48)
+    # every proper prefix must raise ValueError (truncated / not a
+    # GIF / short header), never IndexError
+    for cut in range(len(buf)):
+        with _pytest.raises(ValueError):
+            decode_gif_frames(buf[:cut])
+
+
 def test_video_frame_sampling_decodes_only_kept_frames(spark, sf_dir):
     """The sampled output: frames 0 and 2 of 4 per doc, each
     frame's sums equal the direct window arithmetic on the
