@@ -53,7 +53,12 @@ from .similarity import (
     N_PLANES,
     N_PROBE,
     QUERY_MOD,
+    RERANK_C_CAP,
+    RERANK_C_FLOOR,
     TOPK,
+    ivfadc_budget_ctes,
+    ivfadc_collision_budget,
+    ivfadc_index,
     ivfadc_oracle_ctes,
     ivfadc_scored_from,
     sq8_oracle_ctes,
@@ -67,7 +72,11 @@ BM25_B = 0.75
 BM25_TOPK = 10
 BM25_SCALE = 1_000_000_000  # per-term quantization before the doc sum
 
-RERANK_C = 25  # coarse candidates fetched per query for the exact stage
+# fixed coarse-candidate floor for the LSH/SQ8 two-stage form; the
+# IVFADC rerank derives its budget from the code-collision histogram
+# (ivfadc_collision_budget) with this as the floor and RERANK_C_CAP
+# as the ceiling
+RERANK_C = RERANK_C_FLOOR
 
 
 def bm25_scored_from(d: DataFrame) -> DataFrame:
@@ -287,33 +296,64 @@ ANN_TWO_STAGE_RERANK_ORACLE = _two_stage_oracle_sql()
 register("ann_two_stage_rerank", ann_two_stage_rerank, ANN_TWO_STAGE_RERANK_ORACLE)
 
 
+def ivfadc_rerank_cands_from(
+    e: DataFrame,
+    rerank_c: int | None = None,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """The IVFADC coarse stage alone — (q_id, n_id) candidates from
+    the ADC ranking, cut to the adaptive (rerank_c=None) or pinned
+    budget.  Exposed separately so the per-stage latency harness
+    times the SAME subplan the serving pipeline runs."""
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    ranked = ivfadc_scored_from(e, n_cells, n_probe).withColumn(
+        "crk", F.row_number().over(wc)
+    )
+    if rerank_c is None:
+        # the budget subtree re-derives the SAME codes (shared
+        # ivfadc_index build) and folds them to one broadcast row —
+        # two metadata-scale aggs over the ~6-byte/vector index
+        _, _, _, codes = ivfadc_index(e, n_cells)
+        budget = ivfadc_collision_budget(codes, RERANK_C_CAP)
+        return (
+            ranked.crossJoin(F.broadcast(budget))
+            .where(F.col("crk") <= F.col("c_budget"))
+            .select("q_id", "n_id")
+        )
+    return ranked.where(F.col("crk") <= rerank_c).select("q_id", "n_id")
+
+
 def ivfadc_rerank_from(
     e: DataFrame,
-    rerank_c: int = RERANK_C,
+    rerank_c: int | None = None,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
 ) -> DataFrame:
     """IVFADC + exact rerank over a (vec_id, embedding) relation:
     the ADC stage (shared ivfadc_scored_from — the two pipelines
-    cannot drift) keeps the top RERANK_C candidates per query;
-    only those fetch full-precision vectors for the exact cosine
-    that produces the final top-5.  This is the complete serving
-    shape of Jégou et al. TPAMI 2011 (IVFADC-R / FAISS
-    IndexIVFPQ + refine): the ADC stage reads codes + norms only
-    (~6 bytes/vector), and the exact stage's join cardinality is
-    |queries| x RERANK_C, independent of corpus size — which is
-    what buys back the quantization loss (measured: clustered
-    clone-family recall 0.79 -> 1.0) without ever scanning
-    full-precision vectors."""
-    wc = Window.partitionBy("q_id").orderBy(
-        F.col("adc").desc(), F.col("n_id").asc()
-    )
-    cands = (
-        ivfadc_scored_from(e, n_cells, n_probe)
-        .withColumn("crk", F.row_number().over(wc))
-        .where(F.col("crk") <= rerank_c)
-        .select("q_id", "n_id")
-    )
+    cannot drift) keeps the top candidates per query; only those
+    fetch full-precision vectors for the exact cosine that produces
+    the final top-5.  This is the complete serving shape of Jégou
+    et al. TPAMI 2011 (IVFADC-R / FAISS IndexIVFPQ + refine): the
+    ADC stage reads codes + norms only (~6 bytes/vector), and the
+    exact stage's join cardinality is |queries| x budget,
+    independent of corpus size.
+
+    rerank_c=None (the default, and the registered form) derives
+    the budget FROM THE DATA via the PQ-code collision histogram
+    (ivfadc_collision_budget): the round-8 certification measured
+    that any fixed cut smaller than the largest code-collision
+    cluster collapses recall on duplicate-heavy corpora
+    (ANN_RECALL_r8.json: 0.23 at c=50 on 250-clone families), so
+    the serving operator now sizes the exact stage as
+    least(4096, greatest(25, max_cluster + k)) with no hand
+    tuning.  An explicit int pins the cut (used by the recall-sweep
+    harness to demonstrate the failure mode the adaptive form
+    avoids)."""
+    cands = ivfadc_rerank_cands_from(e, rerank_c, n_cells, n_probe)
     q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -343,17 +383,20 @@ def ann_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfadc_rerank_oracle_sql() -> str:
     """DuckDB mirror: the SHARED IVFADC prefix (similarity.py
     ivfadc_oracle_ctes — identical centroids, residual codebook,
-    codes, quantize-then-sum ADC), then the candidate cut and the
-    exact-cosine rerank fold."""
+    codes, quantize-then-sum ADC), the SHARED adaptive-budget fold
+    (ivfadc_budget_ctes — identical packed code key, histogram, and
+    least/greatest clamp), then the data-derived candidate cut and
+    the exact-cosine rerank fold."""
     return f"""
 WITH {ivfadc_oracle_ctes()},
+{ivfadc_budget_ctes()},
 cands AS (
   SELECT q_id, n_id FROM (
     SELECT q_id, n_id,
            row_number() OVER (PARTITION BY q_id
                 ORDER BY adc DESC, n_id ASC) AS crk
     FROM scored
-  ) WHERE crk <= {RERANK_C}
+  ) t, cbudget WHERE t.crk <= cbudget.c_budget
 ),
 rerank AS (
   SELECT c.q_id, c.n_id,
@@ -528,13 +571,18 @@ register("text_hybrid_rrf_topk", text_hybrid_rrf_topk, TEXT_HYBRID_RRF_ORACLE)
 MRL_DIM = 16  # prefix dims used by the whole coarse index (of 64)
 
 
-def mrl_rerank_from(
+def mrl_cands_from(
     e: DataFrame,
     rerank_c: int = RERANK_C,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     mrl_dim: int = MRL_DIM,
 ) -> DataFrame:
+    """The MRL coarse stage alone — (q_id, n_id) candidates from the
+    truncated-dimension IVF index, cut to the top rerank_c per query
+    by truncated cosine.  Exposed separately so the per-stage
+    latency harness (scripts/ann_recall_scale.py) times the SAME
+    subplan the serving pipeline runs."""
     from .similarity import ivf_assign, ivf_centroids, ivf_probes
     from ..functions.vectors import l2
 
@@ -548,7 +596,7 @@ def mrl_rerank_from(
     wc = Window.partitionBy("q_id").orderBy(
         F.col("tcos").desc(), F.col("n_id").asc()
     )
-    cands = (
+    return (
         probes.join(
             assigned.select(
                 F.col("vec_id").alias("n_id"),
@@ -568,6 +616,16 @@ def mrl_rerank_from(
         .where(F.col("crk") <= rerank_c)
         .select("q_id", "n_id")
     )
+
+
+def mrl_rerank_from(
+    e: DataFrame,
+    rerank_c: int = RERANK_C,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    mrl_dim: int = MRL_DIM,
+) -> DataFrame:
+    cands = mrl_cands_from(e, rerank_c, n_cells, n_probe, mrl_dim)
     full_q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("fq")
     )
