@@ -923,7 +923,11 @@ register(
 
 
 def stream_left_outer_attribution(
-    spark: SparkSession, sf_dir: str, out: str, ckpt: str
+    spark: SparkSession,
+    sf_dir: str,
+    out: str,
+    ckpt: str,
+    source_dir: str | None = None,
 ):
     """Left-outer stream-stream interval join into an append parquet
     sink: every purchase joined to the same user's clicks in the
@@ -933,9 +937,14 @@ def stream_left_outer_attribution(
     the inner form never exercises.  Both sides carry 10-minute
     watermarks so join state is bounded (clicks age out 30 minutes
     + delay past the purchase-side frontier; unmatched purchases age
-    out at the click-side frontier)."""
+    out at the click-side frontier).
+
+    `source_dir` overrides the fixture with a pre-staged directory
+    of time-sliced parquet files (one micro-batch each — the stress
+    ladder uses this to observe per-batch state eviction; the
+    staging must append its own flush-sentinel file)."""
     clicks = (
-        _stream_events(spark, sf_dir, flush_sentinel=True)
+        _stream_events(spark, sf_dir, flush_sentinel=True, source_dir=source_dir)
         .where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -945,7 +954,7 @@ def stream_left_outer_attribution(
         .withWatermark("c_ts", "10 minutes")
     )
     purchases = (
-        _stream_events(spark, sf_dir, flush_sentinel=True)
+        _stream_events(spark, sf_dir, flush_sentinel=True, source_dir=source_dir)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -1217,7 +1226,11 @@ register(
 
 
 def stream_full_outer_attribution(
-    spark: SparkSession, sf_dir: str, out: str, ckpt: str
+    spark: SparkSession,
+    sf_dir: str,
+    out: str,
+    ckpt: str,
+    source_dir: str | None = None,
 ):
     """Full-outer stream-stream interval join into an append parquet
     sink.  Same interval condition as the left-outer sink (clicks in
@@ -1226,9 +1239,10 @@ def stream_full_outer_attribution(
     global watermark passes p_ts (no earlier click can still
     arrive), a click when it passes c_ts + 30 min (no purchase it
     could precede can still arrive).  State on each side is bounded
-    by its eviction frontier exactly as in the left-outer case."""
+    by its eviction frontier exactly as in the left-outer case.
+    `source_dir` as in stream_left_outer_attribution."""
     clicks = (
-        _stream_events(spark, sf_dir, flush_sentinel=True)
+        _stream_events(spark, sf_dir, flush_sentinel=True, source_dir=source_dir)
         .where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -1238,7 +1252,7 @@ def stream_full_outer_attribution(
         .withWatermark("c_ts", "10 minutes")
     )
     purchases = (
-        _stream_events(spark, sf_dir, flush_sentinel=True)
+        _stream_events(spark, sf_dir, flush_sentinel=True, source_dir=source_dir)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -1412,14 +1426,22 @@ DWW_SLICE_HOURS = 72
 DWW_SLICE_OFFSET_HOURS = 12
 
 
-def _stage_events_time_slices(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the events fixture as one parquet file per 24-hour
-    slice, slice boundaries OFFSET to noon so every day-bucket key
-    spans exactly two micro-batches (cross-batch suppression is
-    exercised, not just in-batch dedup).  Files get ascending mtimes
-    so the file source replays them in event-time order — which is
-    what makes the watermark progression, and therefore the
-    TTL-dedup output, deterministic."""
+def _stage_events_time_slices(
+    spark: SparkSession, sf_dir: str, flush_sentinel: bool = False
+) -> str:
+    """Stage the events fixture as one parquet file per slice
+    (DWW_SLICE_HOURS), slice boundaries OFFSET to noon so every
+    day-bucket key spans exactly two micro-batches (cross-batch
+    suppression is exercised, not just in-batch dedup).  Files get
+    ascending mtimes so the file source replays them in event-time
+    order — which is what makes the watermark progression, and
+    therefore the TTL-dedup output, deterministic.
+
+    flush_sentinel appends a zero-row file with the LATEST mtime —
+    the guaranteed final data batch that flushes watermark-proven
+    eviction rows of stream-stream outer joins (same role as
+    _stream_events' sentinel; the stress ladder replays the joins
+    through sliced staging)."""
     import glob
     import time
 
@@ -1440,13 +1462,25 @@ def _stage_events_time_slices(spark: SparkSession, sf_dir: str) -> str:
         .parquet(tmp)
     )
     now = time.time()
-    for i, d in enumerate(sorted(glob.glob(os.path.join(tmp, "slice=*")))):
+    slices = sorted(glob.glob(os.path.join(tmp, "slice=*")))
+    for i, d in enumerate(slices):
         part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
         dst = os.path.join(stage, f"slice_{i:04d}.parquet")
         os.replace(part, dst)
         os.utime(dst, (now + i, now + i))
     import shutil
 
+    if flush_sentinel:
+        schema = spark.read.parquet(
+            os.path.join(stage, "slice_0000.parquet")
+        ).schema
+        spark.createDataFrame([], schema).coalesce(1).write.parquet(
+            os.path.join(tmp, "empty")
+        )
+        part = glob.glob(os.path.join(tmp, "empty", "part-*.parquet"))[0]
+        dst = os.path.join(stage, "zz_flush.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (now + len(slices), now + len(slices)))
     shutil.rmtree(tmp, ignore_errors=True)
     return stage
 

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Corpus-scale recall certification for the ANN serving paths
-(round-8 verdict #1): the text dedup families are stress-laddered
-to 500k documents, this ladders the ANN family to 500k VECTORS.
+"""Corpus-scale recall + per-stage latency certification for the
+ANN serving paths (round-8 verdict #1 and #3): rungs of 100k, 500k
+and 1M vectors, the two production shapes broken down by stage so a
+user can pick a serving config from data.
 
 Method:
   * rung corpus = sf0.1 embeddings (2000 x 64) expanded `copies`x
@@ -10,20 +11,30 @@ Method:
     as scripts/ann_recall.py, MATERIALIZED to scratch parquet so
     the timed plans read a real on-disk table;
   * ground truth = exact cosine top-TOPK per query, computed
-    driver-side with chunked float32 BLAS over the COLLECTED rung
-    (harness-only: 10k queries x 500k vectors is a 640-GFLOP
-    matmul — minutes in numpy, hours as a Spark BNLJ; the engine
-    paths under test all run in Spark);
-  * measured paths: IVF, IVFADC, IVFADC+rerank, MRL+rerank at
-    parameters scaled with the corpus (cells ~ sqrt(n), probe and
-    rerank_c holding the candidate budget), recording recall@TOPK,
-    worst-query recall, wall time, and the analytic serving-state
-    bytes of the quantized index.
+    driver-side with chunked FLOAT64 BLAS over the COLLECTED rung
+    (harness-only; float64 throughout per the round-8 ADVICE — on
+    clone-heavy rungs perturbed-copy cosines differ near float32
+    resolution, so float32 truth could mis-rank exactly at the
+    top-k tie cut the engine's float64 scoring resolves);
+  * measured paths: IVF, IVFADC (raw ADC — the documented collapse),
+    IVFADC+rerank at fixed cuts (the failure-mode sweep), IVFADC+
+    ADAPTIVE rerank (rerank_c=None — the registered serving form,
+    budget from the PQ-code collision histogram), MRL+rerank; each
+    records recall@TOPK, worst-query recall, wall time, and the
+    analytic serving-state bytes of the quantized index;
+  * per-stage latency for the two production shapes
+    (ivfadc_rerank_adaptive, mrl_rerank): cumulative wall of the
+    coarse/scored stage and the candidate cut (each timed as its
+    own action on the SAME exposed subplan the pipeline runs —
+    *_cands_from), plus the full pipeline; derived per-stage deltas
+    are subtractive (no caching, so each action re-runs upstream —
+    deltas carry that variance and the cumulatives are the ground
+    truth).
 
-Writes/merges into ANN_RECALL_r8.json.
+Writes/merges into ANN_RECALL_r9.json.
 
 Usage: python scripts/ann_recall_scale.py [copies ...]
-       (default rungs: 50 and 250 -> 100k and 500k vectors)
+       (default rungs: 50, 250, 500 -> 100k, 500k, 1M vectors)
 """
 
 from __future__ import annotations
@@ -45,14 +56,20 @@ from pyspark.sql import functions as F
 from db_mapreduce_project_spark.io import load_table
 from db_mapreduce_project_spark.operators.retrieval import (
     MRL_DIM,
+    ivfadc_rerank_cands_from,
     ivfadc_rerank_from,
+    mrl_cands_from,
     mrl_rerank_from,
 )
 from db_mapreduce_project_spark.operators.similarity import (
     PQ_M,
+    RERANK_C_CAP,
     TOPK,
     QUERY_MOD,
     ivf_topk_from,
+    ivfadc_collision_budget,
+    ivfadc_index,
+    ivfadc_scored_from,
     ivfadc_topk_from,
 )
 from db_mapreduce_project_spark.session import get_spark
@@ -71,7 +88,7 @@ def expand_perturbed_explode(
     union, so the expansion is a single linear pass.
 
     Query thinning: the engine paths select queries by
-    vec_id % QUERY_MOD == 0, and at 500k vectors the query side of
+    vec_id % QUERY_MOD == 0, and at 500k+ vectors the query side of
     every path scales as queries x corpus/cells — so the rung
     relabels ids to vec_id*2 + copy*1e8, +1 on copies NOT divisible
     by `query_copy_mod`.  Odd ids never qualify, so only 1-in-
@@ -118,17 +135,18 @@ def expand_perturbed_explode(
 def exact_truth_numpy(ids: np.ndarray, vecs: np.ndarray) -> dict:
     """Exact cosine top-TOPK for every query (vec_id % QUERY_MOD
     == 0), ties cos DESC then n_id ASC — the brute_topk_from
-    contract, computed with chunked BLAS."""
+    contract, computed with chunked float64 BLAS (tie-stable
+    against the engine's float64 scoring, round-8 ADVICE)."""
     norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0] = 1.0
-    unit = (vecs / norms[:, None]).astype("float32")
+    unit = vecs / norms[:, None]  # float64 throughout
     q_pos = np.nonzero(ids % QUERY_MOD == 0)[0]
     truth: dict[int, set[int]] = {}
-    chunk = 512
+    chunk = 256
     take = TOPK + 8  # headroom for the tie-sort
     for s in range(0, len(q_pos), chunk):
         pos = q_pos[s : s + chunk]
-        scores = unit[pos] @ unit.T  # (chunk, n) float32
+        scores = unit[pos] @ unit.T  # (chunk, n) float64
         scores[np.arange(len(pos)), pos] = -np.inf  # exclude self
         part = np.argpartition(-scores, take, axis=1)[:, :take]
         for r, p in enumerate(pos):
@@ -141,8 +159,14 @@ def exact_truth_numpy(ids: np.ndarray, vecs: np.ndarray) -> dict:
     return truth
 
 
+def timed_count(df) -> tuple[int, float]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return n, round(time.perf_counter() - t0, 2)
+
+
 def main() -> None:
-    rungs = [int(a) for a in sys.argv[1:]] or [50, 250]
+    rungs = [int(a) for a in sys.argv[1:]] or [50, 250, 500]
     spark = get_spark("ann-recall-scale")
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
@@ -150,7 +174,7 @@ def main() -> None:
     )
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ANN_RECALL_r8.json",
+        "ANN_RECALL_r9.json",
     )
     results: list[dict] = []
 
@@ -175,7 +199,9 @@ def main() -> None:
         pdf = rung.toPandas()
         ids = pdf["vec_id"].to_numpy()
         vecs = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+        del pdf
         exact = exact_truth_numpy(ids, vecs)
+        del ids, vecs
         truth_sec = round(time.perf_counter() - t0, 2)
         print(
             f"   ground truth: {len(exact)} queries in {truth_sec}s",
@@ -215,18 +241,74 @@ def main() -> None:
             {"cells": cells, "probe": probe, "state": state},
             measure(ivfadc_topk_from(rung, cells, probe), exact),
         )
+
+        # the failure-mode sweep: a fixed cut below the clone-family
+        # size collapses (ANN_RECALL_r8.json), and copies + TOPK
+        # recovers — kept as the documentation of WHY the budget is
+        # adaptive
+        for rc in (RERANK_C_SCALE, copies + TOPK):
+            record(
+                "ivfadc_rerank",
+                {
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": rc,
+                    "state": state,
+                },
+                measure(
+                    ivfadc_rerank_from(rung, rc, cells, probe),
+                    exact,
+                ),
+            )
+
+        # the registered serving form: budget from the PQ-code
+        # collision histogram, NO hand-tuned c — with the per-stage
+        # latency breakdown (verdict #3)
+        _, _, _, codes = ivfadc_index(rung, cells)
+        c_budget = ivfadc_collision_budget(codes, RERANK_C_CAP).collect()[
+            0
+        ]["c_budget"]
+        n_scored, t_scored = timed_count(
+            ivfadc_scored_from(rung, cells, probe)
+        )
+        n_cands, t_cut = timed_count(
+            ivfadc_rerank_cands_from(rung, None, cells, probe)
+        )
+        full = measure(ivfadc_rerank_from(rung, None, cells, probe), exact)
         record(
-            "ivfadc_rerank",
+            "ivfadc_rerank_adaptive",
             {
                 "cells": cells,
                 "probe": probe,
-                "rerank_c": RERANK_C_SCALE,
+                "rerank_c": "adaptive",
+                "c_budget": int(c_budget),
                 "state": state,
             },
-            measure(
-                ivfadc_rerank_from(rung, RERANK_C_SCALE, cells, probe),
-                exact,
-            ),
+            {
+                **full,
+                "stages": {
+                    "coarse_adc_score": {
+                        "cum_sec": t_scored,
+                        "rows": n_scored,
+                    },
+                    "candidate_cut": {
+                        "cum_sec": t_cut,
+                        "rows": n_cands,
+                        "delta_sec": round(t_cut - t_scored, 2),
+                    },
+                    "exact_rerank": {
+                        "cum_sec": full["sec"],
+                        "delta_sec": round(full["sec"] - t_cut, 2),
+                    },
+                },
+            },
+        )
+
+        n_mcands, t_mcands = timed_count(
+            mrl_cands_from(rung, RERANK_C_SCALE, cells, probe)
+        )
+        mfull = measure(
+            mrl_rerank_from(rung, RERANK_C_SCALE, cells, probe), exact
         )
         record(
             "mrl_rerank",
@@ -236,45 +318,20 @@ def main() -> None:
                 "probe": probe,
                 "rerank_c": RERANK_C_SCALE,
             },
-            measure(
-                mrl_rerank_from(rung, RERANK_C_SCALE, cells, probe),
-                exact,
-            ),
-        )
-        # rerank_c MUST exceed the duplicate-cluster size on a
-        # clone-heavy corpus: within a clone family the PQ codes are
-        # identical, ADC cannot rank siblings, and a cut smaller
-        # than the family keeps the tie-break's pick, not the true
-        # top-k.  The sweep demonstrates the recovery the fixed cut
-        # cannot give (copies = family size).
-        if copies >= 50:
-            for rc in (copies + TOPK, 4 * copies):
-                record(
-                    "ivfadc_rerank",
-                    {
-                        "cells": cells,
-                        "probe": probe,
-                        "rerank_c": rc,
-                        "state": state,
+            {
+                **mfull,
+                "stages": {
+                    "coarse_truncated_topc": {
+                        "cum_sec": t_mcands,
+                        "rows": n_mcands,
                     },
-                    measure(
-                        ivfadc_rerank_from(rung, rc, cells, probe),
-                        exact,
-                    ),
-                )
-            record(
-                "mrl_rerank",
-                {
-                    "dims": MRL_DIM,
-                    "cells": cells,
-                    "probe": probe,
-                    "rerank_c": copies + TOPK,
+                    "exact_rerank": {
+                        "cum_sec": mfull["sec"],
+                        "delta_sec": round(mfull["sec"] - t_mcands, 2),
+                    },
                 },
-                measure(
-                    mrl_rerank_from(rung, copies + TOPK, cells, probe),
-                    exact,
-                ),
-            )
+            },
+        )
         shutil.rmtree(scratch, ignore_errors=True)
         spark.catalog.clearCache()
 
@@ -292,8 +349,8 @@ def main() -> None:
     artifact = {
         "topk": TOPK,
         "recall_def": "pooled |approx ∩ exact| / |exact|; exact = "
-        "brute-force cosine top-k (driver-side BLAS over the "
-        "collected rung), ties cos DESC n_id ASC",
+        "brute-force cosine top-k (driver-side float64 BLAS over "
+        "the collected rung), ties cos DESC n_id ASC",
         "noise": NOISE,
         "measurements": list(merged.values()),
     }

@@ -1,0 +1,121 @@
+"""Bounded-state certification for the stateful streaming sinks
+(round-8 verdict #2).
+
+Parity certifies WHAT the sinks emit; these tests certify the
+property that makes them viable at 100 TB — state-store size tracks
+the WATERMARK HORIZON (a couple of time slices), not the corpus.
+A sink whose state grows linearly with input would pass every
+value-hash check and then OOM in production; the only place that
+failure mode is visible is the per-micro-batch stateOperators
+metrics, pinned here.
+
+Two layers:
+  * a LIVE run of the TTL-dedup sink over the time-sliced fixture,
+    asserting plateau + eviction from StreamingQueryProgress;
+  * artifact floors over STRESS_LADDER_r9.json (produced by
+    scripts/streaming_stress.py), covering all three sinks at 1x
+    and 10x events — including the 10x scale-exactness of the
+    emitted sets (disjoint clone universes, identical watermark
+    sequence => output must be exactly 10x the base set).
+"""
+
+import json
+import os
+import shutil
+import tempfile
+
+ART = os.path.join(os.path.dirname(__file__), "..", "STRESS_LADDER_r9.json")
+
+
+def test_dww_state_bounded_live(spark):
+    """The TTL dedup's state must PLATEAU at the watermark horizon
+    (~2.5 slices of day-bucket keys) and EVICT as the watermark
+    advances: peak < 25% of input rows (measured 17.8%), removals
+    observed, and the final batch's state strictly below peak
+    (measured 10.7k vs 17.8k peak)."""
+    from db_mapreduce_project_spark.streaming.jobs import (
+        _state_partitions,
+        stream_dedup_within_watermark,
+    )
+
+    root = tempfile.mkdtemp(prefix="dww_bound_")
+    try:
+        with _state_partitions(spark, 8):
+            q = stream_dedup_within_watermark(
+                spark,
+                "/root/testdata/sf0.1",
+                os.path.join(root, "out"),
+                os.path.join(root, "ckpt"),
+            )
+            assert q.awaitTermination(300), "stream did not terminate"
+        series = []
+        for p in q.recentProgress:
+            if not isinstance(p, dict):
+                p = json.loads(p.json)
+            ops = p.get("stateOperators") or []
+            if ops:
+                series.append(
+                    {
+                        "rows": sum(s["numRowsTotal"] for s in ops),
+                        "removed": sum(s["numRowsRemoved"] for s in ops),
+                        "input": sum(
+                            s.get("numInputRows", 0)
+                            for s in p.get("sources", [])
+                        ),
+                    }
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert len(series) >= 8, series  # one micro-batch per 72h slice
+    total_in = sum(s["input"] for s in series)
+    peak = max(s["rows"] for s in series)
+    assert total_in >= 90_000, total_in
+    assert peak <= 0.25 * total_in, (peak, total_in)
+    assert sum(s["removed"] for s in series) > 0.5 * total_in * 0.7, series
+    assert series[-1]["rows"] < peak, series
+
+
+def _artifact():
+    rows = json.load(open(ART))
+    return {(r["family"], r["copies"]): r for r in rows}
+
+
+def test_stress_ladder_artifact_state_bounds():
+    """All three sinks, both rungs: peak state is a fixed small
+    fraction of input (joins 4.1%, dedup 17.8% — the watermark
+    horizon), identical ACROSS rungs (state scales linearly with
+    volume, never superlinearly), and the state series falls off
+    its peak by the final batch (eviction, not accumulation)."""
+    art = _artifact()
+    for fam, frac_cap in [
+        ("stream_sink_left_outer_join", 0.10),
+        ("stream_sink_full_outer_join", 0.10),
+        ("stream_sink_dedup_within_watermark", 0.25),
+    ]:
+        for copies in (1, 10):
+            r = art[(fam, copies)]
+            assert r["peak_state_frac_of_input"] <= frac_cap, r["family"]
+            series = [s["state_rows"] for s in r["state_series"]]
+            assert series[-1] < r["peak_state_rows"], (fam, copies, series)
+        # linear-in-volume: the 10x peak is exactly 10x the 1x peak
+        # (clone universes shift ids only; per-slice state is 10x)
+        assert (
+            art[(fam, 10)]["peak_state_rows"]
+            == 10 * art[(fam, 1)]["peak_state_rows"]
+        ), fam
+
+
+def test_stress_ladder_artifact_scale_exact_output():
+    """The 10x emitted sets are EXACTLY 10x the 1x sets for all
+    three sinks — matched rows and watermark-eviction rows both
+    scale with the disjoint clone universes (a correctness check at
+    a volume the DuckDB oracle never executes)."""
+    art = _artifact()
+    for fam in (
+        "stream_sink_left_outer_join",
+        "stream_sink_full_outer_join",
+        "stream_sink_dedup_within_watermark",
+    ):
+        r = art[(fam, 10)]
+        assert r["scale_exact"] is True, r
+        assert r["out_rows"] == r["out_rows_expected"] > 0, r
