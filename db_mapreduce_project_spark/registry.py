@@ -61,6 +61,7 @@ def load_all_queries() -> None:
         jpeg,
         layout,
         lm,
+        mp3,
         multimodal,
         profiling,
         relational,
