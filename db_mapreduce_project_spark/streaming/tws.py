@@ -67,6 +67,102 @@ class UserTotalsProcessor(StatefulProcessor):
         pass
 
 
+SESSION_GAP_MS = 5 * 60 * 1000  # matches jobs.GAP ("5 minutes")
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, sum_value DOUBLE, "
+    "start_ms BIGINT, end_ms BIGINT"
+)
+
+
+class UserSessionTimerProcessor(StatefulProcessor):
+    """Event-time sessionization driven by the TIMER half of the
+    StatefulProcessor API (the surface the totals processor never
+    touches): per-user ValueState holds the OPEN session
+    (n, qs, first_ms, last_ms); each input batch splits closed
+    sessions inline (gap expiry visible within the batch emits
+    immediately — the property that makes the emitted set
+    micro-batch-slice-invariant) and re-registers the key's single
+    event-time timer at last_ms + gap; when the watermark fires the
+    timer (handleExpiredTimer) the idle/tail session emits and
+    state clears — the timer/TTL eviction path.
+
+    Input batches must arrive per-key in event-time order (Spark
+    delivers watermark-filtered batches; the in-process harness
+    sorts each slice), so the inline gap split plus the timer close
+    reproduce exactly the batch gap-sessionization of
+    `sessionize_events` regardless of slicing."""
+
+    def __init__(self, gap_ms: int = SESSION_GAP_MS) -> None:
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState(
+            "open_session", "n BIGINT, qs BIGINT, first_ms BIGINT, last_ms BIGINT"
+        )
+
+    def _row(self, key, n, qs, first_ms, last_ms) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [qs / 10.0**QSCALE],
+                "start_ms": [first_ms],
+                "end_ms": [last_ms],
+            }
+        )
+
+    def handleInputRows(
+        self,
+        key: tuple[Any, ...],
+        rows: Iterator[pd.DataFrame],
+        timerValues,
+    ) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n, qs, first_ms, last_ms = self._state.get()
+            # drop the previous timer; the batch ends with a fresh one
+            self._handle.deleteTimer(last_ms + self._gap_ms)
+        else:
+            n = qs = 0
+            first_ms = last_ms = None
+        for pdf in rows:
+            ts_ms = pdf["ts_ms"].to_numpy()
+            qv = np.floor(
+                pdf["value"].to_numpy() * 10.0**QSCALE + 0.5
+            ).astype(np.int64)
+            for t, q in zip(ts_ms, qv):
+                t = int(t)
+                if last_ms is not None and t - last_ms > self._gap_ms:
+                    yield self._row(key, n, qs, first_ms, last_ms)
+                    n = qs = 0
+                    first_ms = None
+                if first_ms is None:
+                    first_ms = t
+                n += 1
+                qs += int(q)
+                last_ms = t
+        self._state.update((n, qs, first_ms, last_ms))
+        self._handle.registerTimer(last_ms + self._gap_ms)
+
+    def handleExpiredTimer(
+        self, key: tuple[Any, ...], timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        if not self._state.exists():
+            return
+        n, qs, first_ms, last_ms = self._state.get()
+        if expiry < last_ms + self._gap_ms:
+            # a stale timer raced a newer batch; the live timer for
+            # last_ms + gap is still registered
+            return
+        yield self._row(key, n, qs, first_ms, last_ms)
+        self._state.clear()
+
+    def close(self) -> None:
+        pass
+
+
 def stream_user_totals_tws(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_user_totals_tws"
 ):
@@ -85,6 +181,40 @@ def stream_user_totals_tws(
         out.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_user_sessions_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_user_sessions_tws",
+):
+    """Streaming runner for the timer-based sessionizer: event-time
+    mode (timers fire off the watermark), append output, availableNow
+    replay, memory sink.  Same protobuf-transport gate as the totals
+    runner; the processor semantics are certified in-process by
+    tests/test_streaming.py (timer-path slice invariance)."""
+    from pyspark.sql import functions as F
+
+    from .jobs import _stream_events
+
+    ev = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", F.unix_millis("ts").alias("ts_ms"), "value", "ts")
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserSessionTimerProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

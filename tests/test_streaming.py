@@ -1023,6 +1023,9 @@ class _FakeValueState:
     def update(self, v):
         self._v = tuple(v)
 
+    def clear(self):
+        self._v = None
+
 
 class _FakeHandle:
     def __init__(self):
@@ -1104,3 +1107,183 @@ def test_tws_processor_semantics_without_transport(spark, sf_dir):
         .collect()
     }
     assert one == batch
+
+
+class _FakeTimerHandle(_FakeHandle):
+    """_FakeHandle plus the timer surface of the real
+    StatefulProcessorHandle (registerTimer/deleteTimer/listTimers),
+    keyed by the grouping key the driver binds before each call —
+    exactly what the engine does implicitly."""
+
+    def __init__(self):
+        super().__init__()
+        self.timers: dict[tuple, set[int]] = {}
+        self._key = None
+
+    def set_key(self, key):
+        self._key = key
+
+    def registerTimer(self, expiry_ms):
+        self.timers.setdefault(self._key, set()).add(int(expiry_ms))
+
+    def deleteTimer(self, expiry_ms):
+        self.timers.get(self._key, set()).discard(int(expiry_ms))
+
+    def listTimers(self):
+        return iter(sorted(self.timers.get(self._key, ())))
+
+
+class _FakeExpiredTimerInfo:
+    def __init__(self, ms):
+        self._ms = int(ms)
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def test_tws_timer_sessionizer_slice_invariant(spark, sf_dir):
+    """Timer-path twin of the totals test (round-8 verdict #8): the
+    protobuf gate now covers strictly less semantic ground because
+    the TIMER/TTL half of the StatefulProcessor API —
+    registerTimer/deleteTimer in handleInputRows, watermark-driven
+    handleExpiredTimer eviction, ValueState.clear — is executed
+    in-process here.  UserSessionTimerProcessor sessionizes events
+    by a 5-minute gap: inline gap splits emit within a batch,
+    timers close idle/tail sessions when the watermark passes
+    last + gap.  The emitted session set must be invariant to
+    micro-batch slicing (1 vs 7 vs 13 time-ordered slices) and
+    equal the independent pandas gap-sessionization of the same
+    events."""
+    import numpy as np
+    import pandas as pd
+
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.streaming.tws import (
+        QSCALE,
+        SESSION_GAP_MS,
+        UserSessionTimerProcessor,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_millis("ts").alias("ts_ms"), "value")
+        .toPandas()
+        .sort_values(["ts_ms", "user_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    class _KeyedProc(UserSessionTimerProcessor):
+        def init(self, handle):
+            self._handle = handle
+
+        def _bind(self, key):
+            self._handle.set_key(key)
+            self._state = self._handle.getValueState(
+                f"open-{key[0]}",
+                "n BIGINT, qs BIGINT, first_ms BIGINT, last_ms BIGINT",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            self._bind(key)
+            yield from UserSessionTimerProcessor.handleInputRows(
+                self, key, rows, timerValues
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._bind(key)
+            yield from UserSessionTimerProcessor.handleExpiredTimer(
+                self, key, timerValues, expiredTimerInfo
+            )
+
+    def _rows_of(dfs):
+        out = set()
+        for df in dfs:
+            for r in df.itertuples(index=False):
+                out.add(
+                    (
+                        int(r.user_id),
+                        int(r.n_events),
+                        float(r.sum_value),
+                        int(r.start_ms),
+                        int(r.end_ms),
+                    )
+                )
+        return out
+
+    def fire_due(proc, handle, wm_ms, emitted):
+        n_fired = 0
+        for key in sorted(handle.timers):
+            for e in sorted(handle.timers[key]):
+                if wm_ms is None or e <= wm_ms:
+                    handle.timers[key].discard(e)
+                    got = _rows_of(
+                        proc.handleExpiredTimer(
+                            key, None, _FakeExpiredTimerInfo(e)
+                        )
+                    )
+                    n_fired += len(got)
+                    emitted |= got
+        return n_fired
+
+    def run(n_slices):
+        proc = _KeyedProc()
+        handle = _FakeTimerHandle()
+        proc.init(handle)
+        emitted: set = set()
+        inline = timer_fired = 0
+        bounds = np.linspace(0, len(ev), n_slices + 1).astype(int)
+        for i in range(n_slices):
+            s = ev.iloc[bounds[i] : bounds[i + 1]]
+            if s.empty:
+                continue
+            for uid, grp in s.groupby("user_id", sort=True):
+                got = _rows_of(
+                    proc.handleInputRows(
+                        (int(uid),),
+                        iter([grp.reset_index(drop=True)]),
+                        None,
+                    )
+                )
+                inline += len(got)
+                emitted |= got
+            # watermark = the slice's max event time (slices are
+            # time-ordered, so nothing late exists); due timers fire
+            timer_fired += fire_due(proc, handle, int(s["ts_ms"].max()), emitted)
+        # availableNow end-of-stream: every remaining timer fires
+        timer_fired += fire_due(proc, handle, None, emitted)
+        return emitted, inline, timer_fired
+
+    one, inline1, timer1 = run(1)
+    seven, _, _ = run(7)
+    thirteen, _, timer13 = run(13)
+    assert one == seven == thirteen
+    assert inline1 > 0  # in-batch gap splits exercised
+    assert timer1 > 0  # watermark/end-of-stream timer closes exercised
+    assert timer13 > 0
+
+    # independent reference: pandas gap-sessionization per user
+    expected: set = set()
+    for uid, grp in ev.groupby("user_id"):
+        qv = np.floor(grp["value"].to_numpy() * 10.0**QSCALE + 0.5).astype(
+            np.int64
+        )
+        n = qs = 0
+        first = last = None
+        for t, q in zip(grp["ts_ms"].to_numpy(), qv):
+            t = int(t)
+            if last is not None and t - last > SESSION_GAP_MS:
+                expected.add(
+                    (int(uid), n, qs / 10.0**QSCALE, first, last)
+                )
+                n = qs = 0
+                first = None
+            if first is None:
+                first = t
+            n += 1
+            qs += int(q)
+            last = t
+        if first is not None:
+            expected.add((int(uid), n, qs / 10.0**QSCALE, first, last))
+    assert one == expected
+    assert len(one) > len(set(ev["user_id"]))  # multi-session users exist
