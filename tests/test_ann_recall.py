@@ -439,3 +439,53 @@ def test_ann_recall_500k_artifact_floors():
     # SQ8's collapse is the same quantization-tie mechanism as raw
     # ADC: the clone perturbation is ~1 int8 step (documented)
     assert get(500000, "sq8_adc")["recall"] < 0.5
+
+
+def test_ann_recall_1m_adaptive_artifact_floors():
+    """Round-9 certification (ANN_RECALL_r9.json, float64 ground
+    truth per the round-8 ADVICE): the ADAPTIVE serving form hits
+    the recall floor at EVERY rung with NO hand-tuned cut — the
+    round-8 verdict #1 done-criterion — and the 1M rung carries the
+    per-stage latency breakdown (verdict #3).  Floors a few points
+    under measured; all numbers deterministic."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "ANN_RECALL_r9.json")
+    rows = json.load(open(path))["measurements"]
+
+    def get(corpus_n, path_name, rerank_c=None):
+        for r in rows:
+            if (
+                f"({corpus_n} vectors)" in r["corpus"]
+                and r["path"] == path_name
+                and (rerank_c is None or r["params"].get("rerank_c") == rerank_c)
+            ):
+                return r
+        raise AssertionError((corpus_n, path_name, rerank_c))
+
+    for n, family in ((100_000, 50), (500_000, 250), (1_000_000, 500)):
+        ad = get(n, "ivfadc_rerank_adaptive")
+        # the budget is derived, and lands exactly at cluster + k
+        assert ad["params"]["c_budget"] == family + 5, ad["params"]
+        assert ad["recall"] >= 0.95, (n, ad["recall"])
+        # the fixed production-size cut collapses where families
+        # exceed it — the failure the adaptive form exists to avoid
+        if family > 50:
+            assert get(n, "ivfadc_rerank", 50)["recall"] < 0.5
+        # adaptive must match the hand-tuned family+k cut exactly
+        # (same candidates, same exact rescore)
+        assert ad["recall"] == get(n, "ivfadc_rerank", family + 5)["recall"]
+        # stage breakdown recorded for both production shapes
+        assert set(ad["stages"]) == {
+            "coarse_adc_score",
+            "candidate_cut",
+            "exact_rerank",
+        }
+        mrl = get(n, "mrl_rerank", 50)
+        assert mrl["recall"] >= 0.97, (n, mrl["recall"])
+        assert "coarse_truncated_topc" in mrl["stages"]
+    # float-scoring exact-candidate path holds 1.0 through 1M
+    assert get(1_000_000, "ivf_topk")["recall"] == 1.0
+    # raw ADC stays collapsed at 1M — never ship without rerank
+    assert get(1_000_000, "ivfadc")["recall"] < 0.05
