@@ -135,6 +135,9 @@ HEADLINE = [
     "window_nulls_navigation",
     "approx_percentile_builtin",
     "dedup_keepers_by_quality",
+    # round-9 additions
+    "multimodal_mp3_frame_stats",
+    "ann_ivfadc_rerank",  # now the adaptive-budget serving form
 ]
 
 
