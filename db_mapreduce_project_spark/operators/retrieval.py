@@ -306,17 +306,20 @@ def ivfadc_rerank_cands_from(
     the ADC ranking, cut to the adaptive (rerank_c=None) or pinned
     budget.  Exposed separately so the per-stage latency harness
     times the SAME subplan the serving pipeline runs."""
+    from .similarity import ivfadc_scored_from_index
+
     wc = Window.partitionBy("q_id").orderBy(
         F.col("adc").desc(), F.col("n_id").asc()
     )
-    ranked = ivfadc_scored_from(e, n_cells, n_probe).withColumn(
+    en, cents, cb, codes = ivfadc_index(e, n_cells)
+    ranked = ivfadc_scored_from_index(en, cents, cb, codes, n_probe).withColumn(
         "crk", F.row_number().over(wc)
     )
     if rerank_c is None:
-        # the budget subtree re-derives the SAME codes (shared
-        # ivfadc_index build) and folds them to one broadcast row —
-        # two metadata-scale aggs over the ~6-byte/vector index
-        _, _, _, codes = ivfadc_index(e, n_cells)
+        # the budget folds the SAME codes DataFrame the scored stage
+        # consumes (one index lineage — exchange reuse dedups the
+        # shared shuffles) to one broadcast row: two metadata-scale
+        # aggs over the ~6-byte/vector index
         budget = ivfadc_collision_budget(codes, RERANK_C_CAP)
         return (
             ranked.crossJoin(F.broadcast(budget))

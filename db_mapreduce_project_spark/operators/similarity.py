@@ -1314,13 +1314,18 @@ def ivfadc_collision_budget(codes: DataFrame, cap: int) -> DataFrame:
     )
 
 
-def ivfadc_scored_from(
-    e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
+def ivfadc_scored_from_index(
+    e: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
-    """All ADC-scored (q_id, n_id, adc) candidate pairs of the
-    IVFADC index — the shared stage behind ann_ivfadc_topk (top-5
-    cut) and ann_ivfadc_rerank (top-RERANK_C cut + exact rescore),
-    so the two pipelines cannot drift.
+    """ADC scoring over a PREBUILT ivfadc_index — the index-sharing
+    entry the adaptive rerank uses so its collision-budget subtree
+    and the scored stage reference the SAME codes DataFrame (one
+    lineage; Spark's exchange reuse dedups the shuffles the two
+    consumers share, instead of rebuilding the index twice).
 
     Scoring: cos(q, y) is estimated by the exact decomposition
     <q, y> = <q, c(y)> + <q, r(y)> with r(y) replaced by its PQ
@@ -1330,7 +1335,6 @@ def ivfadc_scored_from(
     terms quantizes to a bigint before the per-pair sum, so the
     addition is order-free under groupBy and the pipeline
     value-hash matches the oracle."""
-    e, cents, cb, codes = ivfadc_index(e, n_cells)
     # query side: <q, centroid> term per probed cell, plus the
     # query's (full-precision) subvectors — queries are never
     # quantized (asymmetric distance).
@@ -1380,6 +1384,18 @@ def ivfadc_scored_from(
             ).alias("adc"),
         )
     )
+
+
+def ivfadc_scored_from(
+    e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
+) -> DataFrame:
+    """All ADC-scored (q_id, n_id, adc) candidate pairs of the
+    IVFADC index — the shared stage behind ann_ivfadc_topk (top-5
+    cut) and ann_ivfadc_rerank (budget cut + exact rescore), so the
+    two pipelines cannot drift.  Builds the index inline; see
+    ivfadc_scored_from_index for the index-sharing form."""
+    en, cents, cb, codes = ivfadc_index(e, n_cells)
+    return ivfadc_scored_from_index(en, cents, cb, codes, n_probe)
 
 
 def ivfadc_topk_from(
