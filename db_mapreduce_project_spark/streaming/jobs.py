@@ -38,20 +38,34 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _state_partitions(spark: SparkSession, n: int):
+def _state_partitions(
+    spark: SparkSession, n: int, no_data_batches: bool | None = None
+):
     """Scope spark.sql.shuffle.partitions for a streaming sink run.
     A stateful micro-batch pays per-partition state-store open/
     commit EVERY batch; at fixture scale 32 state partitions are
     pure overhead (stream_sink_left_outer_join: 21.4 s -> 13.7 s at
     8).  Production sizes this UP with state volume — the knob is
     per-query because Spark pins a stream's state partitioning in
-    its checkpoint, so each fresh-checkpoint sink picks its own."""
+    its checkpoint, so each fresh-checkpoint sink picks its own.
+
+    no_data_batches=False additionally scopes
+    spark.sql.streaming.noDataMicroBatches.enabled off — safe ONLY
+    for sinks whose staging appends a flush-sentinel data batch
+    (the sentinel performs the final watermark-driven eviction a
+    trailing no-data batch would otherwise be needed for), where
+    the extra empty batch is pure per-run cost."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nd = spark.conf.get(nd_key)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if no_data_batches is not None:
+        spark.conf.set(nd_key, str(no_data_batches).lower())
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(nd_key, old_nd)
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -186,11 +200,26 @@ register("events_session", events_session, EVENTS_SESSION_ORACLE)
 
 # ----------------- true streaming runners (tests) -----------------
 
+def stage_events_once(
+    spark: SparkSession, sf_dir: str, flush_sentinel: bool = False
+) -> str:
+    """Stage the events fixture for the file streaming source ONCE
+    and return the directory — the two sides of a stream-stream
+    join read the SAME staged dir instead of each paying the schema
+    read + symlink + sentinel-write jobs (measured ~1s/sink saved
+    at fixture scale; at production scale the source is already a
+    directory and this is moot)."""
+    return _stream_events(
+        spark, sf_dir, flush_sentinel=flush_sentinel, stage_only=True
+    )
+
+
 def _stream_events(
     spark: SparkSession,
     sf_dir: str,
     source_dir: str | None = None,
     flush_sentinel: bool = False,
+    stage_only: bool = False,
 ) -> DataFrame:
     """readStream over the events parquet.  The stream reads the
     RAW schema and applies the same `ts` normalization as
@@ -200,7 +229,9 @@ def _stream_events(
     `source_dir` overrides the fixture: a directory of (possibly
     many) parquet files, each arriving as its own micro-batch
     (maxFilesPerTrigger=1) — the crash-recovery tests use this to
-    get multi-batch streams from a single-file fixture."""
+    get multi-batch streams from a single-file fixture.
+    `stage_only` returns the staged directory path instead of a
+    stream (see stage_events_once)."""
     import os
 
     import tempfile
@@ -251,6 +282,8 @@ def _stream_events(
     else:
         stage = source_dir
         raw_schema = spark.read.parquet(source_dir).schema
+    if stage_only:
+        return stage
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -943,8 +976,10 @@ def stream_left_outer_attribution(
     of time-sliced parquet files (one micro-batch each — the stress
     ladder uses this to observe per-batch state eviction; the
     staging must append its own flush-sentinel file)."""
+    if source_dir is None:
+        source_dir = stage_events_once(spark, sf_dir, flush_sentinel=True)
     clicks = (
-        _stream_events(spark, sf_dir, flush_sentinel=True, source_dir=source_dir)
+        _stream_events(spark, sf_dir, source_dir=source_dir)
         .where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -954,7 +989,7 @@ def stream_left_outer_attribution(
         .withWatermark("c_ts", "10 minutes")
     )
     purchases = (
-        _stream_events(spark, sf_dir, flush_sentinel=True, source_dir=source_dir)
+        _stream_events(spark, sf_dir, source_dir=source_dir)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -1004,7 +1039,7 @@ def stream_sink_left_outer_join(
     root = _scratch_dir("stream_loj_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 8, no_data_batches=False):
         q = stream_left_outer_attribution(spark, sf_dir, out, ckpt)
         if not q.awaitTermination(300):
             q.stop()
@@ -1241,8 +1276,10 @@ def stream_full_outer_attribution(
     could precede can still arrive).  State on each side is bounded
     by its eviction frontier exactly as in the left-outer case.
     `source_dir` as in stream_left_outer_attribution."""
+    if source_dir is None:
+        source_dir = stage_events_once(spark, sf_dir, flush_sentinel=True)
     clicks = (
-        _stream_events(spark, sf_dir, flush_sentinel=True, source_dir=source_dir)
+        _stream_events(spark, sf_dir, source_dir=source_dir)
         .where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -1252,7 +1289,7 @@ def stream_full_outer_attribution(
         .withWatermark("c_ts", "10 minutes")
     )
     purchases = (
-        _stream_events(spark, sf_dir, flush_sentinel=True, source_dir=source_dir)
+        _stream_events(spark, sf_dir, source_dir=source_dir)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -1305,7 +1342,7 @@ def stream_sink_full_outer_join(
     root = _scratch_dir("stream_foj_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 8, no_data_batches=False):
         q = stream_full_outer_attribution(spark, sf_dir, out, ckpt)
         if not q.awaitTermination(300):
             q.stop()
@@ -1537,7 +1574,7 @@ def stream_sink_dedup_within_watermark(
     root = _scratch_dir("stream_dww_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 8, no_data_batches=False):
         q = stream_dedup_within_watermark(spark, sf_dir, out, ckpt)
         if not q.awaitTermination(300):
             q.stop()
