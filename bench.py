@@ -138,6 +138,7 @@ HEADLINE = [
     # round-9 additions
     "multimodal_mp3_frame_stats",
     "ann_ivfadc_rerank",  # now the adaptive-budget serving form
+    "ann_ivfadc_incremental_delta",  # add-after-train index maintenance
 ]
 
 

@@ -357,6 +357,14 @@ def ivfadc_rerank_from(
     harness to demonstrate the failure mode the adaptive form
     avoids)."""
     cands = ivfadc_rerank_cands_from(e, rerank_c, n_cells, n_probe)
+    return exact_rerank_tail(e, cands)
+
+
+def exact_rerank_tail(e: DataFrame, cands: DataFrame) -> DataFrame:
+    """The shared exact stage: fetch full-precision vectors for the
+    (q_id, n_id) candidates only (point-lookup-shaped equi-joins —
+    |q| x budget rows, never the corpus) and emit the exact-cosine
+    top-TOPK per query."""
     q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -422,6 +430,103 @@ ORDER BY q_id, rk
 ANN_IVFADC_RERANK_ORACLE = _ivfadc_rerank_oracle_sql()
 
 register("ann_ivfadc_rerank", ann_ivfadc_rerank, ANN_IVFADC_RERANK_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: the FAISS add-after-train shape.
+# A real deployment trains the coarse centroids and residual
+# codebook ONCE (on yesterday's corpus) and ingests today's delta by
+# encoding new vectors against the FROZEN quantizers — a broadcast
+# assign + argmin-encode map pass over the delta only, never a
+# retrain or base re-encode.  At 100 TB that is the only viable
+# maintenance story: quantizer training is a one-off, adds are
+# embarrassingly parallel, and the serving index is the union of
+# base and delta codes.
+#
+# Fixture split: vec_id % DELTA_MOD == DELTA_REM plays "today's
+# delta" (untrained rows); everything else is the training base.
+# The adaptive rerank budget is computed over the MERGED code index
+# (delta clones change the collision histogram — the budget must see
+# them), and the exact rerank makes the freshly-added vectors
+# retrievable at full precision immediately.
+
+DELTA_MOD = 10
+DELTA_REM = 7
+
+
+def ann_ivfadc_incremental_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC serving over an incrementally-maintained index:
+    quantizers trained on the base subset (vec_id % 10 != 7), codes
+    covering base + delta, adaptive collision-derived rerank budget,
+    exact top-k rerank — delta vectors are first-class results the
+    moment they are encoded."""
+    from .similarity import (
+        ivfadc_index_trained_on,
+        ivfadc_scored_from_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    en, cents, cb, codes = ivfadc_index_trained_on(
+        e, F.col("vec_id") % DELTA_MOD != DELTA_REM
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    ranked = ivfadc_scored_from_index(en, cents, cb, codes).withColumn(
+        "crk", F.row_number().over(wc)
+    )
+    budget = ivfadc_collision_budget(codes, RERANK_C_CAP)
+    cands = (
+        ranked.crossJoin(F.broadcast(budget))
+        .where(F.col("crk") <= F.col("c_budget"))
+        .select("q_id", "n_id")
+    )
+    return exact_rerank_tail(e, cands)
+
+
+def _ivfadc_incremental_oracle_sql() -> str:
+    """DuckDB mirror: the SHARED IVFADC prefix with the quantizer-
+    training rows restricted to the base subset (train_where), the
+    SHARED budget fold over the merged codes, then the identical
+    candidate cut + exact rerank tail."""
+    return f"""
+WITH {ivfadc_oracle_ctes(train_where=f"vec_id % {DELTA_MOD} <> {DELTA_REM}")},
+{ivfadc_budget_ctes()},
+cands AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY adc DESC, n_id ASC) AS crk
+    FROM scored
+  ) t, cbudget WHERE t.crk <= cbudget.c_budget
+),
+rerank AS (
+  SELECT c.q_id, c.n_id,
+         {duck_cosine('qe.embedding', 'ne.embedding')} AS cos
+  FROM cands c
+  JOIN embeddings qe ON qe.vec_id = c.q_id
+  JOIN embeddings ne ON ne.vec_id = c.n_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM rerank
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_IVFADC_INCREMENTAL_ORACLE = _ivfadc_incremental_oracle_sql()
+
+register(
+    "ann_ivfadc_incremental_delta",
+    ann_ivfadc_incremental_delta,
+    ANN_IVFADC_INCREMENTAL_ORACLE,
+)
 
 
 # ---------------------------------------------------------------------------

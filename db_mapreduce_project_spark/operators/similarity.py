@@ -1275,6 +1275,29 @@ def ivfadc_index(
     return en, cents, cb, codes
 
 
+def ivfadc_index_trained_on(
+    e: DataFrame, train_pred, n_cells: int = N_CELLS
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(e_normed, cents, cb, codes) with the QUANTIZERS (coarse
+    centroids + residual codebook) trained ONLY on the `train_pred`
+    subset while the code index covers ALL rows — the incremental-
+    maintenance composition: an index built on yesterday's corpus
+    ingests today's delta by encoding the new vectors against the
+    FROZEN quantizers (one broadcast-join assign + argmin-encode
+    pass over the delta, exactly the FAISS add-after-train shape),
+    never retraining or re-encoding the base.  At 100 TB this is
+    what daily ingest actually does: codebook training is a one-off;
+    adds are embarrassingly parallel map-side passes."""
+    en = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
+    base = en.where(train_pred)
+    cents = ivf_centroids(base, n_cells)
+    # codebook trains on BASE residuals only (the delta didn't exist
+    # at training time); the code index encodes EVERY row
+    cb = ivfadc_codebook(ivfadc_residuals(base, cents), n_cells)
+    codes = ivfadc_codes(ivfadc_residuals(en, cents), cb)
+    return en, cents, cb, codes
+
+
 def ivfadc_collision_budget(codes: DataFrame, cap: int) -> DataFrame:
     """1-row (c_budget int) rerank budget derived from the PQ-code
     collision histogram of an ivfadc_codes index (round-8 verdict
@@ -1436,7 +1459,7 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_topk_from(e)
 
 
-def ivfadc_oracle_ctes() -> str:
+def ivfadc_oracle_ctes(train_where: str = "1=1") -> str:
     """DuckDB mirror of the shared IVFADC stage, up to the
     `scored` CTE of ADC-scored (q_id, n_id, adc) pairs — shared by
     the ann_ivfadc_topk and ann_ivfadc_rerank oracles exactly as
@@ -1444,7 +1467,12 @@ def ivfadc_oracle_ctes() -> str:
     deterministic centroids and residual codebook (OFFSET past the
     zero-residual centroid rows), same min-by argmin tiebreak (d2
     ASC, k ASC), same quantize-then-sum ADC, same division
-    order."""
+    order.
+
+    `train_where` restricts the rows the QUANTIZERS train on
+    (centroid pick + codebook pick) while the code index still
+    covers every row — the ivfadc_index_trained_on mirror for the
+    incremental-delta oracle."""
     from ..functions.vectors import duck_dot, duck_l2
 
     s = PQ_SUB
@@ -1469,7 +1497,7 @@ def ivfadc_oracle_ctes() -> str:
 ),
 cents AS (
   SELECT vec_id AS cell, embedding AS cv, norm AS c_norm
-  FROM e ORDER BY vec_id LIMIT {N_CELLS}
+  FROM e WHERE {train_where} ORDER BY vec_id LIMIT {N_CELLS}
 ),
 best AS (
   SELECT vec_id, cell FROM (
@@ -1492,7 +1520,7 @@ cb AS (
   SELECT b.k, g.m, {bsub} AS cw
   FROM (
     SELECT rv, row_number() OVER (ORDER BY vec_id) - 1 AS k
-    FROM (SELECT vec_id, rv FROM resid
+    FROM (SELECT vec_id, rv FROM resid WHERE {train_where}
           ORDER BY vec_id LIMIT {PQ_K} OFFSET {N_CELLS}) o
   ) b, generate_series(0, {PQ_M - 1}) AS g(m)
 ),

@@ -441,6 +441,89 @@ def test_ann_recall_500k_artifact_floors():
     assert get(500000, "sq8_adc")["recall"] < 0.5
 
 
+def test_ivfadc_incremental_delta_serves_fresh_vectors(spark):
+    """The add-after-train composition (ann_ivfadc_incremental_delta):
+    quantizers trained only on the base subset, delta rows encoded
+    against the frozen quantizers, one merged serving index.
+
+    Pins the three contract points parity cannot see:
+    * no training leakage — every centroid/codebook row comes from
+      the base subset (vec_id % 10 != 7);
+    * freshness — delta vectors appear as RESULTS (retrievable the
+      moment they are encoded) and delta queries get answers;
+    * near-parity retrieval quality — recall over the frozen-
+      quantizer index stays within a few points of the fully-
+      retrained adaptive index on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from db_mapreduce_project_spark.operators.retrieval import (
+        DELTA_MOD,
+        DELTA_REM,
+        exact_rerank_tail,
+        ivfadc_rerank_from,
+    )
+    from db_mapreduce_project_spark.operators.similarity import (
+        RERANK_C_CAP,
+        ivfadc_collision_budget,
+        ivfadc_index_trained_on,
+        ivfadc_scored_from_index,
+    )
+    from pyspark.sql import Window
+
+    e = _embeddings(spark).cache()
+    is_delta = lambda v: v % DELTA_MOD == DELTA_REM  # noqa: E731
+
+    en, cents, cb, codes = ivfadc_index_trained_on(
+        e, F.col("vec_id") % DELTA_MOD != DELTA_REM
+    )
+    # no leakage: the quantizer-training rows are all base rows
+    assert all(
+        not is_delta(r["cell"]) for r in cents.collect()
+    ), "a delta row leaked into the coarse centroids"
+    # the merged code index covers every row, delta included
+    coded = {r["n_id"] for r in codes.select("n_id").distinct().collect()}
+    all_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert coded == all_ids
+
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    ranked = ivfadc_scored_from_index(en, cents, cb, codes).withColumn(
+        "crk", F.row_number().over(wc)
+    )
+    budget = ivfadc_collision_budget(codes, RERANK_C_CAP)
+    cands = (
+        ranked.crossJoin(F.broadcast(budget))
+        .where(F.col("crk") <= F.col("c_budget"))
+        .select("q_id", "n_id")
+    )
+    rows = exact_rerank_tail(e, cands).collect()
+    assert rows
+    # freshness: delta ids appear among the RESULTS (retrievable the
+    # moment they are encoded).  Delta rows are never queries by
+    # construction: vec_id % 50 == 0 implies vec_id % 10 == 0 != 7.
+    assert any(is_delta(r["n_id"]) for r in rows), "no delta vector retrieved"
+
+    # quality: frozen-quantizer recall within a few points of the
+    # fully-retrained adaptive index on the same corpus
+    exact = top_map(brute_topk_from(e).collect())
+    inc = {}
+    for r in rows:
+        inc.setdefault(r["q_id"], set()).add(r["n_id"])
+    retrained = top_map(ivfadc_rerank_from(e).collect())
+    e.unpersist()
+
+    def pooled(approx):
+        hits = total = 0
+        for q, truth in exact.items():
+            hits += len(approx.get(q, set()) & truth)
+            total += len(truth)
+        return hits / total
+
+    r_inc, r_full = pooled(inc), pooled(retrained)
+    assert r_inc >= r_full - 0.10, (r_inc, r_full)
+
+
 def test_ann_recall_1m_adaptive_artifact_floors():
     """Round-9 certification (ANN_RECALL_r9.json, float64 ground
     truth per the round-8 ADVICE): the ADAPTIVE serving form hits
