@@ -53,9 +53,14 @@ sys.path.insert(
 import numpy as np
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from db_mapreduce_project_spark.io import load_table
 from db_mapreduce_project_spark.operators.retrieval import (
+    DELTA_MOD,
+    DELTA_REM,
     MRL_DIM,
+    exact_rerank_tail,
     ivfadc_rerank_cands_from,
     ivfadc_rerank_from,
     mrl_cands_from,
@@ -69,7 +74,9 @@ from db_mapreduce_project_spark.operators.similarity import (
     ivf_topk_from,
     ivfadc_collision_budget,
     ivfadc_index,
+    ivfadc_index_trained_on,
     ivfadc_scored_from,
+    ivfadc_scored_from_index,
     ivfadc_topk_from,
 )
 from db_mapreduce_project_spark.session import get_spark
@@ -302,6 +309,42 @@ def main() -> None:
                     },
                 },
             },
+        )
+
+        # the incremental-maintenance composition at corpus scale:
+        # quantizers frozen on the base subset, ~18% of the rung
+        # encoded as "today's delta" against them, adaptive budget
+        # over the merged codes.  Recall should track the fully-
+        # retrained adaptive form (the quantizer training rows
+        # barely shift).
+        def incremental_df():
+            en, cents, cb, codes = ivfadc_index_trained_on(
+                rung, F.col("vec_id") % DELTA_MOD != DELTA_REM, cells
+            )
+            wc = Window.partitionBy("q_id").orderBy(
+                F.col("adc").desc(), F.col("n_id").asc()
+            )
+            ranked = ivfadc_scored_from_index(
+                en, cents, cb, codes, probe
+            ).withColumn("crk", F.row_number().over(wc))
+            bud = ivfadc_collision_budget(codes, RERANK_C_CAP)
+            cands = (
+                ranked.crossJoin(F.broadcast(bud))
+                .where(F.col("crk") <= F.col("c_budget"))
+                .select("q_id", "n_id")
+            )
+            return exact_rerank_tail(rung, cands)
+
+        record(
+            "ivfadc_incremental_delta",
+            {
+                "cells": cells,
+                "probe": probe,
+                "rerank_c": "adaptive",
+                "train_pred": f"vec_id % {DELTA_MOD} != {DELTA_REM}",
+                "state": state,
+            },
+            measure(incremental_df(), exact),
         )
 
         n_mcands, t_mcands = timed_count(

@@ -572,3 +572,11 @@ def test_ann_recall_1m_adaptive_artifact_floors():
     assert get(1_000_000, "ivf_topk")["recall"] == 1.0
     # raw ADC stays collapsed at 1M — never ship without rerank
     assert get(1_000_000, "ivfadc")["recall"] < 0.05
+    # the incrementally-maintained index (quantizers frozen on the
+    # base subset, ~18% of the rung encoded as delta) matches the
+    # fully-retrained adaptive recall at 100k AND 500k
+    for n in (100_000, 500_000):
+        inc = get(n, "ivfadc_incremental_delta")
+        assert inc["recall"] >= get(n, "ivfadc_rerank_adaptive")[
+            "recall"
+        ] - 0.02, (n, inc["recall"])

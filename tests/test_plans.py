@@ -284,6 +284,7 @@ _UNKEYED_JOIN_OK = {
     "sketch_quantile_hist",     # 3-row permille x <=256-row bin probes
     "ann_ivfadc_topk",          # broadcast NLJ against N_CELLS centroids
     "ann_ivfadc_rerank",        # same centroid/codebook broadcasts
+    "ann_ivfadc_incremental_delta",  # same + 1-row budget broadcast
     "ann_ivf_filtered",         # same centroid broadcasts
     "ann_mrl_rerank",           # same centroid broadcasts (truncated dims)
     "sketch_kmv_distinct",      # 1-row sketch x 1-row exact-count join
