@@ -696,3 +696,24 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_plans_md_covers_full_registry():
+    """PLANS.md is regenerated by scripts/plan_report.py over the
+    FULL registry (round-8 verdict #5); this guards the bookkeeping:
+    every registered query has a row (analyzed, `iterative`, or
+    `streaming`), so RESULTS can never again cite a row that does
+    not exist."""
+    import os
+    import re
+
+    registry.load_all_queries()
+    text = open(
+        os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    ).read()
+    rows = {
+        m.group(1).rstrip("*")
+        for m in re.finditer(r"^\| (\S+) \|", text, flags=re.M)
+    } - {"query"}
+    missing = set(registry.QUERIES) - rows
+    assert not missing, f"PLANS.md missing rows for: {sorted(missing)}"
