@@ -64,12 +64,14 @@ def expand_events(e, copies: int):
             "copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
         )
         .select(
-            (F.col("event_id") + F.col("copy") * EVENT_SHIFT).alias(
-                "event_id"
-            ),
-            (F.col("user_id") + F.col("copy") * USER_SHIFT).alias(
-                "user_id"
-            ),
+            (
+                F.col("event_id")
+                + F.col("copy").cast("long") * EVENT_SHIFT
+            ).alias("event_id"),
+            (
+                F.col("user_id")
+                + F.col("copy").cast("long") * USER_SHIFT
+            ).alias("user_id"),
             "event_type",
             "ts",
             "value",
