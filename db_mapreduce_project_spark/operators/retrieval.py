@@ -301,11 +301,15 @@ def ivfadc_rerank_cands_from(
     rerank_c: int | None = None,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    margin: int = 1,
 ) -> DataFrame:
     """The IVFADC coarse stage alone — (q_id, n_id) candidates from
     the ADC ranking, cut to the adaptive (rerank_c=None) or pinned
-    budget.  Exposed separately so the per-stage latency harness
-    times the SAME subplan the serving pipeline runs."""
+    budget.  `margin` widens the adaptive budget past the exact-
+    collision guarantee (the measured near-tie-pileup knob,
+    ANN_TAIL_r9.json; registered default 1).  Exposed separately so
+    the per-stage latency harness times the SAME subplan the
+    serving pipeline runs."""
     from .similarity import ivfadc_scored_from_index
 
     wc = Window.partitionBy("q_id").orderBy(
@@ -320,7 +324,7 @@ def ivfadc_rerank_cands_from(
         # consumes (one index lineage — exchange reuse dedups the
         # shared shuffles) to one broadcast row: two metadata-scale
         # aggs over the ~6-byte/vector index
-        budget = ivfadc_collision_budget(codes, RERANK_C_CAP)
+        budget = ivfadc_collision_budget(codes, RERANK_C_CAP, margin)
         return (
             ranked.crossJoin(F.broadcast(budget))
             .where(F.col("crk") <= F.col("c_budget"))
@@ -334,6 +338,7 @@ def ivfadc_rerank_from(
     rerank_c: int | None = None,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    margin: int = 1,
 ) -> DataFrame:
     """IVFADC + exact rerank over a (vec_id, embedding) relation:
     the ADC stage (shared ivfadc_scored_from — the two pipelines
@@ -356,7 +361,7 @@ def ivfadc_rerank_from(
     tuning.  An explicit int pins the cut (used by the recall-sweep
     harness to demonstrate the failure mode the adaptive form
     avoids)."""
-    cands = ivfadc_rerank_cands_from(e, rerank_c, n_cells, n_probe)
+    cands = ivfadc_rerank_cands_from(e, rerank_c, n_cells, n_probe, margin)
     return exact_rerank_tail(e, cands)
 
 

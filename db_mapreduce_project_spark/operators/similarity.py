@@ -1298,7 +1298,9 @@ def ivfadc_index_trained_on(
     return en, cents, cb, codes
 
 
-def ivfadc_collision_budget(codes: DataFrame, cap: int) -> DataFrame:
+def ivfadc_collision_budget(
+    codes: DataFrame, cap: int, margin: int = 1
+) -> DataFrame:
     """1-row (c_budget int) rerank budget derived from the PQ-code
     collision histogram of an ivfadc_codes index (round-8 verdict
     #1): vectors sharing (cell, full 8-nibble code) are
@@ -1309,7 +1311,15 @@ def ivfadc_collision_budget(codes: DataFrame, cap: int) -> DataFrame:
     c=25/50 collapses to 0.02-0.23 recall on 250-clone families,
     ANN_RECALL_r8.json).
 
-    c_budget = least(cap, greatest(RERANK_C_FLOOR, max_cluster + TOPK)).
+    c_budget = least(cap, greatest(RERANK_C_FLOOR,
+                                   margin * max_cluster + TOPK)).
+
+    `margin` (default 1 — the registered form) widens the cut past
+    the exact-collision guarantee to also absorb NEAR-TIE pileups:
+    ANN_TAIL_r9.json measured that the residual ~2% dead-query tail
+    at the 100k rung is 100% truth-at-rank-(1..5)x-budget (zero
+    routing loss), so margin=2 recovers 6/7 dead queries and
+    margin=5 all 7, at the exact stage's few-percent-of-wall price.
 
     The code key packs the 8 codes (k < PQ_K = 16) into one exact
     bigint sum(k * 2^(4m)) < 2^32 — no array-typed group keys, so
@@ -1331,7 +1341,7 @@ def ivfadc_collision_budget(codes: DataFrame, cap: int) -> DataFrame:
             F.lit(cap),
             F.greatest(
                 F.lit(RERANK_C_FLOOR),
-                (F.max("cnt") + F.lit(TOPK)).cast("int"),
+                (F.max("cnt") * F.lit(margin) + F.lit(TOPK)).cast("int"),
             ),
         ).alias("c_budget")
     )
