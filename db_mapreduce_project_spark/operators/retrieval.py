@@ -55,6 +55,7 @@ from .similarity import (
     QUERY_MOD,
     RERANK_C_CAP,
     RERANK_C_FLOOR,
+    RERANK_MARGIN,
     TOPK,
     ivfadc_budget_ctes,
     ivfadc_collision_budget,
@@ -301,15 +302,16 @@ def ivfadc_rerank_cands_from(
     rerank_c: int | None = None,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
-    margin: int = 1,
+    margin: int = RERANK_MARGIN,
 ) -> DataFrame:
     """The IVFADC coarse stage alone — (q_id, n_id) candidates from
     the ADC ranking, cut to the adaptive (rerank_c=None) or pinned
     budget.  `margin` widens the adaptive budget past the exact-
     collision guarantee (the measured near-tie-pileup knob,
-    ANN_TAIL_r9.json; registered default 1).  Exposed separately so
-    the per-stage latency harness times the SAME subplan the
-    serving pipeline runs."""
+    ANN_TAIL_r9.json; registered default RERANK_MARGIN = 5, which
+    covers the entire measured dead-query band).  Exposed
+    separately so the per-stage latency harness times the SAME
+    subplan the serving pipeline runs."""
     from .similarity import ivfadc_scored_from_index
 
     wc = Window.partitionBy("q_id").orderBy(
@@ -338,7 +340,7 @@ def ivfadc_rerank_from(
     rerank_c: int | None = None,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
-    margin: int = 1,
+    margin: int = RERANK_MARGIN,
 ) -> DataFrame:
     """IVFADC + exact rerank over a (vec_id, embedding) relation:
     the ADC stage (shared ivfadc_scored_from — the two pipelines
@@ -357,8 +359,10 @@ def ivfadc_rerank_from(
     cluster collapses recall on duplicate-heavy corpora
     (ANN_RECALL_r8.json: 0.23 at c=50 on 250-clone families), so
     the serving operator now sizes the exact stage as
-    least(4096, greatest(25, max_cluster + k)) with no hand
-    tuning.  An explicit int pins the cut (used by the recall-sweep
+    least(4096, greatest(25, RERANK_MARGIN * max_cluster + k)) with
+    no hand tuning — the margin is the upper edge of the measured
+    near-tie band (ANN_TAIL_r9.json), closing the round-9 ~2%
+    dead-query tail.  An explicit int pins the cut (used by the recall-sweep
     harness to demonstrate the failure mode the adaptive form
     avoids)."""
     cands = ivfadc_rerank_cands_from(e, rerank_c, n_cells, n_probe, margin)
@@ -405,7 +409,7 @@ def _ivfadc_rerank_oracle_sql() -> str:
     the exact-cosine rerank fold."""
     return f"""
 WITH {ivfadc_oracle_ctes()},
-{ivfadc_budget_ctes()},
+{ivfadc_budget_ctes(RERANK_MARGIN)},
 cands AS (
   SELECT q_id, n_id FROM (
     SELECT q_id, n_id,
@@ -482,7 +486,7 @@ def ann_ivfadc_incremental_delta(
     ranked = ivfadc_scored_from_index(en, cents, cb, codes).withColumn(
         "crk", F.row_number().over(wc)
     )
-    budget = ivfadc_collision_budget(codes, RERANK_C_CAP)
+    budget = ivfadc_collision_budget(codes, RERANK_C_CAP, RERANK_MARGIN)
     cands = (
         ranked.crossJoin(F.broadcast(budget))
         .where(F.col("crk") <= F.col("c_budget"))
@@ -498,7 +502,7 @@ def _ivfadc_incremental_oracle_sql() -> str:
     candidate cut + exact rerank tail."""
     return f"""
 WITH {ivfadc_oracle_ctes(train_where=f"vec_id % {DELTA_MOD} <> {DELTA_REM}")},
-{ivfadc_budget_ctes()},
+{ivfadc_budget_ctes(RERANK_MARGIN)},
 cands AS (
   SELECT q_id, n_id FROM (
     SELECT q_id, n_id,

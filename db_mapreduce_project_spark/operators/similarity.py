@@ -1298,6 +1298,22 @@ def ivfadc_index_trained_on(
     return en, cents, cb, codes
 
 
+# Registered rerank-budget margin.  ANN_TAIL_r9.json measured the
+# adaptive budget's residual dead-query tail (margin=1: ~2% of
+# queries get ZERO of their true top-5): every dead query's truth IS
+# generated as a candidate (routing loss 0) and sits at ADC rank
+# 1..5x past the exact-collision budget — a near-tie pileup of
+# ADJACENT codes, which the collision histogram cannot see because
+# the codes differ.  margin=5 covers the entire measured band
+# (recall 1.0 pooled AND worst-query on the 40-clone probe), and the
+# r9 per-stage breakdown prices the wider exact stage at a few
+# percent of wall (the exact stage is |q| x budget point lookups,
+# independent of corpus size).  This is the registered serving
+# default; margin=1 remains the exact-collision-guarantee primitive
+# the recall harness uses to demonstrate the tail.
+RERANK_MARGIN = 5
+
+
 def ivfadc_collision_budget(
     codes: DataFrame, cap: int, margin: int = 1
 ) -> DataFrame:
@@ -1314,12 +1330,14 @@ def ivfadc_collision_budget(
     c_budget = least(cap, greatest(RERANK_C_FLOOR,
                                    margin * max_cluster + TOPK)).
 
-    `margin` (default 1 — the registered form) widens the cut past
-    the exact-collision guarantee to also absorb NEAR-TIE pileups:
-    ANN_TAIL_r9.json measured that the residual ~2% dead-query tail
-    at the 100k rung is 100% truth-at-rank-(1..5)x-budget (zero
-    routing loss), so margin=2 recovers 6/7 dead queries and
-    margin=5 all 7, at the exact stage's few-percent-of-wall price.
+    `margin` widens the cut past the exact-collision guarantee
+    (margin=1, this primitive's default) to also absorb NEAR-TIE
+    pileups: ANN_TAIL_r9.json measured that the residual ~2%
+    dead-query tail at the 100k rung is 100% truth-at-rank-
+    (1..5)x-budget (zero routing loss), so margin=2 recovers 6/7
+    dead queries and margin=5 all 7, at the exact stage's
+    few-percent-of-wall price.  The REGISTERED serving queries pass
+    RERANK_MARGIN (= 5, the measured band's upper edge).
 
     The code key packs the 8 codes (k < PQ_K = 16) into one exact
     bigint sum(k * 2^(4m)) < 2^32 — no array-typed group keys, so
@@ -1347,6 +1365,62 @@ def ivfadc_collision_budget(
     )
 
 
+def ivfadc_codes_packed(codes: DataFrame) -> DataFrame:
+    """One row per indexed vector: (n_id, n_norm, cell,
+    ks array<int>[PQ_M]) — the 8 nibble codes of an ivfadc_codes
+    relation packed into a single array ordered by subquantizer m.
+    This is the layout real IVFADC indexes store (codes are
+    CONTIGUOUS per vector) and the layout ADC scoring wants: one
+    candidate row per (query, vector) pair instead of PQ_M.  Cost:
+    one groupBy over the 8-rows/vector code relation — index-build
+    time, amortized across every query."""
+    return codes.groupBy("n_id").agg(
+        F.first("n_norm").alias("n_norm"),
+        F.first("cell").alias("cell"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "k"))),
+            lambda s: s.k,
+        ).alias("ks"),
+    )
+
+
+def ivfadc_query_luts(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table: (q_id, lut array<array<long>>)
+    where lut[m][k] = floor(<q_m, cw[m][k]> * SCALE + 0.5) — the
+    classic per-query M x K distance table of Jégou et al. (TPAMI
+    2011 §IV.A), built once per query against the broadcast
+    codebook (|q| * M * K rows, metadata scale) and itself
+    broadcast to the candidate scan.  Entries are the SAME
+    quantized bigints the row-expanded scorer produced, so adc
+    values are bit-identical."""
+    qsubs = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode(
+            F.array(*[_dsub("embedding", m) for m in range(PQ_M)])
+        ).alias("m", "qsv"),
+    )
+    per_mk = qsubs.join(F.broadcast(cb), "m").select(
+        "q_id",
+        "m",
+        "k",
+        F.floor(_ddot("qsv", "cw") * PQ_ADC_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("val"),
+    )
+    per_m = per_mk.groupBy("q_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "val"))),
+            lambda s: s.val,
+        ).alias("row")
+    )
+    return per_m.groupBy("q_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "row"))),
+            lambda s: s.row,
+        ).alias("lut")
+    )
+
+
 def ivfadc_scored_from_index(
     e: DataFrame,
     cents: DataFrame,
@@ -1366,11 +1440,22 @@ def ivfadc_scored_from_index(
     over norm(q) * norm(y) (true norms stored with the codes, as
     real IVFADC indexes store them).  Each of the 9 inner-product
     terms quantizes to a bigint before the per-pair sum, so the
-    addition is order-free under groupBy and the pipeline
-    value-hash matches the oracle."""
-    # query side: <q, centroid> term per probed cell, plus the
-    # query's (full-precision) subvectors — queries are never
-    # quantized (asymmetric distance).
+    result is order-free and the pipeline value-hash matches the
+    oracle.
+
+    Physical shape (round-10 rewrite of the measured round-9
+    bottleneck — coarse ADC was 220 of 296 s at 1M vectors): codes
+    pack to ONE row per vector (ivfadc_codes_packed) and each
+    query's M x K distance table builds once against the broadcast
+    codebook (ivfadc_query_luts), so scoring is a single
+    broadcast-joined projection over |q| x cell-size candidate rows
+    — 8 array lookups + one 8-term integer sum per candidate,
+    replacing the former 8-rows-per-pair expansion through two
+    joins and a corpus-scale groupBy shuffle.  The candidate scan
+    never shuffles: probes and LUTs ride broadcasts, packed codes
+    are scanned in place."""
+    # query side: <q, centroid> term per probed cell — queries are
+    # never quantized (asymmetric distance).
     probes = (
         ivf_probes(e, cents, n_probe)
         .join(F.broadcast(cents), "cell")
@@ -1383,36 +1468,27 @@ def ivfadc_scored_from_index(
             .alias("qc"),
         )
     )
-    qsubs = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.posexplode(
-            F.array(*[_dsub("embedding", m) for m in range(PQ_M)])
-        ).alias("m", "qsv"),
-    )
-    parts = (
-        probes.join(codes, "cell")
-        .where(F.col("q_id") != F.col("n_id"))
-        .join(qsubs, ["q_id", "m"])
-        .join(F.broadcast(cb), ["m", "k"])
-        .select(
-            "q_id",
-            "n_id",
-            "q_norm",
-            "n_norm",
-            "qc",
-            F.floor(_ddot("qsv", "cw") * PQ_ADC_SCALE + F.lit(0.5))
-            .cast("long")
-            .alias("pr"),
+    packed = ivfadc_codes_packed(codes)
+    luts = ivfadc_query_luts(e, cb)
+    # rsum = sum_m lut[m][ks[m]]: unrolled 8-term bigint sum — a
+    # fixed evaluation order over exact integers, identical to the
+    # former order-free groupBy sum of the same terms
+    rsum = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.element_at("lut", m + 1), F.element_at("ks", m + 1) + 1
         )
-    )
+        rsum = term if rsum is None else rsum + term
     return (
-        parts.groupBy("q_id", "n_id", "q_norm", "n_norm", "qc")
-        .agg(F.sum("pr").alias("rsum"))
+        F.broadcast(probes)
+        .join(packed, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .join(F.broadcast(luts), "q_id")
         .select(
             "q_id",
             "n_id",
             (
-                ((F.col("qc") + F.col("rsum")) / F.lit(float(PQ_ADC_SCALE)))
+                ((F.col("qc") + rsum) / F.lit(float(PQ_ADC_SCALE)))
                 / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0))
             ).alias("adc"),
         )
@@ -1583,11 +1659,14 @@ scored AS (
 )"""
 
 
-def ivfadc_budget_ctes() -> str:
+def ivfadc_budget_ctes(margin: int = 1) -> str:
     """DuckDB mirror of ivfadc_collision_budget over the shared
     `codes` CTE: same packed-bigint code key (sum(k * 2^(4m)) — all
     terms exact in double, sum < 2^32, so the cross-engine cast is
-    exact), same (cell, code) histogram, same least/greatest fold."""
+    exact), same (cell, code) histogram, same least/greatest fold.
+    `margin` mirrors the Spark-side knob (the registered queries
+    pass RERANK_MARGIN) so an oracle of a margin != 1 pipeline
+    cannot silently mismatch."""
     return f"""percode AS (
   SELECT n_id, cell,
          CAST(sum(k * power(2.0, m * 4)) AS BIGINT) AS code_key
@@ -1595,7 +1674,7 @@ def ivfadc_budget_ctes() -> str:
 ),
 cbudget AS (
   SELECT least({RERANK_C_CAP}, greatest({RERANK_C_FLOOR},
-         CAST(max(cnt) + {TOPK} AS INTEGER))) AS c_budget
+         CAST(max(cnt) * {margin} + {TOPK} AS INTEGER))) AS c_budget
   FROM (SELECT cell, code_key, count(*) AS cnt
         FROM percode GROUP BY cell, code_key) h
 )"""

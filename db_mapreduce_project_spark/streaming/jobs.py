@@ -51,10 +51,16 @@ def _state_partitions(
 
     no_data_batches=False additionally scopes
     spark.sql.streaming.noDataMicroBatches.enabled off — safe ONLY
-    for sinks whose staging appends a flush-sentinel data batch
+    for (a) sinks whose staging appends a flush-sentinel data batch
     (the sentinel performs the final watermark-driven eviction a
-    trailing no-data batch would otherwise be needed for), where
-    the extra empty batch is pure per-run cost."""
+    trailing no-data batch would otherwise be needed for), or
+    (b) ARRIVAL-emitting stateful sinks (e.g.
+    dropDuplicatesWithinWatermark), whose output rows are produced
+    the moment a row arrives — eviction only DROPS state there, so
+    skipping the trailing no-data batch can never withhold output
+    rows.  Eviction-emitting sinks (outer joins, append-mode aggs)
+    MUST take path (a); in either case the skipped batch is pure
+    per-run cost."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     old_nd = spark.conf.get(nd_key)
@@ -220,7 +226,7 @@ def _stream_events(
     source_dir: str | None = None,
     flush_sentinel: bool = False,
     stage_only: bool = False,
-) -> DataFrame:
+) -> DataFrame | str:
     """readStream over the events parquet.  The stream reads the
     RAW schema and applies the same `ts` normalization as
     io.load_table (nanos-as-long truncation for TIMESTAMP(NANOS)
@@ -1574,6 +1580,10 @@ def stream_sink_dedup_within_watermark(
     root = _scratch_dir("stream_dww_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
+    # no_data_batches=False is safe WITHOUT a flush sentinel here —
+    # this is the _state_partitions contract's arrival-emitting case
+    # (b): dropDuplicatesWithinWatermark emits on first arrival, and
+    # watermark eviction only drops seen-set state, never emits
     with _state_partitions(spark, 8, no_data_batches=False):
         q = stream_dedup_within_watermark(spark, sf_dir, out, ckpt)
         if not q.awaitTermination(300):

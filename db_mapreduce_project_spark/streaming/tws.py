@@ -87,11 +87,12 @@ class UserSessionTimerProcessor(StatefulProcessor):
     timer (handleExpiredTimer) the idle/tail session emits and
     state clears — the timer/TTL eviction path.
 
-    Input batches must arrive per-key in event-time order (Spark
-    delivers watermark-filtered batches; the in-process harness
-    sorts each slice), so the inline gap split plus the timer close
-    reproduce exactly the batch gap-sessionization of
-    `sessionize_events` regardless of slicing."""
+    Spark gives NO intra-batch ordering guarantee (the watermark
+    filters late rows, it does not sort), so handleInputRows
+    concatenates the batch's Arrow chunks and sorts by ts_ms itself
+    before the gap-split loop — the inline gap split plus the timer
+    close then reproduce exactly the batch gap-sessionization of
+    `sessionize_events` regardless of slicing or arrival order."""
 
     def __init__(self, gap_ms: int = SESSION_GAP_MS) -> None:
         self._gap_ms = gap_ms
@@ -119,6 +120,20 @@ class UserSessionTimerProcessor(StatefulProcessor):
         rows: Iterator[pd.DataFrame],
         timerValues,
     ) -> Iterator[pd.DataFrame]:
+        # Spark guarantees nothing about intra-batch row order:
+        # concatenate every chunk and sort by event time HERE, so an
+        # out-of-order micro-batch cannot mis-split sessions or emit
+        # wrong first_ms/last_ms.  Batches are watermark-bounded, so
+        # the concat is bounded by the per-key per-batch volume.
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if not chunks:
+            # empty batch for a key (e.g. timer-only invocation):
+            # contribute nothing — in particular never update state
+            # with n=0 or register a timer off a None last_ms
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            "ts_ms", kind="mergesort", ignore_index=True
+        )
         if self._state.exists():
             n, qs, first_ms, last_ms = self._state.get()
             # drop the previous timer; the batch ends with a fresh one
@@ -126,22 +141,21 @@ class UserSessionTimerProcessor(StatefulProcessor):
         else:
             n = qs = 0
             first_ms = last_ms = None
-        for pdf in rows:
-            ts_ms = pdf["ts_ms"].to_numpy()
-            qv = np.floor(
-                pdf["value"].to_numpy() * 10.0**QSCALE + 0.5
-            ).astype(np.int64)
-            for t, q in zip(ts_ms, qv):
-                t = int(t)
-                if last_ms is not None and t - last_ms > self._gap_ms:
-                    yield self._row(key, n, qs, first_ms, last_ms)
-                    n = qs = 0
-                    first_ms = None
-                if first_ms is None:
-                    first_ms = t
-                n += 1
-                qs += int(q)
-                last_ms = t
+        ts_ms = batch["ts_ms"].to_numpy()
+        qv = np.floor(
+            batch["value"].to_numpy() * 10.0**QSCALE + 0.5
+        ).astype(np.int64)
+        for t, q in zip(ts_ms, qv):
+            t = int(t)
+            if last_ms is not None and t - last_ms > self._gap_ms:
+                yield self._row(key, n, qs, first_ms, last_ms)
+                n = qs = 0
+                first_ms = None
+            if first_ms is None:
+                first_ms = t
+            n += 1
+            qs += int(q)
+            last_ms = t
         self._state.update((n, qs, first_ms, last_ms))
         self._handle.registerTimer(last_ms + self._gap_ms)
 

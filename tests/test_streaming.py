@@ -1287,3 +1287,48 @@ def test_tws_timer_sessionizer_slice_invariant(spark, sf_dir):
             expected.add((int(uid), n, qs / 10.0**QSCALE, first, last))
     assert one == expected
     assert len(one) > len(set(ev["user_id"]))  # multi-session users exist
+
+    # Arrival-order invariance (round-9 ADVICE): Spark gives NO
+    # intra-batch ordering guarantee, so handleInputRows must sort by
+    # ts_ms itself.  Re-run with every batch's rows SHUFFLED
+    # (seeded) and delivered as MULTIPLE chunks — the emitted session
+    # set must be unchanged.
+    rng = np.random.default_rng(12345)
+
+    def run_shuffled(n_slices):
+        proc = _KeyedProc()
+        handle = _FakeTimerHandle()
+        proc.init(handle)
+        emitted: set = set()
+        bounds = np.linspace(0, len(ev), n_slices + 1).astype(int)
+        for i in range(n_slices):
+            s = ev.iloc[bounds[i] : bounds[i + 1]]
+            if s.empty:
+                continue
+            for uid, grp in s.groupby("user_id", sort=True):
+                g = grp.sample(frac=1.0, random_state=int(rng.integers(1 << 30)))
+                mid = len(g) // 2
+                chunks = [
+                    c.reset_index(drop=True)
+                    for c in (g.iloc[:mid], g.iloc[mid:])
+                    if len(c)
+                ]
+                emitted |= _rows_of(
+                    proc.handleInputRows((int(uid),), iter(chunks), None)
+                )
+            fire_due(proc, handle, int(s["ts_ms"].max()), emitted)
+        fire_due(proc, handle, None, emitted)
+        return emitted
+
+    assert run_shuffled(7) == expected
+    # empty-chunk batch for an unseen key: contributes nothing, no
+    # bogus zero-event state, no timer off a None last_ms
+    proc = _KeyedProc()
+    handle = _FakeTimerHandle()
+    proc.init(handle)
+    got = _rows_of(
+        proc.handleInputRows(
+            (999_999,), iter([ev.iloc[0:0].reset_index(drop=True)]), None
+        )
+    )
+    assert got == set() and not handle.timers.get((999_999,))
