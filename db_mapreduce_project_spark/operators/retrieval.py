@@ -441,6 +441,118 @@ ANN_IVFADC_RERANK_ORACLE = _ivfadc_rerank_oracle_sql()
 register("ann_ivfadc_rerank", ann_ivfadc_rerank, ANN_IVFADC_RERANK_ORACLE)
 
 
+def ivfadc_filtered_rerank_from(
+    e_lab: DataFrame,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    margin: int = RERANK_MARGIN,
+) -> DataFrame:
+    """Attribute-FILTERED IVFADC + exact rerank over a (vec_id,
+    embedding, label) relation — the quantized-index twin of
+    ann_ivf_filtered (which exact-scores probed lists and therefore
+    never hits the quantizer collision cliff).  This is what a
+    100 TB filtered-serving deployment actually runs: composite
+    (cell, label) inverted lists over the ~6-byte/vector code index
+    (structural PRE-filtering — per-query scan cost divides by the
+    label cardinality, and the result can never come up short the
+    way post-filter ANN does), ADC candidates cut by the SAME
+    adaptive collision budget as the unfiltered rerank, then an
+    exact-cosine rerank over the |q| x budget survivors.
+
+    Budget correctness under filtering: the collision histogram is
+    computed over the GLOBAL code index, and any (cell, label)
+    list's largest exact-tie cluster is bounded by the global
+    max_cluster — so least(cap, greatest(floor, margin*max + k))
+    remains a valid (conservative) cover of the label-restricted
+    tie pileup; deriving per-label budgets would only shrink the
+    cut, never grow it.  Quantizers are label-blind (trained on all
+    rows): filtering changes WHICH lists a candidate fetch reads,
+    not how vectors are encoded."""
+    from .similarity import ivfadc_scored_from_index
+
+    base = e_lab.select("vec_id", "embedding")
+    en, cents, cb, codes = ivfadc_index(base)
+    scored = ivfadc_scored_from_index(
+        en, cents, cb, codes, n_probe, labels=e_lab.select("vec_id", "label")
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    budget = ivfadc_collision_budget(codes, RERANK_C_CAP, margin)
+    cands = (
+        scored.withColumn("crk", F.row_number().over(wc))
+        .crossJoin(F.broadcast(budget))
+        .where(F.col("crk") <= F.col("c_budget"))
+        .select("q_id", "label", "n_id")
+    )
+    ranked = exact_rerank_tail(base, cands.select("q_id", "n_id"))
+    return (
+        ranked.join(cands.select("q_id", "label").distinct(), "q_id")
+        .select("q_id", "label", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def ann_ivfadc_filtered_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`ivfadc_filtered_rerank_from` over
+    the embeddings fixture (labels play the filter attribute)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return ivfadc_filtered_rerank_from(e)
+
+
+def _ivfadc_filtered_rerank_oracle_sql() -> str:
+    """DuckDB mirror: the SHARED IVFADC prefix + budget fold, with
+    the label-equality restriction applied to the scored pairs —
+    set-identical to the Spark side's composite (cell, label)
+    candidate join, since `scored` contains exactly the probed-cell
+    pairs."""
+    return f"""
+WITH {ivfadc_oracle_ctes()},
+{ivfadc_budget_ctes(RERANK_MARGIN)},
+lab AS (SELECT vec_id, label FROM embeddings),
+fscored AS (
+  SELECT s.q_id, ql.label, s.n_id, s.adc
+  FROM scored s
+  JOIN lab ql ON ql.vec_id = s.q_id
+  JOIN lab nl ON nl.vec_id = s.n_id AND nl.label = ql.label
+),
+cands AS (
+  SELECT q_id, label, n_id FROM (
+    SELECT q_id, label, n_id,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY adc DESC, n_id ASC) AS crk
+    FROM fscored
+  ) t, cbudget WHERE t.crk <= cbudget.c_budget
+),
+rerank AS (
+  SELECT c.q_id, c.label, c.n_id,
+         {duck_cosine('qe.embedding', 'ne.embedding')} AS cos
+  FROM cands c
+  JOIN embeddings qe ON qe.vec_id = c.q_id
+  JOIN embeddings ne ON ne.vec_id = c.n_id
+)
+SELECT q_id, label, n_id, cos, rk FROM (
+  SELECT q_id, label, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM rerank
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_IVFADC_FILTERED_RERANK_ORACLE = _ivfadc_filtered_rerank_oracle_sql()
+
+register(
+    "ann_ivfadc_filtered_rerank",
+    ann_ivfadc_filtered_rerank,
+    ANN_IVFADC_FILTERED_RERANK_ORACLE,
+)
+
+
 # ---------------------------------------------------------------------------
 # Incremental index maintenance: the FAISS add-after-train shape.
 # A real deployment trains the coarse centroids and residual

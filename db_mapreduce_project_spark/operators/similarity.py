@@ -1427,6 +1427,7 @@ def ivfadc_scored_from_index(
     cb: DataFrame,
     codes: DataFrame,
     n_probe: int = N_PROBE,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """ADC scoring over a PREBUILT ivfadc_index — the index-sharing
     entry the adaptive rerank uses so its collision-budget subtree
@@ -1453,7 +1454,14 @@ def ivfadc_scored_from_index(
     replacing the former 8-rows-per-pair expansion through two
     joins and a corpus-scale groupBy shuffle.  The candidate scan
     never shuffles: probes and LUTs ride broadcasts, packed codes
-    are scanned in place."""
+    are scanned in place.
+
+    `labels` (optional (vec_id, label) relation) turns the inverted
+    lists COMPOSITE: candidates join on (cell, label) instead of
+    cell — structural PRE-filtering (the ann_ivf_filtered shape
+    applied to the quantized index), so the per-query scan cost
+    divides by the label cardinality and the output carries the
+    query's label."""
     # query side: <q, centroid> term per probed cell — queries are
     # never quantized (asymmetric distance).
     probes = (
@@ -1470,6 +1478,17 @@ def ivfadc_scored_from_index(
     )
     packed = ivfadc_codes_packed(codes)
     luts = ivfadc_query_luts(e, cb)
+    cand_keys = ["cell"]
+    out_cols = ["q_id", "n_id"]
+    if labels is not None:
+        probes = probes.join(
+            labels.select(F.col("vec_id").alias("q_id"), "label"), "q_id"
+        )
+        packed = packed.join(
+            labels.select(F.col("vec_id").alias("n_id"), "label"), "n_id"
+        )
+        cand_keys = ["cell", "label"]
+        out_cols = ["q_id", "label", "n_id"]
     # rsum = sum_m lut[m][ks[m]]: unrolled 8-term bigint sum — a
     # fixed evaluation order over exact integers, identical to the
     # former order-free groupBy sum of the same terms
@@ -1481,12 +1500,11 @@ def ivfadc_scored_from_index(
         rsum = term if rsum is None else rsum + term
     return (
         F.broadcast(probes)
-        .join(packed, "cell")
+        .join(packed, cand_keys)
         .where(F.col("q_id") != F.col("n_id"))
         .join(F.broadcast(luts), "q_id")
         .select(
-            "q_id",
-            "n_id",
+            *out_cols,
             (
                 ((F.col("qc") + rsum) / F.lit(float(PQ_ADC_SCALE)))
                 / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0))

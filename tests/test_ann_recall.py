@@ -260,7 +260,13 @@ def _labeled(spark):
 def _same_label_ground_truth(spark):
     """Exact same-label top-TOPK (the filtered query's ground
     truth)."""
-    en = _labeled(spark).select(
+    return _same_label_truth_from(_labeled(spark))
+
+
+def _same_label_truth_from(e_lab):
+    """Exact same-label top-TOPK over any (vec_id, embedding,
+    label) relation."""
+    en = e_lab.select(
         "vec_id", "embedding", "label", l2("embedding").alias("norm")
     )
     q = en.where(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -340,6 +346,49 @@ def test_filtered_ivf_never_under_returns(spark):
     assert len(rows) > 0
     for r in rows:
         assert r["n_got"] == min(TOPK, r["n_avail"]), r
+
+
+def test_filtered_ivfadc_adaptive_budget_on_clone_families(spark):
+    """Round-10 (round-9 verdict #7): the attribute-filtered
+    quantized path consumes the SAME collision-derived adaptive
+    budget as the unfiltered rerank.  On a 40-clone labeled corpus
+    (clones inherit the base vector's label, so every query's
+    same-label exact top-5 is clone siblings sharing its PQ code):
+
+    * every returned neighbor carries the query's own label (the
+      pre-filter contract);
+    * pooled recall against the same-label exact ground truth
+      clears the unfiltered margin-5 floor — the global max_cluster
+      bound covers every (cell, label) stratum because a label
+      restriction can only SHRINK a tie cluster, never grow it."""
+    from db_mapreduce_project_spark.operators.retrieval import (
+        ivfadc_filtered_rerank_from,
+    )
+
+    lab = _labeled(spark).select(F.col("vec_id").alias("orig"), "label")
+    e_lab = (
+        expand_perturbed(_embeddings(spark), copies=40)
+        .withColumn("orig", F.pmod("vec_id", F.lit(100_000_000)))
+        .join(lab, "orig")
+        .drop("orig")
+        .cache()
+    )
+    exact = top_map(_same_label_truth_from(e_lab).collect())
+    rows = ivfadc_filtered_rerank_from(e_lab).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in e_lab.select("vec_id", "label").collect()
+    }
+    e_lab.unpersist()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["label"] == labels[r["q_id"]] == labels[r["n_id"]]
+    got = top_map(rows)
+    hits = total = 0
+    for q, truth in exact.items():
+        hits += len(got.get(q, set()) & truth)
+        total += len(truth)
+    assert hits / total >= 0.95, hits / total
 
 
 def test_filtered_ivf_recall_floor(spark):
