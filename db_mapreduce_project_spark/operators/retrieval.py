@@ -651,6 +651,160 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Deletes in incremental maintenance: the FAISS remove_ids story.
+# Adds (above) never touch the base; DELETES are recorded as a
+# tombstone SET and anti-joined out at serving time — the code index
+# is append-only until a compaction pass rewrites it.  The three
+# serving-side contract points:
+#   * no resurrection — a tombstoned id can never reach the exact
+#     stage (the anti-join lands on the code index BEFORE scoring,
+#     and the rerank fetch reads the live relation only);
+#   * the collision budget folds LIVE codes only (deleted vectors no
+#     longer compete for the cut — keeping them would only inflate
+#     the budget, but the histogram must track what serving scans);
+#   * tombstoned vectors also stop QUERYING (they're gone).
+# Compaction policy: anti-join serving is O(|tombstones|) extra work
+# per query batch; once the tombstone fraction crosses a threshold
+# the index is rewritten without the dead rows (ivfadc_compact —
+# pure repack against the FROZEN quantizers, never a retrain, so
+# serving results are IDENTICAL before and after by construction;
+# tests pin it).
+
+DELETE_REM = 3  # vec_id % DELTA_MOD == DELETE_REM plays the deletes
+COMPACT_THRESHOLD = 0.2  # rewrite once >20% of codes are dead
+
+
+def ivfadc_tombstones(e: DataFrame) -> DataFrame:
+    """The fixture's tombstone set: ids deleted since the last
+    compaction (1-column relation — at 100 TB this is the small
+    side of every anti-join and typically broadcasts)."""
+    return e.select("vec_id").where(
+        F.col("vec_id") % DELTA_MOD == DELETE_REM
+    )
+
+
+def ivfadc_live(df: DataFrame, tomb: DataFrame, key: str) -> DataFrame:
+    """Anti-join a tombstone set out of `df` on `key` — the serving-
+    time delete mask (broadcast anti-join: the corpus-side relation
+    never shuffles)."""
+    return df.join(
+        F.broadcast(tomb.select(F.col("vec_id").alias(key))),
+        key,
+        "left_anti",
+    )
+
+
+def ivfadc_compact(codes: DataFrame, tomb: DataFrame) -> DataFrame:
+    """Compaction: rewrite the code index without tombstoned rows —
+    a pure repack of codes already encoded against the FROZEN
+    quantizers (FAISS remove_ids + reclaim), NOT a retrain and NOT a
+    re-encode, so post-compaction serving is bit-identical to
+    anti-join serving.  At 100 TB this is a partition-parallel
+    rewrite of the ~6-byte/vector index, amortized across the
+    serving queries that stop paying the anti-join."""
+    return ivfadc_live(codes, tomb, "n_id")
+
+
+def ivfadc_should_compact(
+    codes: DataFrame, tomb: DataFrame, threshold: float = COMPACT_THRESHOLD
+) -> bool:
+    """The compaction trigger: tombstone fraction of the code index
+    > threshold.  Two metadata-scale counts over the ~6-byte/vector
+    index (a deliberate, bounded driver decision — index maintenance
+    policy, not a per-row operation)."""
+    ids = codes.select("n_id").distinct()
+    n_total = ids.count()
+    n_dead = ids.join(
+        F.broadcast(tomb.select(F.col("vec_id").alias("n_id"))), "n_id"
+    ).count()
+    return n_total > 0 and n_dead / n_total > threshold
+
+
+def ann_ivfadc_incremental_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC serving over an add+DELETE maintained index: quantizers
+    trained on the base subset (vec_id % 10 != 7), codes covering
+    base + delta adds, tombstones (vec_id % 10 == 3) anti-joined out
+    at serving time, adaptive collision budget over the LIVE codes,
+    exact top-k rerank over live rows only.  The fixture's dead
+    fraction (10%) sits under COMPACT_THRESHOLD, so this is the
+    anti-join serving window; ivfadc_compact is the post-threshold
+    path and produces identical results (pinned by test)."""
+    from .similarity import (
+        ivfadc_index_trained_on,
+        ivfadc_scored_from_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    en, cents, cb, codes = ivfadc_index_trained_on(
+        e, F.col("vec_id") % DELTA_MOD != DELTA_REM
+    )
+    tomb = ivfadc_tombstones(e)
+    live_codes = ivfadc_live(codes, tomb, "n_id")
+    e_live = ivfadc_live(en, tomb, "vec_id")
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    ranked = ivfadc_scored_from_index(
+        e_live, cents, cb, live_codes
+    ).withColumn("crk", F.row_number().over(wc))
+    budget = ivfadc_collision_budget(live_codes, RERANK_C_CAP, RERANK_MARGIN)
+    cands = (
+        ranked.crossJoin(F.broadcast(budget))
+        .where(F.col("crk") <= F.col("c_budget"))
+        .select("q_id", "n_id")
+    )
+    return exact_rerank_tail(e_live.select("vec_id", "embedding"), cands)
+
+
+def _ivfadc_upsert_oracle_sql() -> str:
+    """DuckDB mirror: the SHARED IVFADC prefix (base-trained
+    quantizers), the budget fold restricted to live codes, the
+    scored cut restricted to live (q, n) pairs, then the exact
+    rerank tail — the tombstone anti-join as a WHERE over the mod
+    that defines the fixture's tombstone set."""
+    live_n = f"n_id % {DELTA_MOD} <> {DELETE_REM}"
+    live_q = f"q_id % {DELTA_MOD} <> {DELETE_REM}"
+    return f"""
+WITH {ivfadc_oracle_ctes(train_where=f"vec_id % {DELTA_MOD} <> {DELTA_REM}")},
+{ivfadc_budget_ctes(RERANK_MARGIN, live_where=f"n_id % {DELTA_MOD} <> {DELETE_REM}")},
+cands AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY adc DESC, n_id ASC) AS crk
+    FROM scored WHERE {live_n} AND {live_q}
+  ) t, cbudget WHERE t.crk <= cbudget.c_budget
+),
+rerank AS (
+  SELECT c.q_id, c.n_id,
+         {duck_cosine('qe.embedding', 'ne.embedding')} AS cos
+  FROM cands c
+  JOIN embeddings qe ON qe.vec_id = c.q_id
+  JOIN embeddings ne ON ne.vec_id = c.n_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM rerank
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_IVFADC_UPSERT_ORACLE = _ivfadc_upsert_oracle_sql()
+
+register(
+    "ann_ivfadc_incremental_upsert",
+    ann_ivfadc_incremental_upsert,
+    ANN_IVFADC_UPSERT_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
 # Hybrid sparse+dense retrieval via Reciprocal Rank Fusion (Cormack,
 # Clarke & Büttcher, SIGIR 2009): fuse the BM25 lexical ranking with
 # a dense cosine ranking by summing 1/(K + rank) contributions —

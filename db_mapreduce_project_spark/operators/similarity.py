@@ -1677,18 +1677,20 @@ scored AS (
 )"""
 
 
-def ivfadc_budget_ctes(margin: int = 1) -> str:
+def ivfadc_budget_ctes(margin: int = 1, live_where: str = "1=1") -> str:
     """DuckDB mirror of ivfadc_collision_budget over the shared
     `codes` CTE: same packed-bigint code key (sum(k * 2^(4m)) — all
     terms exact in double, sum < 2^32, so the cross-engine cast is
     exact), same (cell, code) histogram, same least/greatest fold.
     `margin` mirrors the Spark-side knob (the registered queries
     pass RERANK_MARGIN) so an oracle of a margin != 1 pipeline
-    cannot silently mismatch."""
+    cannot silently mismatch.  `live_where` restricts the histogram
+    to the LIVE (non-tombstoned) codes — the upsert oracle's mirror
+    of the Spark-side tombstone anti-join."""
     return f"""percode AS (
   SELECT n_id, cell,
          CAST(sum(k * power(2.0, m * 4)) AS BIGINT) AS code_key
-  FROM codes GROUP BY n_id, cell
+  FROM codes WHERE {live_where} GROUP BY n_id, cell
 ),
 cbudget AS (
   SELECT least({RERANK_C_CAP}, greatest({RERANK_C_FLOOR},

@@ -582,6 +582,104 @@ def test_ivfadc_incremental_delta_serves_fresh_vectors(spark):
     assert r_inc >= r_full - 0.10, (r_inc, r_full)
 
 
+def test_ivfadc_incremental_upsert_deletes(spark):
+    """Deletes in incremental maintenance (round-9 verdict #4 —
+    the FAISS remove_ids story): tombstones anti-joined at serving
+    time, compaction as a threshold-gated repack.  Pins the contract
+    points parity cannot see:
+
+    * NO RESURRECTION — tombstoned ids never appear as results (or
+      queries);
+    * FRESHNESS — delta adds remain retrievable alongside deletes;
+    * QUALITY — recall over the live corpus within 0.02 of a fully-
+      retrained adaptive index on the same live corpus;
+    * COMPACTION EQUALITY — serving over the compacted index is
+      row-identical to anti-join serving (repack against frozen
+      quantizers changes nothing);
+    * TRIGGER — the fixture's 10% dead fraction sits under the 20%
+      threshold and over a 5% one."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from db_mapreduce_project_spark.operators.retrieval import (
+        DELETE_REM,
+        DELTA_MOD,
+        DELTA_REM,
+        ann_ivfadc_incremental_upsert,
+        exact_rerank_tail,
+        ivfadc_compact,
+        ivfadc_live,
+        ivfadc_rerank_from,
+        ivfadc_should_compact,
+        ivfadc_tombstones,
+    )
+    from db_mapreduce_project_spark.operators.similarity import (
+        RERANK_C_CAP,
+        RERANK_MARGIN,
+        ivfadc_collision_budget,
+        ivfadc_index_trained_on,
+        ivfadc_scored_from_index,
+    )
+
+    rows = ann_ivfadc_incremental_upsert(spark, SF).collect()
+    is_dead = lambda v: v % DELTA_MOD == DELETE_REM  # noqa: E731
+    assert rows
+    # no resurrection + tombstoned vectors stop querying
+    assert not any(is_dead(r["n_id"]) or is_dead(r["q_id"]) for r in rows)
+    # freshness: delta adds retrievable alongside the deletes
+    assert any(r["n_id"] % DELTA_MOD == DELTA_REM for r in rows)
+
+    # quality: within 0.02 of the fully-retrained adaptive index
+    # over the SAME live corpus
+    e = _embeddings(spark)
+    e_live = e.where(F.col("vec_id") % DELTA_MOD != DELETE_REM).cache()
+    exact = top_map(brute_topk_from(e_live).collect())
+    retrained = top_map(ivfadc_rerank_from(e_live).collect())
+    ups = top_map(rows)
+
+    def pooled(approx):
+        hits = total = 0
+        for q, truth in exact.items():
+            hits += len(approx.get(q, set()) & truth)
+            total += len(truth)
+        return hits / total
+
+    r_ups, r_retr = pooled(ups), pooled(retrained)
+    assert r_ups >= r_retr - 0.02, (r_ups, r_retr)
+    e_live.unpersist()
+
+    # compaction: trigger thresholds + repack equality
+    en, cents, cb, codes = ivfadc_index_trained_on(
+        e, F.col("vec_id") % DELTA_MOD != DELTA_REM
+    )
+    tomb = ivfadc_tombstones(e)
+    assert not ivfadc_should_compact(codes, tomb)  # 10% < 20%
+    assert ivfadc_should_compact(codes, tomb, threshold=0.05)
+    compacted = ivfadc_compact(codes, tomb)
+    assert (
+        compacted.where(F.col("n_id") % DELTA_MOD == DELETE_REM).count() == 0
+    )
+    e_live_en = ivfadc_live(en, tomb, "vec_id")
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    ranked = ivfadc_scored_from_index(
+        e_live_en, cents, cb, compacted
+    ).withColumn("crk", F.row_number().over(wc))
+    budget = ivfadc_collision_budget(compacted, RERANK_C_CAP, RERANK_MARGIN)
+    cands = (
+        ranked.crossJoin(F.broadcast(budget))
+        .where(F.col("crk") <= F.col("c_budget"))
+        .select("q_id", "n_id")
+    )
+    via_compact = exact_rerank_tail(
+        e_live_en.select("vec_id", "embedding"), cands
+    ).collect()
+    assert {(r["q_id"], r["n_id"], r["rk"]) for r in via_compact} == {
+        (r["q_id"], r["n_id"], r["rk"]) for r in rows
+    }
+
+
 def test_ann_recall_1m_adaptive_artifact_floors():
     """Round-9 certification (ANN_RECALL_r9.json, float64 ground
     truth per the round-8 ADVICE): the ADAPTIVE serving form hits
