@@ -44,6 +44,7 @@ def load_all_queries() -> None:
     from .functions import udfs  # noqa: F401
     from .operators import (  # noqa: F401
         assembly,
+        avi,
         behavior,
         classic,
         classic2,
