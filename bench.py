@@ -139,6 +139,10 @@ HEADLINE = [
     "multimodal_mp3_frame_stats",
     "ann_ivfadc_rerank",  # now the adaptive-budget serving form
     "ann_ivfadc_incremental_delta",  # add-after-train index maintenance
+    # round-10 additions
+    "ann_ivfadc_filtered_rerank",  # filtered quantized serving form
+    "ann_ivfadc_incremental_upsert",  # tombstone deletes + compaction
+    "multimodal_video_avi_mjpeg_stats",  # AVI/RIFF + MJPEG video
 ]
 
 

@@ -31,7 +31,7 @@ Method:
     deltas carry that variance and the cumulatives are the ground
     truth).
 
-Writes/merges into ANN_RECALL_r9.json.
+Writes/merges into ANN_RECALL_r10.json.
 
 Usage: python scripts/ann_recall_scale.py [copies ...]
        (default rungs: 50, 250, 500 -> 100k, 500k, 1M vectors)
@@ -69,6 +69,7 @@ from db_mapreduce_project_spark.operators.retrieval import (
 from db_mapreduce_project_spark.operators.similarity import (
     PQ_M,
     RERANK_C_CAP,
+    RERANK_MARGIN,
     TOPK,
     QUERY_MOD,
     ivf_topk_from,
@@ -139,11 +140,15 @@ def expand_perturbed_explode(
     )
 
 
-def exact_truth_numpy(ids: np.ndarray, vecs: np.ndarray) -> dict:
+def exact_truth_numpy(
+    ids: np.ndarray, vecs: np.ndarray, labels: np.ndarray | None = None
+) -> dict:
     """Exact cosine top-TOPK for every query (vec_id % QUERY_MOD
     == 0), ties cos DESC then n_id ASC — the brute_topk_from
     contract, computed with chunked float64 BLAS (tie-stable
-    against the engine's float64 scoring, round-8 ADVICE)."""
+    against the engine's float64 scoring, round-8 ADVICE).
+    `labels` (optional, aligned with ids) restricts each query's
+    candidates to its own label — the filtered ground truth."""
     norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0] = 1.0
     unit = vecs / norms[:, None]  # float64 throughout
@@ -155,6 +160,8 @@ def exact_truth_numpy(ids: np.ndarray, vecs: np.ndarray) -> dict:
         pos = q_pos[s : s + chunk]
         scores = unit[pos] @ unit.T  # (chunk, n) float64
         scores[np.arange(len(pos)), pos] = -np.inf  # exclude self
+        if labels is not None:
+            scores[labels[pos][:, None] != labels[None, :]] = -np.inf
         part = np.argpartition(-scores, take, axis=1)[:, :take]
         for r, p in enumerate(pos):
             cand = part[r]
@@ -181,7 +188,7 @@ def main() -> None:
     )
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ANN_RECALL_r9.json",
+        "ANN_RECALL_r10.json",
     )
     results: list[dict] = []
 
@@ -208,6 +215,13 @@ def main() -> None:
         vecs = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
         del pdf
         exact = exact_truth_numpy(ids, vecs)
+        exact_filtered = None
+        if copies == 50:
+            # verdict-#7 rung: same-label ground truth for the
+            # filtered quantized path (label = base identity mod 4,
+            # so clone families share their base's label)
+            labels = ((ids % 100_000_000) // 2) % 4
+            exact_filtered = exact_truth_numpy(ids, vecs, labels)
         del ids, vecs
         truth_sec = round(time.perf_counter() - t0, 2)
         print(
@@ -272,9 +286,9 @@ def main() -> None:
         # collision histogram, NO hand-tuned c — with the per-stage
         # latency breakdown (verdict #3)
         _, _, _, codes = ivfadc_index(rung, cells)
-        c_budget = ivfadc_collision_budget(codes, RERANK_C_CAP).collect()[
-            0
-        ]["c_budget"]
+        c_budget = ivfadc_collision_budget(
+            codes, RERANK_C_CAP, RERANK_MARGIN
+        ).collect()[0]["c_budget"]
         n_scored, t_scored = timed_count(
             ivfadc_scored_from(rung, cells, probe)
         )
@@ -288,6 +302,7 @@ def main() -> None:
                 "cells": cells,
                 "probe": probe,
                 "rerank_c": "adaptive",
+                "margin": RERANK_MARGIN,
                 "c_budget": int(c_budget),
                 "state": state,
             },
@@ -311,6 +326,34 @@ def main() -> None:
             },
         )
 
+        if exact_filtered is not None:
+            # the attribute-filtered quantized path: composite
+            # (cell, label) lists + the SAME adaptive budget
+            from db_mapreduce_project_spark.operators.retrieval import (
+                ivfadc_filtered_rerank_from,
+            )
+
+            rung_lab = rung.select(
+                "vec_id",
+                "embedding",
+                F.expr("((vec_id % 100000000) div 2) % 4").alias("label"),
+            )
+            record(
+                "ivfadc_filtered_rerank_adaptive",
+                {
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": "adaptive",
+                    "margin": RERANK_MARGIN,
+                    "labels": 4,
+                    "state": state,
+                },
+                measure(
+                    ivfadc_filtered_rerank_from(rung_lab, cells, probe),
+                    exact_filtered,
+                ),
+            )
+
         # the incremental-maintenance composition at corpus scale:
         # quantizers frozen on the base subset, ~18% of the rung
         # encoded as "today's delta" against them, adaptive budget
@@ -327,7 +370,9 @@ def main() -> None:
             ranked = ivfadc_scored_from_index(
                 en, cents, cb, codes, probe
             ).withColumn("crk", F.row_number().over(wc))
-            bud = ivfadc_collision_budget(codes, RERANK_C_CAP)
+            bud = ivfadc_collision_budget(
+                codes, RERANK_C_CAP, RERANK_MARGIN
+            )
             cands = (
                 ranked.crossJoin(F.broadcast(bud))
                 .where(F.col("crk") <= F.col("c_budget"))
@@ -341,6 +386,7 @@ def main() -> None:
                 "cells": cells,
                 "probe": probe,
                 "rerank_c": "adaptive",
+                "margin": RERANK_MARGIN,
                 "train_pred": f"vec_id % {DELTA_MOD} != {DELTA_REM}",
                 "state": state,
             },

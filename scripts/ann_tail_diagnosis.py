@@ -71,13 +71,17 @@ PROBE = 8
 
 
 def main() -> None:
+    """Optional argv: [copies] [out_name] — e.g. `250
+    ANN_TAIL_r10_500k.json` diagnoses the 500k rung."""
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else COPIES
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "ANN_TAIL_r9.json"
     spark = get_spark("ann-tail")
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
         "vec_id", "embedding"
     )
     scratch = tempfile.mkdtemp(prefix="ann_tail_")
-    expand_perturbed_explode(base, COPIES).repartition(32).write.mode(
+    expand_perturbed_explode(base, copies).repartition(32).write.mode(
         "overwrite"
     ).parquet(os.path.join(scratch, "embeddings.parquet"))
     rung = spark.read.parquet(os.path.join(scratch, "embeddings.parquet"))
@@ -148,7 +152,7 @@ def main() -> None:
         for q in dead
     }
     out = {
-        "rung": f"sf0.1 x {COPIES} (100k vectors)",
+        "rung": f"sf0.1 x {copies} ({copies * 2000} vectors)",
         "path": "ivfadc_rerank_adaptive",
         "cells": CELLS,
         "probe": PROBE,
@@ -169,7 +173,7 @@ def main() -> None:
     shutil.rmtree(scratch, ignore_errors=True)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ANN_TAIL_r9.json",
+        out_name,
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

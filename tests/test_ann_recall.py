@@ -680,6 +680,62 @@ def test_ivfadc_incremental_upsert_deletes(spark):
     }
 
 
+def test_ann_recall_r10_margin_artifact_floors():
+    """Round-10 certification (ANN_RECALL_r10.json): the REGISTERED
+    adaptive rerank now carries margin = RERANK_MARGIN = 5 (the
+    upper edge of the ANN_TAIL_r9-measured near-tie band), and the
+    ADC scorer is the packed-code + per-query-LUT form.  Pins:
+
+    * budget formula at every rung: c_budget == 5 * family + TOPK;
+    * the dead-query tail closes at 100k (worst_query_recall 1.0,
+      was 0.0 in r9) and shrinks to <= 0.2% pooled at 500k/1M
+      (recall >= 0.995, was 0.959/0.961);
+    * incremental (frozen-quantizer) recall EQUALS fully-retrained
+      adaptive recall at every rung;
+    * the r9 IVFADC scoring bottleneck is cut: 1M adaptive wall
+      within 3.5x mrl_rerank (was 4.4x), at HIGHER recall than MRL;
+    * the filtered quantized path holds >= 0.98 vs the same-label
+      exact ground truth at the 100k clone rung (verdict #7)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "ANN_RECALL_r10.json"
+    )
+    rows = json.load(open(path))["measurements"]
+
+    def get(corpus_n, path_name, rerank_c=None):
+        for r in rows:
+            if (
+                f"({corpus_n} vectors)" in r["corpus"]
+                and r["path"] == path_name
+                and (rerank_c is None or r["params"].get("rerank_c") == rerank_c)
+            ):
+                return r
+        raise AssertionError((corpus_n, path_name, rerank_c))
+
+    for n, family in ((100_000, 50), (500_000, 250), (1_000_000, 500)):
+        ad = get(n, "ivfadc_rerank_adaptive")
+        assert ad["params"]["margin"] == 5
+        assert ad["params"]["c_budget"] == 5 * family + TOPK, ad["params"]
+        assert ad["recall"] >= 0.995, (n, ad["recall"])
+        # frozen-quantizer maintenance loses nothing vs retrained
+        assert (
+            get(n, "ivfadc_incremental_delta")["recall"] == ad["recall"]
+        ), n
+    # the tail is CLOSED at the 100k rung (r9: worst 0.0)
+    assert get(100_000, "ivfadc_rerank_adaptive")["worst_query_recall"] == 1.0
+    # packed-code LUT scoring: 1M adaptive within 3.5x MRL (r9: 4.4x)
+    ad1m = get(1_000_000, "ivfadc_rerank_adaptive")
+    mrl1m = get(1_000_000, "mrl_rerank", 50)
+    assert ad1m["sec"] <= 3.5 * mrl1m["sec"], (ad1m["sec"], mrl1m["sec"])
+    assert ad1m["recall"] > mrl1m["recall"]
+    # filtered quantized serving under the same adaptive budget
+    filt = get(100_000, "ivfadc_filtered_rerank_adaptive")
+    assert filt["params"]["margin"] == 5
+    assert filt["recall"] >= 0.98, filt["recall"]
+
+
 def test_ann_recall_1m_adaptive_artifact_floors():
     """Round-9 certification (ANN_RECALL_r9.json, float64 ground
     truth per the round-8 ADVICE): the ADAPTIVE serving form hits
