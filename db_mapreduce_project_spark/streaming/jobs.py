@@ -1470,10 +1470,14 @@ DWW_SLICE_OFFSET_HOURS = 12
 
 
 def _stage_events_time_slices(
-    spark: SparkSession, sf_dir: str, flush_sentinel: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    flush_sentinel: bool = False,
+    slice_hours: int = DWW_SLICE_HOURS,
 ) -> str:
     """Stage the events fixture as one parquet file per slice
-    (DWW_SLICE_HOURS), slice boundaries OFFSET to noon so every
+    (`slice_hours`, default DWW_SLICE_HOURS), slice boundaries
+    OFFSET to noon so every
     day-bucket key spans exactly two micro-batches (cross-batch
     suppression is exercised, not just in-batch dedup).  Files get
     ascending mtimes so the file source replays them in event-time
@@ -1491,7 +1495,7 @@ def _stage_events_time_slices(
     ev = load_table(spark, sf_dir, "events")
     stage = _scratch_dir("events_dww_")
     tmp = os.path.join(stage, "_build")
-    slice_us = DWW_SLICE_HOURS * 3600 * 1_000_000
+    slice_us = slice_hours * 3600 * 1_000_000
     off_us = DWW_SLICE_OFFSET_HOURS * 3600 * 1_000_000
     (
         ev.withColumn(

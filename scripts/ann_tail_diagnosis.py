@@ -162,12 +162,12 @@ def main() -> None:
         "dead_from_pure_routing_loss": routing_loss,
         "dead_truth_adc_ranks": depth,
         "conclusion": (
-            "every dead query's truth IS generated as a candidate "
-            "(routing loss 0) and sits at ADC ranks just past the "
-            "derived budget — a near-tie pileup of adjacent codes; "
-            "the recovery knob is a budget margin (2x recovers 6/7, "
-            "5x recovers 7/7 here), and the 1M stage breakdown "
-            "prices that margin at a few percent of wall"
+            "dead truths' ADC ranks vs the derived budget name the "
+            "mechanism: ranks just past the budget with zero routing "
+            "loss = near-tie decoy-family pileup (the margin knob); "
+            "absent ranks = routing (the probe knob).  See the "
+            "committed r9 (100k) and r10 (500k) artifacts for the "
+            "measured band edges that set RERANK_MARGIN."
         ),
     }
     shutil.rmtree(scratch, ignore_errors=True)

@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""1M-document certification rungs for the flagship dedup paths
+(round-9 verdict #5) — the ANN-ladder protocol applied to dedup:
+wall time + candidate/output counts + RECALL VS EXACT at corpus
+scales the DuckDB oracle never executes.
+
+Corpus: the sf0.1 documents (5000 docs, ~54 words each) expanded
+`copies`x with BOUNDED near-dup families — unlike the key-shift
+stress ladder (where all copies of a doc form ONE family and pair
+output grows quadratically in copies), every word of copy c gets a
+family suffix f{c // FAM_SIZE} and each copy appends one unique
+tail token:
+
+  * copies within a family (same suffix) are near-identical
+    (Jaccard ~0.9 — they differ only in the tail token's shingles);
+  * copies across families share NO shingles (every word-3-gram
+    carries the suffix), so families are mutually invisible;
+  * family size stays FAM_SIZE at every rung — the real-corpus
+    geometry (bounded duplicate clusters, corpus-scaling identity
+    count), so pair output scales LINEARLY in corpus size:
+    docs/FAM_SIZE families x C(FAM_SIZE, 2) pairs.
+
+Recall is computed distributively (inner join of the approximate
+pair set against the exact pair set — nothing corpus-sized is ever
+collected):
+
+  * minhash_lsh vs the exact DF-capped shingle-Jaccard join —
+    reported POOLED and BY JACCARD BAND: the exact set at threshold
+    0.05 is dominated by marginal word-soup overlap pairs the
+    8x4 banding intentionally under-samples (collision probability
+    1-(1-J^4)^8 is ~0.003 at J=0.1), while the near-dup band the
+    dedup pipeline exists for (J >= 0.8, the clone families)
+    collides with probability ~0.9998 — banded recall separates
+    the designed trade-off from a defect;
+  * containment_ensemble vs the exact containment join — the
+    deterministic-recall-1 construction, asserted at scale.
+
+Writes DEDUP_LADDER_r10.json.  Usage:
+  python scripts/dedup_ladder_scale.py [copies ...]   (default 20 200)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from db_mapreduce_project_spark.io import load_table
+from db_mapreduce_project_spark.operators.dedup import (
+    containment_pairs_ensemble_from,
+    containment_pairs_from,
+    jaccard_pairs_from,
+    minhash_pairs_from,
+)
+from db_mapreduce_project_spark.session import get_spark
+
+FAM_SIZE = 10
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def expand_families(d, copies: int):
+    """`copies` rows per base doc with family-suffixed words (family
+    = copy // FAM_SIZE) and a per-copy unique tail token; doc_id =
+    base * 10_000 + copy (collision-free for base < 1e7)."""
+    fam = (F.col("copy") / FAM_SIZE).cast("int").cast("string")
+    suffixed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(w, F.lit("f"), fam),
+        ),
+        " ",
+    )
+    return d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy")
+    ).select(
+        (F.col("doc_id") * 10_000 + F.col("copy")).alias("doc_id"),
+        F.concat(
+            suffixed, F.lit(" uc"), F.col("copy").cast("string")
+        ).alias("text"),
+    )
+
+
+def _norm_pairs(df):
+    """Canonical unordered (doc_a, doc_b): jaccard frames already
+    carry doc_a < doc_b; containment frames carry directional
+    (contained_id, container_id)."""
+    cols = set(df.columns)
+    if "contained_id" in cols:
+        return df.select(
+            F.least("contained_id", "container_id").alias("doc_a"),
+            F.greatest("contained_id", "container_id").alias("doc_b"),
+        )
+    return df.select("doc_a", "doc_b")
+
+
+def timed_pairs(fn, docs, keep_jaccard: bool = False) -> tuple:
+    t0 = time.perf_counter()
+    out = fn(docs)
+    cols = (
+        ["doc_a", "doc_b", "jaccard"]
+        if keep_jaccard and "jaccard" in out.columns
+        else None
+    )
+    df = (
+        out.select(*cols) if cols else _norm_pairs(out)
+    ).localCheckpoint(eager=True)
+    n = df.count()
+    return df, n, round(time.perf_counter() - t0, 2)
+
+
+def recall_vs(approx_df, exact_df, n_exact: int) -> float:
+    matched = approx_df.select("doc_a", "doc_b").join(
+        exact_df.select("doc_a", "doc_b"), ["doc_a", "doc_b"]
+    ).count()
+    return round(matched / n_exact, 4) if n_exact else 1.0
+
+
+def banded_recall(approx_df, exact_j_df, lo: float) -> dict:
+    """Recall restricted to exact pairs with jaccard >= lo."""
+    band = exact_j_df.where(F.col("jaccard") >= lo)
+    n = band.count()
+    return {
+        "band": f"J>={lo}",
+        "exact_rows": n,
+        "recall": recall_vs(approx_df, band, n),
+    }
+
+
+def main() -> None:
+    rungs = [int(a) for a in sys.argv[1:]] or [20, 200]
+    spark = get_spark("dedup-ladder-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_base = base.count()
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DEDUP_LADDER_r10.json",
+    )
+    records = []
+    for copies in rungs:
+        scratch = tempfile.mkdtemp(prefix=f"dedup_rung_{copies}x_")
+        t0 = time.perf_counter()
+        expand_families(base, copies).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(scratch, "documents.parquet"))
+        docs = spark.read.parquet(os.path.join(scratch, "documents.parquet"))
+        n_docs = docs.count()
+        build_sec = round(time.perf_counter() - t0, 2)
+        print(
+            f"== rung {copies}x: {n_docs} docs "
+            f"({n_base * copies // FAM_SIZE} families of {FAM_SIZE}), "
+            f"build {build_sec}s",
+            flush=True,
+        )
+
+        # exact ground truths (run once, reused by both recalls)
+        ex_j, n_ex_j, sec_ex_j = timed_pairs(
+            jaccard_pairs_from, docs, keep_jaccard=True
+        )
+        ex_c, n_ex_c, sec_ex_c = timed_pairs(containment_pairs_from, docs)
+
+        mh, n_mh, sec_mh = timed_pairs(minhash_pairs_from, docs)
+        en, n_en, sec_en = timed_pairs(containment_pairs_ensemble_from, docs)
+
+        for fam, n, sec, rec, exact_name, n_exact in (
+            ("jaccard_pairs_exact", n_ex_j, sec_ex_j, 1.0, None, n_ex_j),
+            ("containment_exact", n_ex_c, sec_ex_c, 1.0, None, n_ex_c),
+            (
+                "minhash_lsh_pairs",
+                n_mh,
+                sec_mh,
+                recall_vs(mh, ex_j, n_ex_j),
+                "jaccard_pairs_exact",
+                n_ex_j,
+            ),
+            (
+                "containment_ensemble",
+                n_en,
+                sec_en,
+                recall_vs(en, ex_c, n_ex_c),
+                "containment_exact",
+                n_ex_c,
+            ),
+        ):
+            rec_row = {
+                "family": fam,
+                "copies": copies,
+                "docs": n_docs,
+                "fam_size": FAM_SIZE,
+                "sec": sec,
+                "out_rows": n,
+                "recall_vs_exact": rec,
+                "exact_twin": exact_name,
+                "exact_rows": n_exact,
+                "sf": SF_DIR,
+            }
+            if fam == "minhash_lsh_pairs":
+                rec_row["recall_bands"] = [
+                    banded_recall(mh, ex_j, lo) for lo in (0.5, 0.8)
+                ]
+            records.append(rec_row)
+            print(json.dumps(rec_row), flush=True)
+        spark.catalog.clearCache()
+        shutil.rmtree(scratch, ignore_errors=True)
+    json.dump(records, open(out_path, "w"), indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -119,3 +119,50 @@ def test_stress_ladder_artifact_scale_exact_output():
             continue
         assert r["scale_exact"] is True, (fam, copies)
         assert r["out_rows"] == r["out_rows_expected"] > 0, r
+
+
+LONGRUN_ART = os.path.join(
+    os.path.dirname(__file__), "..", "STREAMING_LONGRUN_r10.json"
+)
+
+
+def test_longrun_artifact_flat_batches_and_state():
+    """Long-running operation certification (round-9 verdict #6,
+    STREAMING_LONGRUN_r10.json from scripts/streaming_longrun.py):
+    the TTL-dedup sink across >= 50 micro-batches at the 10x rung.
+    Crash-restart tests prove exactly-once; the stress ladder proves
+    bounded state over ~12 batches; THIS pins what neither can —
+    that per-batch cost and state stay FLAT with batch count over a
+    long life:
+
+    * >= 50 micro-batches actually ran;
+    * mean batch duration of the LAST third within 1.5x the MIDDLE
+      third (no upward slope — checkpoint/state-store debt is not
+      accumulating);
+    * mean state rows of the last third within 1.3x the middle
+      third, and the last-third peak never exceeds the overall peak
+      (the watermark horizon plateau holds to the end);
+    * eviction keeps firing for the whole life of the query: the
+      dedup key is day-truncated and slices are 12 h, so eviction
+      fires when a day boundary ages past the watermark — roughly
+      every second batch (>= 30% of all batches, and present in the
+      last third);
+    * the emitted set equals the exact distinct set at 1M events."""
+    art = json.load(open(LONGRUN_ART))
+    assert art["n_batches"] >= 50, art["n_batches"]
+    assert (
+        art["last_third_mean_batch_ms"]
+        <= 1.5 * art["mid_third_mean_batch_ms"]
+    ), (art["mid_third_mean_batch_ms"], art["last_third_mean_batch_ms"])
+    assert (
+        art["last_third_mean_state_rows"]
+        <= 1.3 * art["mid_third_mean_state_rows"]
+    ), (art["mid_third_mean_state_rows"], art["last_third_mean_state_rows"])
+    series = art["series"]
+    third = max(1, len(series) // 3)
+    last = series[2 * third :]
+    assert max(s["state_rows"] for s in last) <= art["peak_state_rows"]
+    with_evict = sum(1 for s in series if s["state_removed"] > 0)
+    assert with_evict >= 0.3 * len(series), with_evict
+    assert any(s["state_removed"] > 0 for s in last)
+    assert art["out_rows"] == art["out_rows_exact"] > 0, art["out_rows"]
