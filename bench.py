@@ -143,6 +143,7 @@ HEADLINE = [
     "ann_ivfadc_filtered_rerank",  # filtered quantized serving form
     "ann_ivfadc_incremental_upsert",  # tombstone deletes + compaction
     "multimodal_video_avi_mjpeg_stats",  # AVI/RIFF + MJPEG video
+    "ann_binary_hamming_rerank",  # 1-bit sign index + Hamming + rescore
 ]
 
 

@@ -57,6 +57,8 @@ from .similarity import (
     RERANK_C_FLOOR,
     RERANK_MARGIN,
     TOPK,
+    binary_hamming_cands_from,
+    binary_oracle_ctes,
     ivfadc_budget_ctes,
     ivfadc_collision_budget,
     ivfadc_index,
@@ -308,8 +310,8 @@ def ivfadc_rerank_cands_from(
     the ADC ranking, cut to the adaptive (rerank_c=None) or pinned
     budget.  `margin` widens the adaptive budget past the exact-
     collision guarantee (the measured near-tie-pileup knob,
-    ANN_TAIL_r9.json; registered default RERANK_MARGIN = 5, which
-    covers the entire measured dead-query band).  Exposed
+    ANN_TAIL_r9/r10; registered default RERANK_MARGIN = 6, above
+    the measured 5.08x/5.40x band edges at 100k/500k).  Exposed
     separately so the per-stage latency harness times the SAME
     subplan the serving pipeline runs."""
     from .similarity import ivfadc_scored_from_index
@@ -360,9 +362,11 @@ def ivfadc_rerank_from(
     (ANN_RECALL_r8.json: 0.23 at c=50 on 250-clone families), so
     the serving operator now sizes the exact stage as
     least(4096, greatest(25, RERANK_MARGIN * max_cluster + k)) with
-    no hand tuning — the margin is the upper edge of the measured
-    near-tie band (ANN_TAIL_r9.json), closing the round-9 ~2%
-    dead-query tail.  An explicit int pins the cut (used by the recall-sweep
+    no hand tuning — the margin sits just above the measured
+    near-tie band edges (5.08x at 100k, 5.40x at 500k;
+    ANN_TAIL_r9.json / ANN_TAIL_r10_500k.json), closing the
+    round-9 ~2% dead-query tail at every certified rung.  An
+    explicit int pins the cut (used by the recall-sweep
     harness to demonstrate the failure mode the adaptive form
     avoids)."""
     cands = ivfadc_rerank_cands_from(e, rerank_c, n_cells, n_probe, margin)
@@ -1105,3 +1109,60 @@ ORDER BY q_id, rk
 ANN_MRL_RERANK_ORACLE = _mrl_oracle_sql()
 
 register("ann_mrl_rerank", ann_mrl_rerank, ANN_MRL_RERANK_ORACLE)
+
+
+def binary_hamming_rerank_from(
+    e: DataFrame, margin: int = RERANK_MARGIN
+) -> DataFrame:
+    """Binary-quantization serving (Charikar sign sketch + rescore):
+    Hamming over 8-byte packed sign words proposes candidates
+    (similarity.binary_hamming_cands_from — shared IVF routing, a
+    data-derived collision budget), then the shared exact-cosine
+    tail restores full-precision ranking.  The smallest-state
+    serving form in the family: 1 bit/dim + cell id.  Clone
+    families quantize to IDENTICAL sign words (the PQ exact-tie
+    mechanism, not SQ8's unbounded sub-step error), so the
+    margin * max_cluster + k budget rule transfers verbatim."""
+    cands = binary_hamming_cands_from(e, margin)
+    return exact_rerank_tail(e, cands)
+
+
+def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`binary_hamming_rerank_from` over
+    the embeddings fixture."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return binary_hamming_rerank_from(e)
+
+
+def _binary_hamming_oracle_sql() -> str:
+    """DuckDB mirror: the SHARED binary prefix (similarity.py
+    binary_oracle_ctes — identical centroids, exact-in-double sign
+    packing, integer Hamming, identical budget fold), then the
+    exact-cosine rerank fold the other rerank oracles use."""
+    return f"""
+WITH {binary_oracle_ctes(RERANK_MARGIN)},
+rerank AS (
+  SELECT c.q_id, c.n_id,
+         {duck_cosine('qe.embedding', 'ne.embedding')} AS cos
+  FROM cands c
+  JOIN embeddings qe ON qe.vec_id = c.q_id
+  JOIN embeddings ne ON ne.vec_id = c.n_id
+)
+SELECT q_id, n_id, cos, rk FROM (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rk
+  FROM rerank
+) t
+WHERE rk <= {TOPK}
+ORDER BY q_id, rk
+"""
+
+
+ANN_BINARY_HAMMING_RERANK_ORACLE = _binary_hamming_oracle_sql()
+
+register(
+    "ann_binary_hamming_rerank",
+    ann_binary_hamming_rerank,
+    ANN_BINARY_HAMMING_RERANK_ORACLE,
+)

@@ -163,13 +163,20 @@ def main() -> None:
         )
 
         # exact ground truths (run once, reused by both recalls)
+        print("-- jaccard_pairs_exact ...", flush=True)
         ex_j, n_ex_j, sec_ex_j = timed_pairs(
             jaccard_pairs_from, docs, keep_jaccard=True
         )
+        print(f"   {n_ex_j} rows in {sec_ex_j}s", flush=True)
+        print("-- containment_exact ...", flush=True)
         ex_c, n_ex_c, sec_ex_c = timed_pairs(containment_pairs_from, docs)
-
+        print(f"   {n_ex_c} rows in {sec_ex_c}s", flush=True)
+        print("-- minhash_lsh_pairs ...", flush=True)
         mh, n_mh, sec_mh = timed_pairs(minhash_pairs_from, docs)
+        print(f"   {n_mh} rows in {sec_mh}s", flush=True)
+        print("-- containment_ensemble ...", flush=True)
         en, n_en, sec_en = timed_pairs(containment_pairs_ensemble_from, docs)
+        print(f"   {n_en} rows in {sec_en}s", flush=True)
 
         for fam, n, sec, rec, exact_name, n_exact in (
             ("jaccard_pairs_exact", n_ex_j, sec_ex_j, 1.0, None, n_ex_j),
@@ -209,6 +216,9 @@ def main() -> None:
                 ]
             records.append(rec_row)
             print(json.dumps(rec_row), flush=True)
+        # dump after EVERY rung: a later-rung crash (heap/disk at the
+        # 1M exact ground truth) must not lose completed rungs
+        json.dump(records, open(out_path, "w"), indent=1)
         spark.catalog.clearCache()
         shutil.rmtree(scratch, ignore_errors=True)
     json.dump(records, open(out_path, "w"), indent=1)

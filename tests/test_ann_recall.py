@@ -407,16 +407,20 @@ def test_ivfadc_adaptive_budget_beats_fixed_cut_on_clone_families(spark):
     collision histogram (ivfadc_collision_budget) instead of a
     fixed cut.  On a 40-clone corpus (family > the fixed floor 25):
 
-    * the budget is exactly max_cluster + TOPK = 45 — data-derived,
-      deterministic, no hand tuning;
-    * per-query hits(adaptive) >= hits(fixed 25) is a THEOREM (the
-      c=45 cut is a superset of the c=25 cut and exact rescoring
-      keeps every truth member of the cut), pinned per query;
+    * the margin-1 budget is exactly max_cluster + TOPK = 45 and
+      the registered margin-6 budget 6 * 40 + TOPK = 245 —
+      data-derived, deterministic, no hand tuning;
+    * per-query hits(margin 6) >= hits(margin 1) >= hits(fixed 25)
+      is a THEOREM (each cut is a superset of the next and exact
+      rescoring keeps every truth member of the cut), pinned per
+      query;
     * pooled recall floors from measurement: fixed 0.523 vs
-      adaptive 0.8475 (the residual loss is coarse-probe routing at
-      the registered probe=3/16 cells, not the budget — the scaled
-      500k/1M certification in ANN_RECALL_r9.json shows >= 0.95 at
-      serving parameters)."""
+      margin-1 adaptive 0.8475 (the residual loss is coarse-probe
+      routing at the registered probe=3/16 cells, not the budget —
+      the scaled 500k/1M certification in ANN_RECALL_r10.json shows
+      >= 0.995 at serving parameters) vs the registered margin-6
+      form >= 0.99 (the near-tie margin recovers the entire tail
+      at this geometry)."""
     from db_mapreduce_project_spark.operators.similarity import (
         RERANK_C_CAP,
         ivfadc_collision_budget,
@@ -427,28 +431,29 @@ def test_ivfadc_adaptive_budget_beats_fixed_cut_on_clone_families(spark):
     _, _, _, codes = ivfadc_index(e)
     budget = ivfadc_collision_budget(codes, RERANK_C_CAP).collect()
     assert budget[0]["c_budget"] == 40 + TOPK, budget
-    m5 = ivfadc_collision_budget(codes, RERANK_C_CAP, margin=5).collect()
-    assert m5[0]["c_budget"] == 5 * 40 + TOPK, m5
+    m6 = ivfadc_collision_budget(codes, RERANK_C_CAP, margin=6).collect()
+    assert m6[0]["c_budget"] == 6 * 40 + TOPK, m6
     exact = top_map(brute_topk_from(e).collect())
     fixed = top_map(ivfadc_rerank_from(e, 25).collect())
-    adaptive = top_map(ivfadc_rerank_from(e).collect())
-    margin5 = top_map(ivfadc_rerank_from(e, margin=5).collect())
+    margin1 = top_map(ivfadc_rerank_from(e, margin=1).collect())
+    adaptive = top_map(ivfadc_rerank_from(e).collect())  # margin 6
     e.unpersist()
     f_hits = a_hits = m_hits = total = 0
     for q, truth in exact.items():
         fh = len(fixed.get(q, set()) & truth)
-        ah = len(adaptive.get(q, set()) & truth)
-        mh = len(margin5.get(q, set()) & truth)
+        ah = len(margin1.get(q, set()) & truth)
+        mh = len(adaptive.get(q, set()) & truth)
         assert mh >= ah >= fh, (q, fh, ah, mh)  # nested-cut dominance
         f_hits += fh
         a_hits += ah
         m_hits += mh
         total += len(truth)
     assert f_hits / total <= 0.60, f_hits / total  # the measured collapse
-    assert a_hits / total >= 0.80, a_hits / total  # the adaptive recovery
-    # the documented near-tie-pileup knob (ANN_TAIL_r9.json): a 5x
-    # margin recovers the ENTIRE tail at this geometry (measured
-    # 1.0 pooled, 1.0 worst-query)
+    assert a_hits / total >= 0.80, a_hits / total  # the margin-1 recovery
+    # the measured near-tie-pileup margin (ANN_TAIL_r9/r10): the
+    # registered margin-6 budget recovers the ENTIRE tail at this
+    # geometry (measured 1.0 pooled, 1.0 worst-query at margin 5;
+    # 6 is a superset cut)
     assert m_hits / total >= 0.99, m_hits / total
 
 
@@ -792,3 +797,70 @@ def test_ann_recall_1m_adaptive_artifact_floors():
         assert inc["recall"] >= get(n, "ivfadc_rerank_adaptive")[
             "recall"
         ] - 0.02, (n, inc["recall"])
+
+
+def test_binary_hamming_recall_floors(spark):
+    """Round-10 binary-quantization serving (1-bit sign sketch +
+    Hamming + exact rescore — the smallest index in the family at
+    8 bytes/vector).  Two measured floors:
+
+    * raw fixture (near-uniform): 0.30 — the scanned-fraction bound
+      all locality indexes hit on this geometry (IVF reads 0.36
+      with full-float scoring of every probed candidate; the binary
+      cut keeps only c_budget of them);
+    * 40-clone corpus: 1.0 pooled AND worst-query — perturbed
+      clones quantize to IDENTICAL (or 1-2-bit-off) sign words,
+      Hamming ranks the family first, and the collision-derived
+      budget (margin * max_cluster + k) keeps every sibling for the
+      exact stage.  The PQ exact-tie mechanism, not SQ8's unbounded
+      sub-step error — which is why the adaptive budget transfers."""
+    from db_mapreduce_project_spark.operators.retrieval import (
+        binary_hamming_rerank_from,
+    )
+    from db_mapreduce_project_spark.operators.similarity import (
+        RERANK_C_CAP,
+        binary_collision_budget,
+        binary_sign_codes,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    e = _embeddings(spark).cache()
+    exact = top_map(brute_topk_from(e).collect())
+    res = measure(binary_hamming_rerank_from(e), exact)
+    assert res["recall"] >= 0.25, res
+
+    ec = expand_perturbed(e, copies=40).cache()
+    e.unpersist()
+    # clone families collide to identical sign words: the budget is
+    # the data-derived margin * 40 + TOPK (same rule as IVFADC)
+    from db_mapreduce_project_spark.operators.similarity import (
+        RERANK_MARGIN,
+        TOPK as _TOPK,
+    )
+
+    en = ec.select("vec_id", "embedding", l2("embedding").alias("norm"))
+    cents = ivf_centroids(en)
+    bcodes = binary_sign_codes(ivf_assign(en, cents))
+    b = binary_collision_budget(bcodes, RERANK_C_CAP).collect()
+    # unlike PQ (coarse residual cells — ALL 40 clones collide), the
+    # sign sketch can split a family when the perturbation flips a
+    # near-zero coordinate's sign: the measured max cluster here is
+    # 37 of 40.  The budget must still be exactly the rule applied
+    # to the TRUE histogram max — recompute it independently.
+    max_cluster = (
+        bcodes.groupBy("cell", "b_lo", "b_hi")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert 30 <= max_cluster <= 40, max_cluster
+    assert b[0]["c_budget"] == RERANK_MARGIN * max_cluster + _TOPK, (
+        b,
+        max_cluster,
+    )
+    exact_c = top_map(brute_topk_from(ec).collect())
+    res_c = measure(binary_hamming_rerank_from(ec), exact_c)
+    ec.unpersist()
+    assert res_c["recall"] >= 0.99, res_c
+    assert res_c["worst_query_recall"] >= 0.99, res_c

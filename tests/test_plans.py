@@ -285,6 +285,9 @@ _UNKEYED_JOIN_OK = {
     "ann_ivfadc_topk",          # broadcast NLJ against N_CELLS centroids
     "ann_ivfadc_rerank",        # same centroid/codebook broadcasts
     "ann_ivfadc_incremental_delta",  # same + 1-row budget broadcast
+    "ann_ivfadc_filtered_rerank",  # same + 1-row budget broadcast
+    "ann_ivfadc_incremental_upsert",  # same + 1-row budget/compaction
+    "ann_binary_hamming_rerank",  # same centroid + 1-row budget bcasts
     "ann_ivf_filtered",         # same centroid broadcasts
     "ann_mrl_rerank",           # same centroid broadcasts (truncated dims)
     "sketch_kmv_distinct",      # 1-row sketch x 1-row exact-count join
