@@ -135,9 +135,9 @@ HEADLINE = [
     "window_nulls_navigation",
     "approx_percentile_builtin",
     "dedup_keepers_by_quality",
-    # round-9 additions
+    # round-9 additions (ann_ivfadc_rerank, already a headliner
+    # above, became the adaptive-budget serving form)
     "multimodal_mp3_frame_stats",
-    "ann_ivfadc_rerank",  # now the adaptive-budget serving form
     "ann_ivfadc_incremental_delta",  # add-after-train index maintenance
     # round-10 additions
     "ann_ivfadc_filtered_rerank",  # filtered quantized serving form

@@ -8,8 +8,9 @@ Corpus: the sf0.1 documents (5000 docs, ~54 words each) expanded
 `copies`x with BOUNDED near-dup families — unlike the key-shift
 stress ladder (where all copies of a doc form ONE family and pair
 output grows quadratically in copies), every word of copy c gets a
-family suffix f{c // FAM_SIZE} and each copy appends one unique
-tail token:
+family suffix {base_doc_id}x{c // FAM_SIZE} (base-doc-scoped, so
+no 3-gram can match across families OR across base docs) and each
+copy appends one unique tail token:
 
   * copies within a family (same suffix) are near-identical
     (Jaccard ~0.9 — they differ only in the tail token's shingles);
@@ -25,13 +26,15 @@ pair set against the exact pair set — nothing corpus-sized is ever
 collected):
 
   * minhash_lsh vs the exact DF-capped shingle-Jaccard join —
-    reported POOLED and BY JACCARD BAND: the exact set at threshold
-    0.05 is dominated by marginal word-soup overlap pairs the
-    8x4 banding intentionally under-samples (collision probability
-    1-(1-J^4)^8 is ~0.003 at J=0.1), while the near-dup band the
-    dedup pipeline exists for (J >= 0.8, the clone families)
-    collides with probability ~0.9998 — banded recall separates
-    the designed trade-off from a defect;
+    reported POOLED and BY JACCARD BAND (J >= 0.5, J >= 0.8).  On
+    this geometry the exact set is family pairs (J ~0.8-0.95 after
+    the unique tails and the DF cap), where 8x4 banding collides
+    with probability ~0.999+; the designed under-sampling of
+    marginal word-soup pairs (collision probability 1-(1-J^4)^8 is
+    ~0.003 at J=0.1) was measured separately on the
+    collided-suffix corpus variant: pooled 0.55 vs banded 0.994 /
+    1.0 at J>=0.5 / J>=0.8 over 901680 exact pairs at 100k docs —
+    banded recall separates the designed trade-off from a defect;
   * containment_ensemble vs the exact containment join — the
     deterministic-recall-1 construction, asserted at scale.
 
@@ -69,9 +72,22 @@ SF_DIR = "/root/testdata/sf0.1"
 
 def expand_families(d, copies: int):
     """`copies` rows per base doc with family-suffixed words (family
-    = copy // FAM_SIZE) and a per-copy unique tail token; doc_id =
-    base * 10_000 + copy (collision-free for base < 1e7)."""
-    fam = (F.col("copy") / FAM_SIZE).cast("int").cast("string")
+    = base doc x (copy // FAM_SIZE) — the suffix carries BOTH, so
+    families are mutually invisible across base docs too, exactly as
+    the module docstring specifies; a bare copy//FAM_SIZE suffix
+    collides across base docs, letting stopword-ish 3-grams build
+    DF-cap-sized cross-family postings whose d-squared join output
+    explodes at the 1M rung) and a per-copy unique tail token;
+    doc_id = base * 10_000 + copy (collision-free for base < 1e7)."""
+    # NOTE: the family suffix must come from the BASE doc id, and
+    # Spark 4 resolves a same-select reference to `doc_id` against
+    # the new lateral alias (base*10000+copy) — so the base id is
+    # renamed to an unambiguous `base_id` first
+    fam = F.concat(
+        F.col("base_id").cast("string"),
+        F.lit("x"),
+        (F.col("copy") / FAM_SIZE).cast("int").cast("string"),
+    )
     suffixed = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
@@ -80,9 +96,11 @@ def expand_families(d, copies: int):
         " ",
     )
     return d.select(
-        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy")
+        F.col("doc_id").alias("base_id"),
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy"),
     ).select(
-        (F.col("doc_id") * 10_000 + F.col("copy")).alias("doc_id"),
+        (F.col("base_id") * 10_000 + F.col("copy")).alias("doc_id"),
         F.concat(
             suffixed, F.lit(" uc"), F.col("copy").cast("string")
         ).alias("text"),

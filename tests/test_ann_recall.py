@@ -687,14 +687,19 @@ def test_ivfadc_incremental_upsert_deletes(spark):
 
 def test_ann_recall_r10_margin_artifact_floors():
     """Round-10 certification (ANN_RECALL_r10.json): the REGISTERED
-    adaptive rerank now carries margin = RERANK_MARGIN = 5 (the
-    upper edge of the ANN_TAIL_r9-measured near-tie band), and the
-    ADC scorer is the packed-code + per-query-LUT form.  Pins:
+    adaptive rerank carries margin = RERANK_MARGIN = 6 — sized from
+    the MEASURED near-tie band edges (5.08x max_cluster at 100k,
+    ANN_TAIL_r9; 5.27-5.40x at 500k, ANN_TAIL_r10_500k; margin 5
+    left 3/2000 queries dead at 500k) — and the ADC scorer is the
+    packed-code + per-query-LUT form.  The artifact retains the
+    margin-5 rows (the measurement that exposed the 500k band edge)
+    alongside the margin-6 certification; rows are keyed by params,
+    so both coexist.  Pins:
 
-    * budget formula at every rung: c_budget == 5 * family + TOPK;
-    * the dead-query tail closes at 100k (worst_query_recall 1.0,
-      was 0.0 in r9) and shrinks to <= 0.2% pooled at 500k/1M
-      (recall >= 0.995, was 0.959/0.961);
+    * budget formula at every rung: c_budget == 6 * family + TOPK;
+    * the dead-query tail closes at EVERY rung for the registered
+      form (worst_query_recall 1.0 at 100k/500k/1M — r9 read 0.0
+      everywhere, margin-5 read 0.0 at 500k/1M);
     * incremental (frozen-quantizer) recall EQUALS fully-retrained
       adaptive recall at every rung;
     * the r9 IVFADC scoring bottleneck is cut: 1M adaptive wall
@@ -709,36 +714,46 @@ def test_ann_recall_r10_margin_artifact_floors():
     )
     rows = json.load(open(path))["measurements"]
 
-    def get(corpus_n, path_name, rerank_c=None):
+    def get(corpus_n, path_name, rerank_c=None, margin=None):
         for r in rows:
             if (
                 f"({corpus_n} vectors)" in r["corpus"]
                 and r["path"] == path_name
                 and (rerank_c is None or r["params"].get("rerank_c") == rerank_c)
+                and (margin is None or r["params"].get("margin") == margin)
             ):
                 return r
-        raise AssertionError((corpus_n, path_name, rerank_c))
+        raise AssertionError((corpus_n, path_name, rerank_c, margin))
 
     for n, family in ((100_000, 50), (500_000, 250), (1_000_000, 500)):
-        ad = get(n, "ivfadc_rerank_adaptive")
-        assert ad["params"]["margin"] == 5
-        assert ad["params"]["c_budget"] == 5 * family + TOPK, ad["params"]
-        assert ad["recall"] >= 0.995, (n, ad["recall"])
+        ad = get(n, "ivfadc_rerank_adaptive", margin=6)
+        assert ad["params"]["c_budget"] == 6 * family + TOPK, ad["params"]
+        # the registered form's tail is CLOSED at every rung (r9
+        # margin-1: worst 0.0 everywhere; margin-5: dead queries
+        # remained at 500k/1M)
+        assert ad["recall"] >= 0.999, (n, ad["recall"])
+        assert ad["worst_query_recall"] == 1.0, (n, ad)
         # frozen-quantizer maintenance loses nothing vs retrained
         assert (
-            get(n, "ivfadc_incremental_delta")["recall"] == ad["recall"]
+            get(n, "ivfadc_incremental_delta", margin=6)["recall"]
+            == ad["recall"]
         ), n
-    # the tail is CLOSED at the 100k rung (r9: worst 0.0)
-    assert get(100_000, "ivfadc_rerank_adaptive")["worst_query_recall"] == 1.0
-    # packed-code LUT scoring: 1M adaptive within 3.5x MRL (r9: 4.4x)
-    ad1m = get(1_000_000, "ivfadc_rerank_adaptive")
+    # packed-code LUT scoring: 1M adaptive within ~3.6x MRL (r9 was
+    # 4.4x at margin 1; the two r10 passes measured 2.87x at margin
+    # 5 / budget 2505 and 3.55x at margin 6 / budget 3005 — the
+    # floor allows run-to-run drift on the MRL side, which moved
+    # 53.0 -> 47.6 s between same-code passes)
+    ad1m = get(1_000_000, "ivfadc_rerank_adaptive", margin=6)
     mrl1m = get(1_000_000, "mrl_rerank", 50)
-    assert ad1m["sec"] <= 3.5 * mrl1m["sec"], (ad1m["sec"], mrl1m["sec"])
+    assert ad1m["sec"] <= 3.75 * mrl1m["sec"], (ad1m["sec"], mrl1m["sec"])
     assert ad1m["recall"] > mrl1m["recall"]
     # filtered quantized serving under the same adaptive budget
-    filt = get(100_000, "ivfadc_filtered_rerank_adaptive")
-    assert filt["params"]["margin"] == 5
+    filt = get(100_000, "ivfadc_filtered_rerank_adaptive", margin=6)
     assert filt["recall"] >= 0.98, filt["recall"]
+    # the margin-5 exposure rows stay in the artifact: the 500k
+    # band-edge measurement that sized the default
+    m5 = get(500_000, "ivfadc_rerank_adaptive", margin=5)
+    assert m5["worst_query_recall"] == 0.0 and m5["recall"] >= 0.995, m5
 
 
 def test_ann_recall_1m_adaptive_artifact_floors():
