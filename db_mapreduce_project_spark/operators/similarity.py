@@ -1306,13 +1306,16 @@ def ivfadc_index_trained_on(
 # codes, which the collision histogram cannot see because the codes
 # differ.  The margin multiplies the histogram's max_cluster to
 # absorb that band.  The band edge is MEASURED, not guessed:
-# 5.08x max_cluster at 100k (ANN_TAIL_r9.json) and 5.27-5.40x at
-# 500k (ANN_TAIL_r10_500k.json) — ~6% growth per 5x corpus, because
-# the depth counts near-tie decoy clone families above the truth, a
-# cell-occupancy property that grows sub-linearly in corpus size.
-# margin=5 cleared 100k completely but left 3/2000 dead at 500k
-# (truth just past the 5x edge); margin=6 covers both measured
-# edges with 11-20% headroom and the projected ~5.7x edge at 1M.
+# 5.08x max_cluster at 100k (ANN_TAIL_r9.json), 5.27-5.40x at 500k
+# (ANN_TAIL_r10_500k.json), and 5.02-5.39x at 1M
+# (ANN_TAIL_r10_1m.json) — the edge SATURATES near 5.4x rather than
+# growing with corpus size, because the depth counts near-tie decoy
+# clone families above the truth, a per-cell occupancy property
+# (cells scale with the corpus).  margin=5 cleared 100k completely
+# but left 3/2000 dead at 500k and 8/4000 at 1M (truth just past
+# the 5x cut); margin=6 clears the measured edge at all three
+# rungs with >= 11% headroom (certified: worst_query_recall 1.0 at
+# 100k/500k/1M, ANN_RECALL_r10.json).
 # The r9/r10 per-stage breakdowns price the wider exact stage at a
 # few percent of wall (|q| x budget point lookups, independent of
 # corpus size).  This is the registered serving default; margin=1

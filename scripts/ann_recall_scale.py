@@ -421,6 +421,37 @@ def main() -> None:
                 },
             },
         )
+
+        # binary (1-bit sign) quantization + Hamming + rescore — the
+        # smallest-state serving form (8 B/vector sign words + cell):
+        # same IVF routing, collision-derived adaptive budget, exact
+        # tail.  Round-10 addition (ann_binary_hamming_rerank).
+        from db_mapreduce_project_spark.operators.similarity import (
+            binary_hamming_cands_from,
+        )
+
+        record(
+            "binary_hamming_rerank",
+            {
+                "cells": cells,
+                "probe": probe,
+                "rerank_c": "adaptive",
+                "margin": RERANK_MARGIN,
+                "state": {
+                    "sign_bytes": n * 8,
+                    "cell_assign_bytes": n * 4,
+                },
+            },
+            measure(
+                exact_rerank_tail(
+                    rung,
+                    binary_hamming_cands_from(
+                        rung, RERANK_MARGIN, cells, probe
+                    ),
+                ),
+                exact,
+            ),
+        )
         shutil.rmtree(scratch, ignore_errors=True)
         spark.catalog.clearCache()
 

@@ -71,10 +71,15 @@ PROBE = 8
 
 
 def main() -> None:
-    """Optional argv: [copies] [out_name] — e.g. `250
-    ANN_TAIL_r10_500k.json` diagnoses the 500k rung."""
+    """Optional argv: [copies] [out_name] [margin] — e.g. `250
+    ANN_TAIL_r10_500k.json` diagnoses the 500k rung; an explicit
+    margin diagnoses a non-default budget (used to measure the
+    band edge PAST a margin the registered default already covers:
+    `500 ANN_TAIL_r10_1m.json 5` locates the 1M edge that margin 6
+    must clear)."""
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else COPIES
     out_name = sys.argv[2] if len(sys.argv) > 2 else "ANN_TAIL_r9.json"
+    margin = int(sys.argv[3]) if len(sys.argv) > 3 else None
     spark = get_spark("ann-tail")
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
@@ -93,7 +98,16 @@ def main() -> None:
     exact = exact_truth_numpy(ids, vecs)
     del ids, vecs
 
-    approx = top_map(ivfadc_rerank_from(rung, None, CELLS, PROBE).collect())
+    if margin is None:
+        approx = top_map(
+            ivfadc_rerank_from(rung, None, CELLS, PROBE).collect()
+        )
+    else:
+        approx = top_map(
+            ivfadc_rerank_from(
+                rung, None, CELLS, PROBE, margin=margin
+            ).collect()
+        )
     bands = {"0.0": 0, "(0,0.8)": 0, "[0.8,1)": 0, "1.0": 0}
     dead = []
     for q, truth in exact.items():
@@ -154,6 +168,7 @@ def main() -> None:
     out = {
         "rung": f"sf0.1 x {copies} ({copies * 2000} vectors)",
         "path": "ivfadc_rerank_adaptive",
+        "margin": margin if margin is not None else "registered default",
         "cells": CELLS,
         "probe": PROBE,
         "n_queries": len(exact),

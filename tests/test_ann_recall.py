@@ -879,3 +879,30 @@ def test_binary_hamming_recall_floors(spark):
     ec.unpersist()
     assert res_c["recall"] >= 0.99, res_c
     assert res_c["worst_query_recall"] >= 0.99, res_c
+
+
+def test_binary_hamming_artifact_floors():
+    """Corpus-scale certification of the binary path
+    (ANN_RECALL_r10.json, scripts/ann_binary_scale.py): recall 1.0
+    AND worst_query_recall 1.0 at 100k/500k/1M from 8 bytes/vector
+    of sign state under the shared adaptive budget — on the clone
+    geometry the sign sketch matches the full quantized pipeline at
+    half its serving state."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "ANN_RECALL_r10.json"
+    )
+    rows = json.load(open(path))["measurements"]
+    seen = 0
+    for r in rows:
+        if r["path"] != "binary_hamming_rerank":
+            continue
+        seen += 1
+        assert r["params"]["margin"] == 6, r
+        assert r["recall"] == 1.0, r
+        assert r["worst_query_recall"] == 1.0, r
+        n = int(r["corpus"].split("(")[1].split()[0])
+        assert r["params"]["state"]["sign_bytes"] == n * 8, r
+    assert seen == 3, seen
