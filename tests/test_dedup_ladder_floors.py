@@ -71,3 +71,24 @@ def test_dedup_ladder_1m_floors():
     en = _get(rows, "containment_ensemble", 200)
     assert en["recall_vs_exact"] == 1.0, en
     assert en["out_rows"] == _get(rows, "containment_exact", 200)["out_rows"]
+
+
+def test_dedup_ladder_marginal_probe():
+    """--marginal-probe rows (collided-suffix corpus, 100k docs):
+    the exact set gains ~450k low-Jaccard word-soup pairs on top of
+    the 450k family pairs, and the pooled-vs-banded split shows the
+    banding's DESIGNED trade-off: pooled 0.55 (marginal pairs
+    under-sampled at collision probability ~0.003) vs >= 0.99 in
+    both J-bands.  The containment ensemble stays EXACT even on the
+    mixed corpus — its recall-1 construction is geometry-free."""
+    rows = _rows()
+    ex = _get(rows, "jaccard_pairs_exact_marginal_mix", 20)
+    assert ex["out_rows"] == 901_680  # family + marginal pairs
+
+    mh = _get(rows, "minhash_lsh_pairs_marginal_mix", 20)
+    assert 0.5 <= mh["recall_vs_exact"] <= 0.65, mh  # the designed gap
+    for band in mh["recall_bands"]:
+        assert band["recall"] >= 0.99, band
+
+    en = _get(rows, "containment_ensemble_marginal_mix", 20)
+    assert en["recall_vs_exact"] == 1.0, en
