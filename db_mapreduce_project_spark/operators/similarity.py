@@ -1510,6 +1510,14 @@ def ivfadc_scored_from_index(
             F.element_at("lut", m + 1), F.element_at("ks", m + 1) + 1
         )
         rsum = term if rsum is None else rsum + term
+    # NOTE (measured non-optimization): folding the LUT into the
+    # probes broadcast (one BHJ instead of two over the 125M-row
+    # candidate stream) was A/B-tested at the 1M rung — wall times
+    # 140-153 s vs 144-172 s, indistinguishable within run noise.
+    # The per-row cost is the candidate-stream materialization and
+    # the 8 nested array lookups themselves, not the second join's
+    # hash probe — evidence for the SCALE.md stage-economics
+    # conclusion that the residual gap to MRL is structural.
     return (
         F.broadcast(probes)
         .join(packed, cand_keys)
