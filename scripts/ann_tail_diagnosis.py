@@ -27,9 +27,11 @@ budget rule is exactly right about candidate GENERATION and the
 residual tail is a candidate-RANKING margin question: budget 2x
 recovers 6/7, 5x recovers 7/7, at linearly-measured exact-stage
 cost (the 1M stage breakdown shows the exact stage is ~7% of wall,
-so even 5x margin is cheap).  The default stays margin-free: the
-pooled SLA (>= 0.95) is met, and the margin is a documented knob,
-not hidden tuning.
+so even 5x margin is cheap).  [r9 note — superseded: round 10 SHIPS
+margin 6 as the registered default, sized from the band edges this
+harness measured at 100k/500k/1M (5.08x / 5.40x / 5.39x — the edge
+saturates); see the RERANK_MARGIN derivation note in similarity.py
+and ANN_TAIL_r10_500k.json / ANN_TAIL_r10_1m.json.]
 """
 
 from __future__ import annotations

@@ -358,9 +358,10 @@ def test_filtered_ivfadc_adaptive_budget_on_clone_families(spark):
     * every returned neighbor carries the query's own label (the
       pre-filter contract);
     * pooled recall against the same-label exact ground truth
-      clears the unfiltered margin-5 floor — the global max_cluster
-      bound covers every (cell, label) stratum because a label
-      restriction can only SHRINK a tie cluster, never grow it."""
+      clears the unfiltered registered-margin floor — the global
+      max_cluster bound covers every (cell, label) stratum because
+      a label restriction can only SHRINK a tie cluster, never
+      grow it."""
     from db_mapreduce_project_spark.operators.retrieval import (
         ivfadc_filtered_rerank_from,
     )
