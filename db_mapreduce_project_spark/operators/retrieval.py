@@ -475,7 +475,7 @@ def ivfadc_filtered_rerank_from(
     from .similarity import ivfadc_scored_from_index
 
     base = e_lab.select("vec_id", "embedding")
-    en, cents, cb, codes = ivfadc_index(base)
+    en, cents, cb, codes = ivfadc_index(base, n_cells)
     scored = ivfadc_scored_from_index(
         en, cents, cb, codes, n_probe, labels=e_lab.select("vec_id", "label")
     )

@@ -748,9 +748,12 @@ def test_ann_recall_r10_margin_artifact_floors():
     mrl1m = get(1_000_000, "mrl_rerank", 50)
     assert ad1m["sec"] <= 3.75 * mrl1m["sec"], (ad1m["sec"], mrl1m["sec"])
     assert ad1m["recall"] > mrl1m["recall"]
-    # filtered quantized serving under the same adaptive budget
+    # filtered quantized serving under the same adaptive budget —
+    # 1.0/1.0 after the n_cells forwarding fix (the margin-5 row is
+    # retained as the bug exposure, ANN_TAIL_r10_filtered.json)
     filt = get(100_000, "ivfadc_filtered_rerank_adaptive", margin=6)
-    assert filt["recall"] >= 0.98, filt["recall"]
+    assert filt["recall"] == 1.0, filt["recall"]
+    assert filt["worst_query_recall"] == 1.0, filt
     # the margin-5 exposure rows stay in the artifact: the 500k
     # band-edge measurement that sized the default
     m5 = get(500_000, "ivfadc_rerank_adaptive", margin=5)
@@ -907,3 +910,55 @@ def test_binary_hamming_artifact_floors():
         n = int(r["corpus"].split("(")[1].split()[0])
         assert r["params"]["state"]["sign_bytes"] == n * 8, r
     assert seen == 3, seen
+
+
+def test_filtered_rerank_forwards_n_cells(spark):
+    """Regression pin for the round-10 diagnosis-found bug:
+    ivfadc_filtered_rerank_from built its index with
+    ivfadc_index(base) — IGNORING its n_cells argument — so any
+    caller requesting a non-default cell count silently ran a
+    16-cell index (the scale harness's cells=256 rung measured a
+    different collision geometry; ANN_TAIL_r10_filtered.json).
+    Pin parameter forwarding by twin construction: the pipeline at
+    n_cells=4/probe=2 must equal the same stages composed by hand
+    on a 4-cell index."""
+    from db_mapreduce_project_spark.operators.retrieval import (
+        exact_rerank_tail,
+        ivfadc_filtered_rerank_from,
+    )
+    from db_mapreduce_project_spark.operators.similarity import (
+        RERANK_C_CAP,
+        RERANK_MARGIN,
+        ivfadc_collision_budget,
+        ivfadc_index,
+        ivfadc_scored_from_index,
+    )
+
+    e_lab = _labeled(spark).cache()
+    got = {
+        (r["q_id"], r["n_id"], r["rk"])
+        for r in ivfadc_filtered_rerank_from(
+            e_lab, n_cells=4, n_probe=2
+        ).collect()
+    }
+    base = e_lab.select("vec_id", "embedding")
+    en, cents, cb, codes = ivfadc_index(base, 4)
+    scored = ivfadc_scored_from_index(
+        en, cents, cb, codes, 2, labels=e_lab.select("vec_id", "label")
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    budget = ivfadc_collision_budget(codes, RERANK_C_CAP, RERANK_MARGIN)
+    cands = (
+        scored.withColumn("crk", F.row_number().over(wc))
+        .crossJoin(F.broadcast(budget))
+        .where(F.col("crk") <= F.col("c_budget"))
+        .select("q_id", "n_id")
+    )
+    want = {
+        (r["q_id"], r["n_id"], r["rk"])
+        for r in exact_rerank_tail(base, cands).collect()
+    }
+    e_lab.unpersist()
+    assert got == want and len(got) > 0
