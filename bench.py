@@ -151,6 +151,30 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _jvm_cpu_sec(pid: int | None) -> float | None:
+    """Cumulative CPU seconds (utime+stime) of the local-mode JVM
+    from /proc/<pid>/stat.  Deltas around a query give its real
+    compute cost independent of wall clock: if wall inflates while
+    cpu stays flat, the box was contended (external steal), not the
+    plan — the round-10 drift diagnostic."""
+    if pid is None:
+        return None
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            fields = f.read().rsplit(b")", 1)[1].split()
+        hz = os.sysconf("SC_CLK_TCK")
+        return (int(fields[11]) + int(fields[12])) / hz
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _loadavg1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -160,18 +184,33 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    load1_start = _loadavg1()
+
     # warm-up: JVM + parquet footer reads
     materialize(registry.QUERIES["wordcount"](spark, sf_dir))
+
+    # round-11 drift instrumentation: the JVM's cumulative CPU time
+    # (from /proc) and the 1-min loadavg are sampled around every
+    # query, so a driver-run wall inflation is attributable from the
+    # artifact alone — cpu/wall ≈ effective parallelism; flat cpu
+    # with inflated wall = external CPU steal, not a plan change.
+    try:
+        jvm_pid: int | None = spark.sparkContext._gateway.proc.pid
+    except AttributeError:
+        jvm_pid = None
 
     n_iter = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         runs = []
+        load_before = _loadavg1()
+        cpu0 = _jvm_cpu_sec(jvm_pid)
         for _ in range(n_iter):
             t0 = time.perf_counter()
             materialize(registry.QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+        cpu1 = _jvm_cpu_sec(jvm_pid)
         # isolation BETWEEN queries: cached intermediates must not
         # crowd the block manager for later queries.  Repeats of the
         # SAME query stay warm on purpose.
@@ -192,6 +231,14 @@ def main() -> None:
             "median": round(runs[len(runs) // 2], 3),
             "max": round(runs[-1], 3),
         }
+        if cpu0 is not None and cpu1 is not None:
+            # JVM CPU seconds across ALL n runs of this query (the
+            # per-run split isn't observable without a listener);
+            # compare against sum(runs) for effective parallelism
+            spreads[name]["jvm_cpu_sec"] = round(cpu1 - cpu0, 2)
+            spreads[name]["wall_sum"] = round(sum(runs), 2)
+        if load_before is not None:
+            spreads[name]["load1_before"] = load_before
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -207,6 +254,14 @@ def main() -> None:
         # must be distinguishable from a proper BENCH_LOCAL artifact,
         # or it could silently be compared against isolated baselines
         "isolation": not os.environ.get("SPARK_GRAFT_BENCH_NO_ISOLATION"),
+        # run-environment stamp (round-11 drift protocol): a bench
+        # artifact is only comparable to another when these match
+        "env": {
+            "cpu_count": os.cpu_count(),
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+            "load1_start": load1_start,
+            "load1_end": _loadavg1(),
+        },
     }
     # Self-archive the COMPLETE per-query artifact in-repo: the
     # driver's BENCH_r*.json captures only the tail of stdout, which

@@ -1123,7 +1123,7 @@ def binary_hamming_rerank_from(
     families quantize to IDENTICAL sign words (the PQ exact-tie
     mechanism, not SQ8's unbounded sub-step error), so the
     margin * max_cluster + k budget rule transfers verbatim."""
-    cands = binary_hamming_cands_from(e, margin)
+    cands = binary_hamming_cands_from(e, margin=margin)
     return exact_rerank_tail(e, cands)
 
 

@@ -452,8 +452,34 @@ ORDER BY id_a, id_b
 DEDUP_EMBEDDING_LSH_ORACLE = _dedup_lsh_oracle_sql()
 
 
-N_CELLS = 16  # IVF coarse cells; scale as ~sqrt(n) on real corpora
+N_CELLS = 16  # IVF coarse cells for the 2000-vector fixture forms
 N_PROBE = 3  # cells searched per query
+
+
+def derive_n_cells(n: int, floor: int = 16, cap: int = 4096) -> int:
+    """Data-derived IVF cell count: the power of two nearest
+    sqrt(n), clamped to [floor, cap] — the same derive-from-data
+    discipline as the rerank budget (ivfadc_collision_budget).
+
+    Why sqrt: per-query probe work is ~ n_probe * n / cells and
+    coarse-assign work is ~ n * cells, so sqrt(n) balances the two
+    (the FAISS guideline is 4·sqrt(n)..16·sqrt(n) trained cells;
+    with our deterministic lowest-vec_id quantizer the constant 1
+    keeps per-cell occupancy high enough that the collision-budget
+    rule — margin * max_cluster + k — stays data-dominated rather
+    than floor-dominated).  Power-of-two rounding keeps rungs
+    comparable across ladders.
+
+    The fixture forms keep the static N_CELLS=16 (n=2000 is known
+    at registration and the oracle SQL mirrors the constant); the
+    certification ladders (scripts/ann_recall_scale.py,
+    scripts/ann_binary_scale.py) derive cells from the rung size —
+    round-11 re-certification: 100k -> 256, 500k -> 512,
+    1M -> 1024 (the round-10 ladder capped every rung at 256, so
+    probe cost grew linearly with corpus; VERDICT r10 #2)."""
+    import math
+
+    return max(floor, min(cap, 1 << int(round(math.log2(math.sqrt(n))))))
 
 
 def ivf_centroids(e: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
@@ -1917,12 +1943,34 @@ def _sign_word(vec: str, lo: int) -> F.Column:
 def binary_sign_codes(assigned: DataFrame) -> DataFrame:
     """(vec_id, cell, b_lo, b_hi): the binary index over an
     ivf_assign'd relation — two packed 32-bit sign words per vector
-    (8 bytes of serving state) plus the coarse cell."""
+    (8 bytes of serving state) plus the coarse cell.
+
+    The packing is guarded on size(embedding) == DIM: element_at
+    past the end returns null, which _sign_word's when() would
+    silently treat as bit 0, so a wrong-dimension fixture would
+    mis-pack without error (both engines consistently — parity
+    green, recall quietly degraded).  Instead the row raises."""
+    dim_ok = F.size(F.col("embedding")) == F.lit(DIM)
+
+    def guarded(lo: int) -> F.Column:
+        return F.when(dim_ok, _sign_word("embedding", lo)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"binary_sign_codes: embedding dim != {DIM} "
+                        "(got "
+                    ),
+                    F.size(F.col("embedding")).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long")
+        )
+
     return assigned.select(
         "vec_id",
         "cell",
-        _sign_word("embedding", 0).alias("b_lo"),
-        _sign_word("embedding", 32).alias("b_hi"),
+        guarded(0).alias("b_lo"),
+        guarded(32).alias("b_hi"),
     )
 
 
@@ -1952,9 +2000,9 @@ def binary_collision_budget(
 
 def binary_hamming_cands_from(
     e: DataFrame,
-    margin: int = RERANK_MARGIN,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    margin: int = RERANK_MARGIN,
 ) -> DataFrame:
     """(q_id, n_id) candidates from the binary index: IVF coarse
     routing (shared ivf_centroids/ivf_assign/ivf_probes — same

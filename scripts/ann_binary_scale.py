@@ -49,7 +49,7 @@ def main() -> None:
     )
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ANN_RECALL_r10.json",
+        os.environ.get("ANN_RECALL_OUT", "ANN_RECALL_r11.json"),
     )
     results: list[dict] = []
     for copies in rungs:
@@ -91,7 +91,7 @@ def main() -> None:
                 exact_rerank_tail(
                     rung,
                     binary_hamming_cands_from(
-                        rung, RERANK_MARGIN, cells, probe
+                        rung, cells, probe, margin=RERANK_MARGIN
                     ),
                 ),
                 exact,
@@ -102,7 +102,21 @@ def main() -> None:
         shutil.rmtree(scratch, ignore_errors=True)
         spark.catalog.clearCache()
 
-    artifact = json.load(open(out_path))
+    # tolerate a missing/truncated artifact (fresh r11 file, or an
+    # interrupted earlier run) instead of losing the just-computed
+    # measurements to FileNotFoundError/ValueError at the very end
+    try:
+        with open(out_path) as f:
+            artifact = json.load(f)
+    except (OSError, ValueError):
+        artifact = {
+            "topk": TOPK,
+            "recall_def": "hits / (n_queries * topk), exact cosine "
+            "top-k (float64 BLAS) as truth",
+            "noise": "expand_perturbed_explode clones of sf0.1 "
+            "embeddings",
+            "measurements": [],
+        }
     key = lambda r: (  # noqa: E731
         r["corpus"],
         r["path"],

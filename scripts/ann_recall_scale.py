@@ -188,8 +188,19 @@ def main() -> None:
     )
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ANN_RECALL_r10.json",
+        os.environ.get("ANN_RECALL_OUT", "ANN_RECALL_r11.json"),
     )
+    # ANN_PATHS=path1,path2 restricts which paths a rung measures —
+    # the expensive scaled-cells rungs (500k/1M at 512/1024 cells)
+    # only need the serving-decision paths, not the failure-mode
+    # sweep already documented at 100k
+    sel = {
+        p for p in os.environ.get("ANN_PATHS", "").split(",") if p
+    }
+
+    def want(path: str) -> bool:
+        return not sel or path in sel
+
     results: list[dict] = []
 
     for copies in rungs:
@@ -229,11 +240,15 @@ def main() -> None:
             flush=True,
         )
 
-        # parameters scaled with the corpus: cells ~ sqrt(n), capped
-        # at 256 — the coarse assign is O(n * cells * d) and beyond
-        # 256 cells the assign dominates wall time at local[32]
-        # without moving recall (probe grows to compensate)
-        cells = min(256, 1 << int(round(np.log2(np.sqrt(n)))))
+        # parameters scaled with the corpus (round-11, VERDICT #2):
+        # cells = power of two nearest sqrt(n) — 100k -> 256,
+        # 500k -> 512, 1M -> 1024 — derived by the same rule the
+        # serving budget uses.  The round-10 ladder capped cells at
+        # 256 (assign cost), so probe work grew linearly with the
+        # corpus and the margin-6 band edge was only ever measured
+        # at one occupancy; this run re-certifies under the scaled
+        # geometry.
+        cells = derive_n_cells(n)
         probe = 8
         state = {
             "codes_bytes": n * PQ_M // 2,
@@ -252,22 +267,26 @@ def main() -> None:
             results.append(row)
             print(json.dumps(row), flush=True)
 
-        record(
-            "ivf_topk",
-            {"cells": cells, "probe": probe},
-            measure(ivf_topk_from(rung, cells, probe), exact),
-        )
-        record(
-            "ivfadc",
-            {"cells": cells, "probe": probe, "state": state},
-            measure(ivfadc_topk_from(rung, cells, probe), exact),
-        )
+        if want("ivf_topk"):
+            record(
+                "ivf_topk",
+                {"cells": cells, "probe": probe},
+                measure(ivf_topk_from(rung, cells, probe), exact),
+            )
+        if want("ivfadc"):
+            record(
+                "ivfadc",
+                {"cells": cells, "probe": probe, "state": state},
+                measure(ivfadc_topk_from(rung, cells, probe), exact),
+            )
 
         # the failure-mode sweep: a fixed cut below the clone-family
         # size collapses (ANN_RECALL_r8.json), and copies + TOPK
         # recovers — kept as the documentation of WHY the budget is
         # adaptive
-        for rc in (RERANK_C_SCALE, copies + TOPK):
+        for rc in (RERANK_C_SCALE, copies + TOPK) if want(
+            "ivfadc_rerank"
+        ) else ():
             record(
                 "ivfadc_rerank",
                 {
@@ -285,46 +304,49 @@ def main() -> None:
         # the registered serving form: budget from the PQ-code
         # collision histogram, NO hand-tuned c — with the per-stage
         # latency breakdown (verdict #3)
-        _, _, _, codes = ivfadc_index(rung, cells)
-        c_budget = ivfadc_collision_budget(
-            codes, RERANK_C_CAP, RERANK_MARGIN
-        ).collect()[0]["c_budget"]
-        n_scored, t_scored = timed_count(
-            ivfadc_scored_from(rung, cells, probe)
-        )
-        n_cands, t_cut = timed_count(
-            ivfadc_rerank_cands_from(rung, None, cells, probe)
-        )
-        full = measure(ivfadc_rerank_from(rung, None, cells, probe), exact)
-        record(
-            "ivfadc_rerank_adaptive",
-            {
-                "cells": cells,
-                "probe": probe,
-                "rerank_c": "adaptive",
-                "margin": RERANK_MARGIN,
-                "c_budget": int(c_budget),
-                "state": state,
-            },
-            {
-                **full,
-                "stages": {
-                    "coarse_adc_score": {
-                        "cum_sec": t_scored,
-                        "rows": n_scored,
-                    },
-                    "candidate_cut": {
-                        "cum_sec": t_cut,
-                        "rows": n_cands,
-                        "delta_sec": round(t_cut - t_scored, 2),
-                    },
-                    "exact_rerank": {
-                        "cum_sec": full["sec"],
-                        "delta_sec": round(full["sec"] - t_cut, 2),
+        if want("ivfadc_rerank_adaptive"):
+            _, _, _, codes = ivfadc_index(rung, cells)
+            c_budget = ivfadc_collision_budget(
+                codes, RERANK_C_CAP, RERANK_MARGIN
+            ).collect()[0]["c_budget"]
+            n_scored, t_scored = timed_count(
+                ivfadc_scored_from(rung, cells, probe)
+            )
+            n_cands, t_cut = timed_count(
+                ivfadc_rerank_cands_from(rung, None, cells, probe)
+            )
+            full = measure(
+                ivfadc_rerank_from(rung, None, cells, probe), exact
+            )
+            record(
+                "ivfadc_rerank_adaptive",
+                {
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": "adaptive",
+                    "margin": RERANK_MARGIN,
+                    "c_budget": int(c_budget),
+                    "state": state,
+                },
+                {
+                    **full,
+                    "stages": {
+                        "coarse_adc_score": {
+                            "cum_sec": t_scored,
+                            "rows": n_scored,
+                        },
+                        "candidate_cut": {
+                            "cum_sec": t_cut,
+                            "rows": n_cands,
+                            "delta_sec": round(t_cut - t_scored, 2),
+                        },
+                        "exact_rerank": {
+                            "cum_sec": full["sec"],
+                            "delta_sec": round(full["sec"] - t_cut, 2),
+                        },
                     },
                 },
-            },
-        )
+            )
 
         if exact_filtered is not None:
             # the attribute-filtered quantized path: composite
@@ -446,7 +468,7 @@ def main() -> None:
                 exact_rerank_tail(
                     rung,
                     binary_hamming_cands_from(
-                        rung, RERANK_MARGIN, cells, probe
+                        rung, cells, probe, margin=RERANK_MARGIN
                     ),
                 ),
                 exact,

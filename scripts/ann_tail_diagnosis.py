@@ -17,7 +17,9 @@ rung, compute exact truth (float64 BLAS), run the adaptive rerank,
 split queries into recall bands; for every DEAD query (recall 0)
 check (a) whether its truth neighbors' assigned cells intersect its
 probed cells, and (b) the truth neighbors' ranks in the full ADC
-ordering.  Writes ANN_TAIL_r9.json.
+ordering.  Writes ANN_TAIL_r11.json by default (the r9 artifact is
+the frozen margin-5 evidence that sized RERANK_MARGIN and is
+overwrite-protected below).
 
 MEASURED (committed artifact): 378/400 queries at recall 1.0, 7
 dead; ZERO dead from routing (every dead query's truth cells are
@@ -80,8 +82,17 @@ def main() -> None:
     `500 ANN_TAIL_r10_1m.json 5` locates the 1M edge that margin 6
     must clear)."""
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else COPIES
-    out_name = sys.argv[2] if len(sys.argv) > 2 else "ANN_TAIL_r9.json"
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "ANN_TAIL_r11.json"
     margin = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    if out_name == "ANN_TAIL_r9.json" and margin != 5:
+        # the committed r9 artifact is the margin-5 evidence that
+        # sized RERANK_MARGIN; a run at any other margin (including
+        # the current default) must not overwrite it
+        raise SystemExit(
+            "refusing to overwrite ANN_TAIL_r9.json with a "
+            f"margin={margin if margin is not None else 'default'} "
+            "run; pass an r11+ out_name"
+        )
     spark = get_spark("ann-tail")
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
