@@ -30,6 +30,7 @@ from db_mapreduce_project_spark.operators.similarity import (
     RERANK_MARGIN,
     TOPK,
     binary_hamming_cands_from,
+    derive_n_cells,
 )
 from db_mapreduce_project_spark.session import get_spark
 from scripts.ann_recall import measure
@@ -72,7 +73,9 @@ def main() -> None:
             f"   ground truth in {round(time.perf_counter() - t0, 2)}s",
             flush=True,
         )
-        cells = min(256, 1 << int(round(np.log2(np.sqrt(n)))))
+        # round-11: data-derived cells (power of two nearest
+        # sqrt(n)), same rule as ann_recall_scale — no 256 cap
+        cells = derive_n_cells(n)
         probe = 8
         row = {
             "corpus": corpus,

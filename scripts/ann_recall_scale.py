@@ -31,7 +31,14 @@ Method:
     deltas carry that variance and the cumulatives are the ground
     truth).
 
-Writes/merges into ANN_RECALL_r10.json.
+Writes/merges into $ANN_RECALL_OUT (default ANN_RECALL_r11.json).
+$ANN_PATHS=path1,path2 restricts which paths a rung measures.
+
+Round-11 geometry (VERDICT r10 #2): cells are data-derived via
+similarity.derive_n_cells (power of two nearest sqrt(n)) instead of
+the round-10 flat 256-cap, so the margin-6 budget is re-certified
+under scaled per-cell occupancy: 100k -> 256, 500k -> 512,
+1M -> 1024 cells.
 
 Usage: python scripts/ann_recall_scale.py [copies ...]
        (default rungs: 50, 250, 500 -> 100k, 500k, 1M vectors)
@@ -72,6 +79,7 @@ from db_mapreduce_project_spark.operators.similarity import (
     RERANK_MARGIN,
     TOPK,
     QUERY_MOD,
+    derive_n_cells,
     ivf_topk_from,
     ivfadc_collision_budget,
     ivfadc_index,
@@ -348,7 +356,9 @@ def main() -> None:
                 },
             )
 
-        if exact_filtered is not None:
+        if exact_filtered is not None and want(
+            "ivfadc_filtered_rerank_adaptive"
+        ):
             # the attribute-filtered quantized path: composite
             # (cell, label) lists + the SAME adaptive budget
             from db_mapreduce_project_spark.operators.retrieval import (
@@ -402,47 +412,51 @@ def main() -> None:
             )
             return exact_rerank_tail(rung, cands)
 
-        record(
-            "ivfadc_incremental_delta",
-            {
-                "cells": cells,
-                "probe": probe,
-                "rerank_c": "adaptive",
-                "margin": RERANK_MARGIN,
-                "train_pred": f"vec_id % {DELTA_MOD} != {DELTA_REM}",
-                "state": state,
-            },
-            measure(incremental_df(), exact),
-        )
+        if want("ivfadc_incremental_delta"):
+            record(
+                "ivfadc_incremental_delta",
+                {
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": "adaptive",
+                    "margin": RERANK_MARGIN,
+                    "train_pred": f"vec_id % {DELTA_MOD} != {DELTA_REM}",
+                    "state": state,
+                },
+                measure(incremental_df(), exact),
+            )
 
-        n_mcands, t_mcands = timed_count(
-            mrl_cands_from(rung, RERANK_C_SCALE, cells, probe)
-        )
-        mfull = measure(
-            mrl_rerank_from(rung, RERANK_C_SCALE, cells, probe), exact
-        )
-        record(
-            "mrl_rerank",
-            {
-                "dims": MRL_DIM,
-                "cells": cells,
-                "probe": probe,
-                "rerank_c": RERANK_C_SCALE,
-            },
-            {
-                **mfull,
-                "stages": {
-                    "coarse_truncated_topc": {
-                        "cum_sec": t_mcands,
-                        "rows": n_mcands,
-                    },
-                    "exact_rerank": {
-                        "cum_sec": mfull["sec"],
-                        "delta_sec": round(mfull["sec"] - t_mcands, 2),
+        if want("mrl_rerank"):
+            n_mcands, t_mcands = timed_count(
+                mrl_cands_from(rung, RERANK_C_SCALE, cells, probe)
+            )
+            mfull = measure(
+                mrl_rerank_from(rung, RERANK_C_SCALE, cells, probe), exact
+            )
+            record(
+                "mrl_rerank",
+                {
+                    "dims": MRL_DIM,
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": RERANK_C_SCALE,
+                },
+                {
+                    **mfull,
+                    "stages": {
+                        "coarse_truncated_topc": {
+                            "cum_sec": t_mcands,
+                            "rows": n_mcands,
+                        },
+                        "exact_rerank": {
+                            "cum_sec": mfull["sec"],
+                            "delta_sec": round(
+                                mfull["sec"] - t_mcands, 2
+                            ),
+                        },
                     },
                 },
-            },
-        )
+            )
 
         # binary (1-bit sign) quantization + Hamming + rescore — the
         # smallest-state serving form (8 B/vector sign words + cell):
@@ -452,28 +466,29 @@ def main() -> None:
             binary_hamming_cands_from,
         )
 
-        record(
-            "binary_hamming_rerank",
-            {
-                "cells": cells,
-                "probe": probe,
-                "rerank_c": "adaptive",
-                "margin": RERANK_MARGIN,
-                "state": {
-                    "sign_bytes": n * 8,
-                    "cell_assign_bytes": n * 4,
+        if want("binary_hamming_rerank"):
+            record(
+                "binary_hamming_rerank",
+                {
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": "adaptive",
+                    "margin": RERANK_MARGIN,
+                    "state": {
+                        "sign_bytes": n * 8,
+                        "cell_assign_bytes": n * 4,
+                    },
                 },
-            },
-            measure(
-                exact_rerank_tail(
-                    rung,
-                    binary_hamming_cands_from(
-                        rung, cells, probe, margin=RERANK_MARGIN
+                measure(
+                    exact_rerank_tail(
+                        rung,
+                        binary_hamming_cands_from(
+                            rung, cells, probe, margin=RERANK_MARGIN
+                        ),
                     ),
+                    exact,
                 ),
-                exact,
-            ),
-        )
+            )
         shutil.rmtree(scratch, ignore_errors=True)
         spark.catalog.clearCache()
 

@@ -61,6 +61,21 @@ def _spin() -> None:  # busy-loop hog: pure user-mode CPU steal
         x = (x * 1103515245 + 12345) % (1 << 31)
 
 
+def _membw() -> None:
+    """Memory-bandwidth hog: stream-copy a 256 MB numpy buffer.
+    A register spin loop steals cycles but no cache/bandwidth;
+    Spark's explode + hash-agg path is bandwidth-hungry, so a
+    co-running JVM (another Spark job, a DuckDB sweep) is better
+    modeled by streaming loads/stores than by spinning."""
+    import numpy as np
+
+    a = np.zeros(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+    b = np.empty_like(a)
+    while True:
+        np.copyto(b, a)
+        np.copyto(a, b)
+
+
 def _jvm_cpu_sec(pid: int) -> float:
     with open(f"/proc/{pid}/stat", "rb") as f:
         fields = f.read().rsplit(b")", 1)[1].split()
@@ -97,24 +112,36 @@ def main() -> None:
     registry.load_all_queries()
     spark = get_spark("bench-drift-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up (bench.py protocol)
+    # warm-up (bench.py protocol), then one UNMEASURED pass of the
+    # probe queries: the first execution of each generated plan pays
+    # JIT compilation (measured: doc_char_entropy burned 16.1 JVM
+    # cpu-sec cold vs 6.9 warm over 3 runs) — without this pass the
+    # first condition would absorb all of it and the A/B inverts
     registry.QUERIES["wordcount"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    run_condition(spark, sf_dir, "warmup_discard")
 
-    idle = run_condition(spark, sf_dir, "idle")
+    conditions = [run_condition(spark, sf_dir, "idle")]
 
-    hogs = [mp.Process(target=_spin, daemon=True) for _ in range(n_hogs)]
-    for h in hogs:
-        h.start()
-    time.sleep(2)  # let loadavg/scheduler settle
-    try:
-        contended = run_condition(spark, sf_dir, f"contended_{n_hogs}_hogs")
-    finally:
+    for label, target in (
+        (f"cpu_spin_{n_hogs}_hogs", _spin),
+        (f"membw_{n_hogs}_hogs", _membw),
+    ):
+        hogs = [
+            mp.Process(target=target, daemon=True) for _ in range(n_hogs)
+        ]
         for h in hogs:
-            h.terminate()
-        for h in hogs:
-            h.join()
+            h.start()
+        time.sleep(2)  # let loadavg/scheduler settle
+        try:
+            conditions.append(run_condition(spark, sf_dir, label))
+        finally:
+            for h in hogs:
+                h.terminate()
+            for h in hogs:
+                h.join()
+        time.sleep(2)
 
     payload = {
         "hypothesis": "BENCH_r10 driver-run inflation on "
@@ -133,7 +160,7 @@ def main() -> None:
             "corpus_source_overlap": 1.08,
         },
         "cpu_count": os.cpu_count(),
-        "conditions": [idle, contended],
+        "conditions": conditions,
     }
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
