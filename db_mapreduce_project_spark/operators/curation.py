@@ -1594,9 +1594,19 @@ register("curate_line_dedup", curate_line_dedup, CURATE_LINE_DEDUP_ORACLE)
 # contract) holding < 2 tokens after rewrite drop out.
 
 def c4_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_pipeline_from(load_table(spark, sf_dir, "documents"))
+
+
+def c4_pipeline_from(d: DataFrame) -> DataFrame:
+    """The composed curation chain over any (doc_id, text, lang)
+    relation: quality gates (Gopher structural rules + repeated-
+    line caps) -> C4 line-level dedup rewrite -> DSIR importance
+    selection.  Extracted from the registered sf-dir form so the
+    1M-doc pipeline ladder (scripts/pipeline_ladder_scale.py,
+    round-11 VERDICT #5) exercises the IDENTICAL composition the
+    oracle certifies at fixture scale."""
     from .text_analysis import gopher_rules_from, rep_lines_from
 
-    d = load_table(spark, sf_dir, "documents")
     g = gopher_rules_from(d, require_stops=False).where("keep").select(
         "doc_id"
     )

@@ -330,8 +330,31 @@ _MH_HASHES = 32
 _MH_BANDS = 8
 _MH_ROWS = _MH_HASHES // _MH_BANDS
 
+# Banding presets (round-11, VERDICT r10 #4).  The 8x4 default's
+# S-curve collides with probability 1-(1-J^4)^8 — >=0.95 only at
+# J >= 0.59 — so a user deduping at the web-corpus J >= 0.3 regime
+# got silent under-recall.  Each preset is named by the LOWEST
+# Jaccard at which its banding collides with probability >= 0.95
+# (solve 1-(1-J^r)^b >= 0.95 for J):
+#   j03: 32 bands x 2 rows (64 hashes)  -> >=0.95 at J >= 0.295
+#   j04: 16 bands x 2 rows (32 hashes)  -> >=0.95 at J >= 0.414
+#   j05:  8 bands x 4 rows (32 hashes)  -> >=0.95 at J >= 0.59
+#        (the default; certified banded recall 0.9939/1.0 at
+#         J>=0.5/0.8 on the collided-suffix probe corpus)
+# Cost scales with bands x rows (signature aggs) and bands
+# (candidate-join keys); j03 doubles the signature and 4x the
+# low-J candidate surface — the measured walls are in
+# DEDUP_LADDER_r11.json preset rows.
+MH_PRESETS: dict[str, tuple[int, int]] = {
+    "j03": (32, 2),
+    "j04": (16, 2),
+    "j05": (_MH_BANDS, _MH_ROWS),
+}
 
-def _band_ctes_sql() -> str:
+
+def _band_ctes_sql(
+    bands: int = _MH_BANDS, rows: int = _MH_ROWS
+) -> str:
     """Shared DuckDB CTE suite for the MinHash band index (appended
     after the `shingles` CTE): portable double-hashed shingle pairs
     -> 32-hash signatures -> 8 band keys.  Identical constants and
@@ -339,15 +362,18 @@ def _band_ctes_sql() -> str:
     built on it value-hash-matches the banded candidates, not just
     the verified output.  Used by the full MinHash, incremental
     delta, and banded-containment oracles so the band arithmetic
-    lives in exactly one place per engine."""
+    lives in exactly one place per engine.  `bands`/`rows` mirror
+    the Spark-side preset (MH_PRESETS); the defaults are the 8x4
+    pipeline every pre-round-11 oracle was built on."""
+    num_hashes = bands * rows
     h1 = duck_charhash("shingle", FP_CHAR_BASE, FP_MOD)
     h2 = duck_charhash("shingle", FP_WORD_BASE, FP_MOD2)
     sig_cols = ",\n         ".join(
-        f"min((h1 + {i} * h2) % {FP_MOD}) AS mh_{i}" for i in range(_MH_HASHES)
+        f"min((h1 + {i} * h2) % {FP_MOD}) AS mh_{i}" for i in range(num_hashes)
     )
     band_arms = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {duck_band_hash(b, _MH_ROWS)} AS band_hash FROM sig"
-        for b in range(_MH_BANDS)
+        f"SELECT doc_id, {b} AS band, {duck_band_hash(b, rows)} AS band_hash FROM sig"
+        for b in range(bands)
     )
     return f"""hashed AS (
   SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM shingles
@@ -362,30 +388,37 @@ bands AS (
 )"""
 
 
-def minhash_pairs_from(d: DataFrame) -> DataFrame:
-    """MinHash(32 hashes) + LSH(8 bands x 4 rows) candidate pairs
-    over a (doc_id, text) relation, verified with exact shingle
-    Jaccard over the DF-capped shingle sets.  Built entirely on the
-    portable polynomial hash family (charhash base 31/131, moduli
+def minhash_pairs_from(
+    d: DataFrame, bands: int = _MH_BANDS, rows: int = _MH_ROWS
+) -> DataFrame:
+    """MinHash + LSH banded candidate pairs over a (doc_id, text)
+    relation, verified with exact shingle Jaccard over the
+    DF-capped shingle sets.  Built entirely on the portable
+    polynomial hash family (charhash base 31/131, moduli
     1e9+7/1e9+9), so DuckDB computes the IDENTICAL signatures, band
     keys, candidates, and verified pairs — the whole sketch
     pipeline is differentially tested, not just rows-counted.
 
+    `bands` x `rows` selects the S-curve (MH_PRESETS): the default
+    8x4 is the J>=0.59 preset; 32x2/16x2 move the >=0.95-collision
+    threshold down to J>=0.30/0.41 at 2x/1x the signature cost.
+
     Output: candidate pairs with exact jaccard >= 0.05 that LSH
     surfaced.  At scale this replaces the full inverted-index join
-    with an equi-join on 8 fixed-width band keys per doc.
+    with an equi-join on `bands` fixed-width band keys per doc.
     """
+    num_hashes = bands * rows
     sh = _capped_shingle_hashes(d).cache()
-    sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=_MH_HASHES)
+    sig = minhash_signature_from_pairs(sh, "doc_id", num_hashes=num_hashes)
     # cache the band index: the candidate self-join consumes it on
     # BOTH sides, and without the cache each side re-runs the whole
-    # signature aggregation (the index is 8 rows/doc — tiny)
-    bands = lsh_bands_portable(
-        sig, "doc_id", num_hashes=_MH_HASHES, bands=_MH_BANDS
+    # signature aggregation (the index is `bands` rows/doc — tiny)
+    bands_df = lsh_bands_portable(
+        sig, "doc_id", num_hashes=num_hashes, bands=bands
     ).cache()
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_hash"])
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), ["band", "band_hash"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
@@ -423,14 +456,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_from(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(
+    bands: int = _MH_BANDS, rows: int = _MH_ROWS
+) -> str:
     """Generate the DuckDB mirror of the full MinHash+LSH pipeline:
     same capped shingles, same double-hash signatures, same band
     fold (shared _band_ctes_sql), same candidate equi-join, same
-    Jaccard verify."""
+    Jaccard verify.  `bands`/`rows` mirror MH_PRESETS."""
     return f"""
 WITH {_SHINGLES_CTE},
-{_band_ctes_sql()},
+{_band_ctes_sql(bands, rows)},
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y USING (band, band_hash)
@@ -456,6 +491,33 @@ ORDER BY doc_a, doc_b
 
 
 DEDUP_MINHASH_LSH_ORACLE = _minhash_oracle_sql()
+
+
+def dedup_minhash_lsh_j03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J>=0.3 banding preset (MH_PRESETS['j03']: 32 bands x 2
+    rows, 64 hashes): collision probability 1-(1-J^2)^32 >= 0.95
+    for every pair with J >= 0.295 — the web-corpus dedup regime
+    the default 8x4 curve under-samples by design.  Same portable
+    pipeline, same verify threshold; only the S-curve moves."""
+    b, r = MH_PRESETS["j03"]
+    return minhash_pairs_from(
+        load_table(spark, sf_dir, "documents"), bands=b, rows=r
+    )
+
+
+def dedup_minhash_lsh_j04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J>=0.41 banding preset (MH_PRESETS['j04']: 16 bands x 2
+    rows, 32 hashes): >=0.95 collision at J >= 0.414 for the SAME
+    signature cost as the default (32 hashes) — trade 2x band keys
+    for a lower threshold without widening the signature."""
+    b, r = MH_PRESETS["j04"]
+    return minhash_pairs_from(
+        load_table(spark, sf_dir, "documents"), bands=b, rows=r
+    )
+
+
+DEDUP_MINHASH_LSH_J03_ORACLE = _minhash_oracle_sql(*MH_PRESETS["j03"])
+DEDUP_MINHASH_LSH_J04_ORACLE = _minhash_oracle_sql(*MH_PRESETS["j04"])
 
 
 # Deterministic delta split for the incremental dedup shape: ~20% of
@@ -1398,6 +1460,16 @@ ORDER BY id_a, id_b
 register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_ORACLE)
+register(
+    "dedup_minhash_lsh_j03",
+    dedup_minhash_lsh_j03,
+    DEDUP_MINHASH_LSH_J03_ORACLE,
+)
+register(
+    "dedup_minhash_lsh_j04",
+    dedup_minhash_lsh_j04,
+    DEDUP_MINHASH_LSH_J04_ORACLE,
+)
 register(
     "dedup_incremental_delta",
     dedup_incremental_delta,

@@ -192,7 +192,7 @@ def main() -> None:
     n_base = base.count()
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "DEDUP_LADDER_r10.json",
+        os.environ.get("DEDUP_LADDER_OUT", "DEDUP_LADDER_r11.json"),
     )
     records = []
     for copies in rungs:
@@ -261,7 +261,8 @@ def main() -> None:
             }
             if fam == "minhash_lsh_pairs":
                 rec_row["recall_bands"] = [
-                    banded_recall(mh, ex_j, lo) for lo in (0.5, 0.8)
+                    banded_recall(mh, ex_j, lo)
+                    for lo in (0.3, 0.414, 0.5, 0.8)
                 ]
                 if marginal:
                     rec_row["note"] = (
@@ -274,6 +275,49 @@ def main() -> None:
                     )
             records.append(rec_row)
             print(json.dumps(rec_row), flush=True)
+
+        if marginal:
+            # round-11 preset rows (VERDICT r10 #4): each banding
+            # preset measured on the SAME marginal-mix corpus and
+            # exact pair set — banded recall at every preset's
+            # design threshold separates S-curve choice from
+            # defect.  j05 (the 8x4 default) is the
+            # minhash_lsh_pairs row above.
+            from db_mapreduce_project_spark.operators.dedup import (
+                MH_PRESETS,
+            )
+
+            for preset, (p_bands, p_rows) in MH_PRESETS.items():
+                if preset == "j05":
+                    continue
+                print(f"-- minhash preset {preset} "
+                      f"({p_bands}x{p_rows}) ...", flush=True)
+                pmh, n_pmh, sec_pmh = timed_pairs(
+                    lambda dd: minhash_pairs_from(
+                        dd, bands=p_bands, rows=p_rows
+                    ),
+                    docs,
+                )
+                row = {
+                    "family": f"minhash_lsh_pairs_{preset}" + suffix,
+                    "copies": copies,
+                    "docs": n_docs,
+                    "bands": p_bands,
+                    "rows_per_band": p_rows,
+                    "sec": sec_pmh,
+                    "out_rows": n_pmh,
+                    "recall_vs_exact": recall_vs(pmh, ex_j, n_ex_j),
+                    "exact_twin": "jaccard_pairs_exact" + suffix,
+                    "exact_rows": n_ex_j,
+                    "recall_bands": [
+                        banded_recall(pmh, ex_j, lo)
+                        for lo in (0.3, 0.414, 0.5, 0.8)
+                    ],
+                    "sf": SF_DIR,
+                }
+                records.append(row)
+                print(json.dumps(row), flush=True)
+                _merge_dump(records, out_path)
         # merge-dump after EVERY rung: a later-rung crash (heap/disk
         # at the 1M exact ground truth) must not lose completed
         # rungs, and probe passes extend rather than replace
