@@ -144,6 +144,9 @@ HEADLINE = [
     "ann_ivfadc_incremental_upsert",  # tombstone deletes + compaction
     "multimodal_video_avi_mjpeg_stats",  # AVI/RIFF + MJPEG video
     "ann_binary_hamming_rerank",  # 1-bit sign index + Hamming + rescore
+    # round-11 additions
+    "dedup_minhash_lsh_j03",  # 32x2 banding preset (J>=0.3 regime)
+    "dedup_minhash_lsh_j04",  # 16x2 banding preset (J>=0.41 regime)
 ]
 
 

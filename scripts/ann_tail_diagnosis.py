@@ -84,6 +84,11 @@ def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else COPIES
     out_name = sys.argv[2] if len(sys.argv) > 2 else "ANN_TAIL_r11.json"
     margin = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    # optional 4th arg: cell count (round-11 scaled-geometry runs —
+    # e.g. `500 ANN_TAIL_r11_1m.json 5 1024` locates the band edge
+    # at the derive_n_cells(1M) geometry); default keeps the
+    # historical 256
+    cells = int(sys.argv[4]) if len(sys.argv) > 4 else CELLS
     if out_name == "ANN_TAIL_r9.json" and margin != 5:
         # the committed r9 artifact is the margin-5 evidence that
         # sized RERANK_MARGIN; a run at any other margin (including
@@ -113,12 +118,12 @@ def main() -> None:
 
     if margin is None:
         approx = top_map(
-            ivfadc_rerank_from(rung, None, CELLS, PROBE).collect()
+            ivfadc_rerank_from(rung, None, cells, PROBE).collect()
         )
     else:
         approx = top_map(
             ivfadc_rerank_from(
-                rung, None, CELLS, PROBE, margin=margin
+                rung, None, cells, PROBE, margin=margin
             ).collect()
         )
     bands = {"0.0": 0, "(0,0.8)": 0, "[0.8,1)": 0, "1.0": 0}
@@ -138,7 +143,7 @@ def main() -> None:
     # routing check: a dead query is ROUTING loss iff none of its
     # truth neighbors' cells are among its probed cells
     en = rung.select("vec_id", "embedding", l2("embedding").alias("norm"))
-    cents = ivf_centroids(en, CELLS)
+    cents = ivf_centroids(en, cells)
     cell_of = {
         r["vec_id"]: r["cell"]
         for r in ivf_assign(en, cents).select("vec_id", "cell").collect()
@@ -164,7 +169,7 @@ def main() -> None:
         F.col("adc").desc(), F.col("n_id").asc()
     )
     ranked = (
-        ivfadc_scored_from(rung, CELLS, PROBE)
+        ivfadc_scored_from(rung, cells, PROBE)
         .withColumn("crk", F.row_number().over(w))
         .where(F.col("q_id").isin([int(q) for q in dead]))
         .collect()
@@ -182,7 +187,7 @@ def main() -> None:
         "rung": f"sf0.1 x {copies} ({copies * 2000} vectors)",
         "path": "ivfadc_rerank_adaptive",
         "margin": margin if margin is not None else "registered default",
-        "cells": CELLS,
+        "cells": cells,
         "probe": PROBE,
         "n_queries": len(exact),
         "recall_bands": bands,

@@ -962,3 +962,68 @@ def test_filtered_rerank_forwards_n_cells(spark):
     }
     e_lab.unpersist()
     assert got == want and len(got) > 0
+
+
+def test_derive_n_cells_rule():
+    """The data-derived IVF cell count (round-11 VERDICT #2): power
+    of two nearest sqrt(n), clamped — the same derive-from-data
+    discipline as the rerank budget."""
+    from db_mapreduce_project_spark.operators.similarity import (
+        derive_n_cells,
+    )
+
+    assert derive_n_cells(100_000) == 256
+    assert derive_n_cells(500_000) == 512
+    assert derive_n_cells(1_000_000) == 1024
+    assert derive_n_cells(100) == 16  # floor
+    assert derive_n_cells(10**9) == 4096  # cap
+    assert derive_n_cells(2000) == 32  # fixture scale (forms keep 16)
+
+
+def test_ann_recall_r11_scaled_cells_floors():
+    """Round-11 re-certification under DATA-DERIVED cell counts
+    (ANN_RECALL_r11.json): the round-10 ladder ran every rung at a
+    flat 256 cells, so the margin-6 budget was only ever certified
+    at one per-cell occupancy.  The r11 ladder derives cells via
+    derive_n_cells (100k -> 256, 500k -> 512, 1M -> 1024) and the
+    registered adaptive rerank AND the binary Hamming path hold
+    recall 1.0 / worst_query_recall 1.0 at every scaled rung — the
+    near-tie band edge is a per-cell occupancy property that
+    margin 6 still clears when occupancy halves/quarters.
+
+    Wall-clock note (measured, recorded in SCALE.md): scaled cells
+    cost MORE local wall (500k adaptive 133 s at 512 cells vs 65 s
+    at 256) because the deterministic broadcast-argmax assign is
+    O(n*cells) and dominates at local[32]; the artifact keeps both
+    geometries so the trade-off is data, not doctrine."""
+    import json
+    import os
+
+    from db_mapreduce_project_spark.operators.similarity import (
+        derive_n_cells,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "ANN_RECALL_r11.json"
+    )
+    rows = json.load(open(path))["measurements"]
+
+    def get(corpus_n, path_name):
+        for r in rows:
+            if (
+                f"({corpus_n} vectors)" in r["corpus"]
+                and r["path"] == path_name
+                and r["params"].get("cells") == derive_n_cells(corpus_n)
+            ):
+                return r
+        raise AssertionError((corpus_n, path_name))
+
+    for n, family in ((100_000, 50), (500_000, 250), (1_000_000, 500)):
+        ad = get(n, "ivfadc_rerank_adaptive")
+        assert ad["params"]["margin"] == 6, ad["params"]
+        assert ad["params"]["c_budget"] == 6 * family + TOPK, ad["params"]
+        assert ad["recall"] == 1.0, (n, ad["recall"])
+        assert ad["worst_query_recall"] == 1.0, (n, ad)
+        bi = get(n, "binary_hamming_rerank")
+        assert bi["recall"] == 1.0, (n, bi["recall"])
+        assert bi["worst_query_recall"] == 1.0, (n, bi)
