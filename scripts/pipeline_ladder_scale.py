@@ -151,9 +151,25 @@ def main() -> None:
         stage("rep_lines_keep", r)
         survivors = docs.join(g, "doc_id").join(r, "doc_id")
         stage("gate_survivors", survivors)
+        # localCheckpoint is EAGER: the rewrite (and the whole gate
+        # lineage above it) materializes AT THIS ASSIGNMENT, so the
+        # materialization is timed here explicitly — the subsequent
+        # count is a cheap checkpoint scan and would otherwise hide
+        # the stage's real cost (first run recorded 0.21 s for a
+        # 1M-doc rewrite, which was the scan, not the work)
+        t0 = time.perf_counter()
         rewritten = line_dedup_from(
             _doc_segments(survivors)
         ).localCheckpoint()
+        stages["line_dedup_rewrite_materialize"] = {
+            "rows": None,
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        print(
+            f"   line_dedup_rewrite_materialize: "
+            f"{stages['line_dedup_rewrite_materialize']}",
+            flush=True,
+        )
         stage("line_dedup_rewritten", rewritten)
         redocs = rewritten.join(
             docs.select("doc_id", "lang"), "doc_id"
