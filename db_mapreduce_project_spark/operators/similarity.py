@@ -512,6 +512,58 @@ def ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     return e.join(best_cell, "vec_id")
 
 
+def ivf_assign_arrow(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Scale-path twin of :func:`ivf_assign`: the same
+    nearest-centroid argmax computed as ONE float64 BLAS matmul per
+    Arrow batch instead of a cells-way Catalyst crossJoin fold.
+
+    Why it exists (round 11, ANN_RECALL_r11.json): at the
+    derive_n_cells geometry the Catalyst assign is O(n*cells*d) of
+    interpreted higher-order-function arithmetic and dominates the
+    1M/1024-cell serve (444 of 591 s); the identical argmax as a
+    unit-row matmul is a few seconds of BLAS.  This is exactly the
+    "trained quantizer + BLAS-assisted encode" shape a cluster
+    serving tier uses — embarrassingly parallel map work over
+    Arrow batches, centroids shipped once in the closure (<= 2 MB
+    at the 4096-cell cap; the collect is bounded by N_CELLS'
+    derivation cap, the repo's guarded-collect discipline).
+
+    Tie-break matches ivf_assign (highest ccos, then LOWEST cell):
+    centroids are laid out in ascending-cell order and np.argmax
+    returns the first maximum.  Float64 partial-sum ORDER differs
+    from Catalyst's sequential fold (BLAS reorders), so exact-tie
+    edges can resolve differently in the last ulp — the registered
+    fixture forms therefore keep :func:`ivf_assign` (the
+    oracle-mirrored fold); ladders and serving deployments use
+    this form and certify recall against exact ground truth
+    (`binary_hamming_rerank_blas_assign` rung rows)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cents.orderBy("cell").collect()  # bounded: <= cells cap
+    cell_ids = np.array([r["cell"] for r in rows], dtype="int64")
+    c = np.array([r["cv"] for r in rows], dtype="float64")
+    c_norm = np.linalg.norm(c, axis=1)
+    c_norm[c_norm == 0] = 1.0
+    cu_t = (c / c_norm[:, None]).T  # (d, k), unit rows transposed
+
+    def assign_batches(batches):
+        for pdf in batches:
+            v = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            n = np.linalg.norm(v, axis=1)
+            n[n == 0] = 1.0
+            scores = (v / n[:, None]) @ cu_t  # (b, k) cosines
+            best = scores.argmax(axis=1)  # first max = lowest cell
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell_ids[best]}
+            )
+
+    best_cell = e.select("vec_id", "embedding").mapInPandas(
+        assign_batches, "vec_id long, cell long"
+    )
+    return e.join(best_cell, "vec_id")
+
+
 def ivf_probes(
     e: DataFrame, cents: DataFrame, n_probe: int = N_PROBE
 ) -> DataFrame:
@@ -2003,6 +2055,7 @@ def binary_hamming_cands_from(
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     margin: int = RERANK_MARGIN,
+    fast_assign: bool = False,
 ) -> DataFrame:
     """(q_id, n_id) candidates from the binary index: IVF coarse
     routing (shared ivf_centroids/ivf_assign/ivf_probes — same
@@ -2011,13 +2064,18 @@ def binary_hamming_cands_from(
     integer whole-stage-codegen arithmetic, no float and no UDF),
     cut to the data-derived adaptive budget (broadcast 1-row).
 
+    fast_assign=True swaps the Catalyst assign for the Arrow/BLAS
+    twin (:func:`ivf_assign_arrow`) — the scaled-cells serving
+    path; registered fixture forms keep the default (the
+    oracle-mirrored fold).
+
     Scale shape: the scan side reads 8 bytes/vector + the cell id;
     the probe join is keyed by cell (n*q*probe/cells pairs, AQE
     splits hot cells); the budget rides a broadcast; candidate
     output is |q| x budget, independent of corpus size."""
     e = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
     cents = ivf_centroids(e, n_cells)
-    assigned = ivf_assign(e, cents)
+    assigned = (ivf_assign_arrow if fast_assign else ivf_assign)(e, cents)
     bcodes = binary_sign_codes(assigned)
     budget = binary_collision_budget(bcodes, RERANK_C_CAP, margin)
     probes = ivf_probes(e, cents, n_probe)

@@ -1027,3 +1027,37 @@ def test_ann_recall_r11_scaled_cells_floors():
         bi = get(n, "binary_hamming_rerank")
         assert bi["recall"] == 1.0, (n, bi["recall"])
         assert bi["worst_query_recall"] == 1.0, (n, bi)
+
+
+def test_ivf_assign_arrow_matches_catalyst(spark):
+    """The Arrow/BLAS assign twin (round 11) computes the IDENTICAL
+    nearest-centroid argmax as the Catalyst fold on the embeddings
+    fixture — same tie-break (highest ccos, then lowest cell, via
+    ascending-cell layout + first-max argmax).  Exact-tie ulp
+    divergence is possible in principle (BLAS reorders partial
+    sums), which is why registered forms keep the Catalyst fold;
+    this pins that the twins agree everywhere on real data."""
+    from db_mapreduce_project_spark.io import load_table
+    from db_mapreduce_project_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_centroids,
+        l2,
+    )
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    e = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
+    cents = ivf_centroids(e, 32)
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(e, cents).select("vec_id", "cell").collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_arrow(e, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert a == b
