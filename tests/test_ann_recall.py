@@ -1061,3 +1061,41 @@ def test_ivf_assign_arrow_matches_catalyst(spark):
         .collect()
     }
     assert a == b
+
+
+def test_binary_blas_assign_1m_artifact_floor():
+    """Round-11 close-out (ANN_RECALL_r11.json): the binary serving
+    path with the Arrow/BLAS assign at the scaled 1M/1024-cell
+    geometry holds recall 1.0 / worst_query_recall 1.0 while
+    cutting the Catalyst-assign wall 412.7 -> 57.5 s — the sqrt(n)
+    cell geometry is wall-superior once the assign is a matmul,
+    which is the configuration a cluster serving tier runs."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "ANN_RECALL_r11.json"
+    )
+    rows = json.load(open(path))["measurements"]
+    got = [
+        r
+        for r in rows
+        if r["path"] == "binary_hamming_rerank_blas_assign"
+        and "(1000000 vectors)" in r["corpus"]
+    ]
+    assert len(got) == 1, got
+    r = got[0]
+    assert r["params"]["cells"] == 1024
+    assert r["recall"] == 1.0, r
+    assert r["worst_query_recall"] == 1.0, r
+    slow = [
+        x
+        for x in rows
+        if x["path"] == "binary_hamming_rerank"
+        and "(1000000 vectors)" in x["corpus"]
+        and x["params"].get("cells") == 1024
+    ]
+    assert slow and r["sec"] < 0.5 * slow[0]["sec"], (
+        r["sec"],
+        slow[0]["sec"],
+    )
