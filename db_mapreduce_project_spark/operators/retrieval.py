@@ -305,6 +305,7 @@ def ivfadc_rerank_cands_from(
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     margin: int = RERANK_MARGIN,
+    fast_assign: bool = False,
 ) -> DataFrame:
     """The IVFADC coarse stage alone — (q_id, n_id) candidates from
     the ADC ranking, cut to the adaptive (rerank_c=None) or pinned
@@ -319,7 +320,7 @@ def ivfadc_rerank_cands_from(
     wc = Window.partitionBy("q_id").orderBy(
         F.col("adc").desc(), F.col("n_id").asc()
     )
-    en, cents, cb, codes = ivfadc_index(e, n_cells)
+    en, cents, cb, codes = ivfadc_index(e, n_cells, fast_assign)
     ranked = ivfadc_scored_from_index(en, cents, cb, codes, n_probe).withColumn(
         "crk", F.row_number().over(wc)
     )
@@ -343,6 +344,7 @@ def ivfadc_rerank_from(
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     margin: int = RERANK_MARGIN,
+    fast_assign: bool = False,
 ) -> DataFrame:
     """IVFADC + exact rerank over a (vec_id, embedding) relation:
     the ADC stage (shared ivfadc_scored_from — the two pipelines
@@ -369,7 +371,9 @@ def ivfadc_rerank_from(
     explicit int pins the cut (used by the recall-sweep
     harness to demonstrate the failure mode the adaptive form
     avoids)."""
-    cands = ivfadc_rerank_cands_from(e, rerank_c, n_cells, n_probe, margin)
+    cands = ivfadc_rerank_cands_from(
+        e, rerank_c, n_cells, n_probe, margin, fast_assign
+    )
     return exact_rerank_tail(e, cands)
 
 

@@ -1262,12 +1262,17 @@ def _ddot(a, b) -> F.Column:
     )
 
 
-def ivfadc_residuals(e: DataFrame, cents: DataFrame) -> DataFrame:
+def ivfadc_residuals(
+    e: DataFrame, cents: DataFrame, fast_assign: bool = False
+) -> DataFrame:
     """(vec_id, norm, cell, rv): every vector's residual against
     its assigned coarse centroid, as a double array.  Broadcast
-    centroid join — map-side, no shuffle of the corpus."""
+    centroid join — map-side, no shuffle of the corpus.
+    fast_assign=True routes through the Arrow/BLAS assign twin
+    (scaled-cells serving path; registered forms keep the
+    oracle-mirrored Catalyst fold)."""
     return (
-        ivf_assign(e, cents)
+        (ivf_assign_arrow if fast_assign else ivf_assign)(e, cents)
         .join(F.broadcast(cents), "cell")
         .select(
             "vec_id",
@@ -1338,7 +1343,7 @@ def ivfadc_codes(resid: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def ivfadc_index(
-    e: DataFrame, n_cells: int = N_CELLS
+    e: DataFrame, n_cells: int = N_CELLS, fast_assign: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(e_normed, cents, cb, codes): the complete IVFADC serving
     index of a (vec_id, embedding) relation — the shared build
@@ -1347,7 +1352,7 @@ def ivfadc_index(
     about what the codes are."""
     en = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
     cents = ivf_centroids(en, n_cells)
-    resid = ivfadc_residuals(en, cents)
+    resid = ivfadc_residuals(en, cents, fast_assign)
     cb = ivfadc_codebook(resid, n_cells)
     codes = ivfadc_codes(resid, cb)
     return en, cents, cb, codes
@@ -1612,14 +1617,17 @@ def ivfadc_scored_from_index(
 
 
 def ivfadc_scored_from(
-    e: DataFrame, n_cells: int = N_CELLS, n_probe: int = N_PROBE
+    e: DataFrame,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    fast_assign: bool = False,
 ) -> DataFrame:
     """All ADC-scored (q_id, n_id, adc) candidate pairs of the
     IVFADC index — the shared stage behind ann_ivfadc_topk (top-5
     cut) and ann_ivfadc_rerank (budget cut + exact rescore), so the
     two pipelines cannot drift.  Builds the index inline; see
     ivfadc_scored_from_index for the index-sharing form."""
-    en, cents, cb, codes = ivfadc_index(e, n_cells)
+    en, cents, cb, codes = ivfadc_index(e, n_cells, fast_assign)
     return ivfadc_scored_from_index(en, cents, cb, codes, n_probe)
 
 

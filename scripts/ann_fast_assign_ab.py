@@ -77,33 +77,74 @@ def main() -> None:
         flush=True,
     )
 
-    row = {
-        "corpus": f"sf0.1 x {copies} ({n} vectors)",
-        "path": "binary_hamming_rerank_blas_assign",
-        "params": {
-            "cells": cells,
-            "probe": probe,
-            "rerank_c": "adaptive",
-            "margin": RERANK_MARGIN,
-            "assign": "ivf_assign_arrow (float64 BLAS matmul per "
-            "Arrow batch; identical argmax + tie-break)",
-            "state": {"sign_bytes": n * 8, "cell_assign_bytes": n * 4},
-        },
-        **measure(
-            exact_rerank_tail(
-                rung,
-                binary_hamming_cands_from(
-                    rung,
-                    cells,
-                    probe,
-                    margin=RERANK_MARGIN,
-                    fast_assign=True,
-                ),
-            ),
-            exact,
-        ),
+    which = {
+        p
+        for p in os.environ.get("FAST_AB_PATHS", "binary,ivfadc").split(",")
+        if p
     }
-    print(json.dumps(row), flush=True)
+    rows = []
+    if "binary" in which:
+        rows.append(
+            {
+                "corpus": f"sf0.1 x {copies} ({n} vectors)",
+                "path": "binary_hamming_rerank_blas_assign",
+                "params": {
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": "adaptive",
+                    "margin": RERANK_MARGIN,
+                    "assign": "ivf_assign_arrow (float64 BLAS matmul "
+                    "per Arrow batch; identical argmax + tie-break)",
+                    "state": {
+                        "sign_bytes": n * 8,
+                        "cell_assign_bytes": n * 4,
+                    },
+                },
+                **measure(
+                    exact_rerank_tail(
+                        rung,
+                        binary_hamming_cands_from(
+                            rung,
+                            cells,
+                            probe,
+                            margin=RERANK_MARGIN,
+                            fast_assign=True,
+                        ),
+                    ),
+                    exact,
+                ),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+    if "ivfadc" in which:
+        from db_mapreduce_project_spark.operators.retrieval import (
+            ivfadc_rerank_from,
+        )
+
+        rows.append(
+            {
+                "corpus": f"sf0.1 x {copies} ({n} vectors)",
+                "path": "ivfadc_rerank_adaptive_blas_assign",
+                "params": {
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": "adaptive",
+                    "margin": RERANK_MARGIN,
+                    "assign": "ivf_assign_arrow",
+                },
+                **measure(
+                    ivfadc_rerank_from(
+                        rung,
+                        None,
+                        cells,
+                        probe,
+                        fast_assign=True,
+                    ),
+                    exact,
+                ),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
     shutil.rmtree(scratch, ignore_errors=True)
 
     out_path = os.path.join(
@@ -121,7 +162,7 @@ def main() -> None:
         json.dumps(r["params"], sort_keys=True),
     )
     merged = {key(r): r for r in artifact["measurements"]}
-    merged[key(row)] = row
+    merged.update({key(r): r for r in rows})
     artifact["measurements"] = list(merged.values())
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
