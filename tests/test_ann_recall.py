@@ -1099,3 +1099,15 @@ def test_binary_blas_assign_1m_artifact_floor():
         r["sec"],
         slow[0]["sec"],
     )
+    # the quantized form follows via the same threaded flag: 1.0/1.0
+    # at a fraction of its Catalyst-assign wall, and binary stays
+    # the faster default
+    adc = [
+        x
+        for x in rows
+        if x["path"] == "ivfadc_rerank_adaptive_blas_assign"
+        and "(1000000 vectors)" in x["corpus"]
+    ]
+    assert len(adc) == 1
+    assert adc[0]["recall"] == 1.0 and adc[0]["worst_query_recall"] == 1.0
+    assert r["sec"] < adc[0]["sec"], (r["sec"], adc[0]["sec"])
