@@ -536,27 +536,63 @@ def ivf_assign_arrow(e: DataFrame, cents: DataFrame) -> DataFrame:
     fixture forms therefore keep :func:`ivf_assign` (the
     oracle-mirrored fold); ladders and serving deployments use
     this form and certify recall against exact ground truth
-    (`binary_hamming_rerank_blas_assign` rung rows)."""
+    (`binary_hamming_rerank_blas_assign` rung rows).
+
+    Zero-norm semantics mirror the MEASURED Catalyst fold (round-12
+    ADVICE): in ivf_assign the cosine is dot / nullif(norm*c_norm,
+    0), and the max_by ordering key is struct(ccos, -cell) — a
+    struct is never NULL, and a NULL field sorts BELOW every value
+    in struct comparison.  So a zero-norm CENTROID (NULL ccos
+    against every vector) loses to any non-NULL cosine, even a
+    negative one, and a zero-norm VECTOR (NULL ccos against every
+    centroid) ties on the NULL first field and resolves on the
+    -cell tiebreak: it gets the LOWEST cell id of ALL centroids,
+    zero-norm ones included.  With no centroids at all, the inner
+    join drops every row.  All four edges measured against the
+    Catalyst fold and pinned in tests/test_ann_recall.py."""
     import numpy as np
     import pandas as pd
 
     rows = cents.orderBy("cell").collect()  # bounded: <= cells cap
-    cell_ids = np.array([r["cell"] for r in rows], dtype="int64")
-    c = np.array([r["cv"] for r in rows], dtype="float64")
-    c_norm = np.linalg.norm(c, axis=1)
-    c_norm[c_norm == 0] = 1.0
-    cu_t = (c / c_norm[:, None]).T  # (d, k), unit rows transposed
+    all_cells = np.array([r["cell"] for r in rows], dtype="int64")
+    lowest_cell = int(all_cells.min()) if len(all_cells) else None
+    cu_t, cell_ids = None, all_cells[:0]
+    if rows:
+        c = np.array([r["cv"] for r in rows], dtype="float64")
+        c_norm = np.linalg.norm(c, axis=1)
+        valid = c_norm > 0  # zero-norm centroid: NULL ccos, loses ties
+        cell_ids = all_cells[valid]
+        c = c[valid]
+        c_norm = c_norm[valid]
+        if len(c):
+            cu_t = (c / c_norm[:, None]).T  # (d, k_valid)
 
     def assign_batches(batches):
         for pdf in batches:
+            if lowest_cell is None:
+                # no centroids: Catalyst's inner join yields nothing
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"][:0],
+                        "cell": np.array([], dtype="int64"),
+                    }
+                )
+                continue
             v = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
             n = np.linalg.norm(v, axis=1)
-            n[n == 0] = 1.0
-            scores = (v / n[:, None]) @ cu_t  # (b, k) cosines
-            best = scores.argmax(axis=1)  # first max = lowest cell
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": cell_ids[best]}
-            )
+            if cu_t is None:
+                # every centroid zero-norm: all-NULL ccos row ->
+                # the -cell tiebreak picks the lowest cell
+                out = np.full(len(v), lowest_cell, dtype="int64")
+            else:
+                nz = n.copy()
+                nz[nz == 0] = 1.0
+                scores = (v / nz[:, None]) @ cu_t  # (b, k) cosines
+                best = scores.argmax(axis=1)  # first max = lowest cell
+                out = cell_ids[best]
+                # zero-norm vector: all-NULL ccos -> lowest cell
+                out[n == 0] = lowest_cell
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": out})
 
     best_cell = e.select("vec_id", "embedding").mapInPandas(
         assign_batches, "vec_id long, cell long"
@@ -2060,6 +2096,7 @@ def binary_collision_budget(
 
 def binary_hamming_cands_from(
     e: DataFrame,
+    *,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     margin: int = RERANK_MARGIN,
@@ -2080,7 +2117,12 @@ def binary_hamming_cands_from(
     Scale shape: the scan side reads 8 bytes/vector + the cell id;
     the probe join is keyed by cell (n*q*probe/cells pairs, AQE
     splits hot cells); the budget rides a broadcast; candidate
-    output is |q| x budget, independent of corpus size."""
+    output is |q| x budget, independent of corpus size.
+
+    Trailing parameters are keyword-only (round-12 ADVICE): the
+    round-11 reorder from (e, margin, n_cells, n_probe) would have
+    let a stale positional caller silently compute a wrong geometry
+    (margin=6 becoming n_cells); now it fails loudly."""
     e = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
     cents = ivf_centroids(e, n_cells)
     assigned = (ivf_assign_arrow if fast_assign else ivf_assign)(e, cents)

@@ -42,6 +42,7 @@ from db_mapreduce_project_spark.operators.similarity import (
 from db_mapreduce_project_spark.session import get_spark
 from scripts.ann_recall import measure
 from scripts.ann_recall_scale import (
+    NOISE,
     exact_truth_numpy,
     expand_perturbed_explode,
 )
@@ -105,8 +106,8 @@ def main() -> None:
                         rung,
                         binary_hamming_cands_from(
                             rung,
-                            cells,
-                            probe,
+                            n_cells=cells,
+                            n_probe=probe,
                             margin=RERANK_MARGIN,
                             fast_assign=True,
                         ),
@@ -155,7 +156,18 @@ def main() -> None:
         with open(out_path) as f:
             artifact = json.load(f)
     except (OSError, ValueError):
-        artifact = {"topk": TOPK, "measurements": []}
+        # same self-describing skeleton as scripts/ann_recall_scale.py
+        # and ann_binary_scale.py (round-12 ADVICE): a fresh artifact
+        # must carry the recall definition and noise metadata no
+        # matter which script creates it
+        artifact = {
+            "topk": TOPK,
+            "recall_def": "pooled |approx ∩ exact| / |exact|; exact = "
+            "brute-force cosine top-k (driver-side float64 BLAS over "
+            "the collected rung), ties cos DESC n_id ASC",
+            "noise": NOISE,
+            "measurements": [],
+        }
     key = lambda r: (  # noqa: E731
         r["corpus"],
         r["path"],

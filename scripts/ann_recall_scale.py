@@ -483,7 +483,10 @@ def main() -> None:
                     exact_rerank_tail(
                         rung,
                         binary_hamming_cands_from(
-                            rung, cells, probe, margin=RERANK_MARGIN
+                            rung,
+                            n_cells=cells,
+                            n_probe=probe,
+                            margin=RERANK_MARGIN,
                         ),
                     ),
                     exact,

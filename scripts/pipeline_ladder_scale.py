@@ -68,6 +68,13 @@ def expand_plain(d, copies: int):
     base < 1e7).  Natural-stats expansion for the gate stages —
     see the module docstring for why expand_families' word
     suffixing cannot be used here."""
+    # the id encoding allots 4 decimal digits to the copy index; a
+    # larger rung would silently collide copy ids across bases and
+    # corrupt the pinned survivor counts (round-12 ADVICE)
+    assert copies <= 10_000, (
+        f"expand_plain: copies={copies} exceeds the 10_000 slots of "
+        "the base*10_000+copy id encoding"
+    )
     return d.select(
         F.col("doc_id").alias("base_id"),
         "text",

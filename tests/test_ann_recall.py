@@ -1111,3 +1111,67 @@ def test_binary_blas_assign_1m_artifact_floor():
     assert len(adc) == 1
     assert adc[0]["recall"] == 1.0 and adc[0]["worst_query_recall"] == 1.0
     assert r["sec"] < adc[0]["sec"], (r["sec"], adc[0]["sec"])
+
+
+def test_ivf_assign_arrow_zero_norm_edges(spark):
+    """Round-12 ADVICE: the Arrow twin must mirror the MEASURED
+    Catalyst zero-norm semantics, not idealized ones.  Measured on
+    this exact fixture (see ivf_assign_arrow's docstring): the
+    max_by key is struct(ccos, -cell) — never NULL as a whole, NULL
+    field sorting BELOW every value — so a zero-norm vector gets
+    the LOWEST cell id (all-NULL tie resolved by -cell, zero-norm
+    centroids included) and a zero-norm centroid loses to any
+    non-NULL cosine, even a negative one."""
+    from db_mapreduce_project_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_centroids,
+        l2,
+    )
+
+    rows = [
+        (0, [0.0] * 4),  # zero centroid (lowest vec_id)
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.0] * 4),  # zero-norm corpus vector
+        (11, [-1.0, 0.0, 0.0, 0.0]),  # negative cosine to cell 1
+        (12, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
+    cents = ivf_centroids(e, 2)  # cell 0 = the zero vector, cell 1 real
+    cat = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(e, cents).select("vec_id", "cell").collect()
+    }
+    arw = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_arrow(e, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert cat == arw, (cat, arw)
+    # pin the measured semantics themselves, not just twin equality
+    assert cat[10] == 0  # zero-norm vector -> lowest cell
+    assert cat[11] == 1  # zero centroid loses to a NEGATIVE cosine
+    assert cat[12] == 1
+
+    # all-zero-norm centroid set: every row all-NULL -> lowest cell
+    zc = spark.createDataFrame(
+        [(7, [0.0] * 4), (9, [0.0] * 4)],
+        "cell long, cv array<double>",
+    ).withColumn("c_norm", l2("cv"))
+    cat2 = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(e, zc).select("vec_id", "cell").collect()
+    }
+    arw2 = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_arrow(e, zc).select("vec_id", "cell").collect()
+    }
+    assert cat2 == arw2, (cat2, arw2)
+    assert set(cat2.values()) == {7}
+
+    # empty centroid set: the inner join drops every row
+    empty = zc.where("cell < 0")
+    assert ivf_assign(e, empty).count() == 0
+    assert ivf_assign_arrow(e, empty).count() == 0
