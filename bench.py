@@ -147,11 +147,58 @@ HEADLINE = [
     # round-11 additions
     "dedup_minhash_lsh_j03",  # 32x2 banding preset (J>=0.3 regime)
     "dedup_minhash_lsh_j04",  # 16x2 banding preset (J>=0.41 regime)
+    # round-12 additions
+    "ann_mrl_rerank_adaptive",  # MRL with the sign-word collision budget
+    "ann_binary_hamming_rerank_fast",  # BLAS-assign serving default
+    "ann_ivfadc_rerank_fast",  # BLAS-assign quantized serving form
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# --- contention-robust retry protocol (round 12, VERDICT r11 #3) ---
+# Two consecutive rounds of driver-bench inflation on untouched code
+# (+8.6%, +18%) were attributed to host-level memory-bandwidth
+# interference (BENCH_DRIFT_r11.json), but attribution is not
+# comparability: the committed min-of-n must DEFEND itself.  A fixed
+# effective-parallelism floor cannot be the trigger — healthy queries
+# span jvm_cpu/wall 0.77 (bpe_learn_merges: vocab-sized driver loop)
+# to 14.8 (frequent_pairs_apriori), and Python-heavy queries burn
+# their CPU outside the JVM.  Instead a CANARY — a fixed pure-JVM
+# probe (small range -> hash -> groupBy shuffle) measured min-of-3 at
+# bench start — is the arbiter: its work never changes, so
+# canary_now / canary_base > CANARY_BAND means the BOX is degraded,
+# whatever any query's own profile looks like.
+#
+# Rule: a query whose n runs spread past RETRY_BAND (max/min) asks
+# the canary; while the canary reads contended (and the retry budget
+# lasts) the query gets extra runs, and the committed statistic stays
+# the min over ALL runs.  Every 10th query also samples the canary
+# into env.canary_series, so the artifact carries a contention
+# timeline even when no query triggered.
+RETRY_BAND = 1.6  # in-run max/min spread that triggers a canary check
+CANARY_BAND = 1.5  # canary_now / canary_base that reads as contended
+MAX_EXTRA_RUNS = 2  # per-query retry budget under sustained contention
+CANARY_EVERY = 10  # periodic canary sample cadence (queries)
+
+
+def _canary_once(spark) -> float:
+    """One timed run of the fixed canary probe: 20M-row range ->
+    xxhash64 -> 4096-key groupBy count, fully materialized.  Pure
+    JVM (no Python workers, no input files), touches codegen, hash
+    aggregation and a small shuffle — the machinery the membw probe
+    degraded 3-7x while CPU-spin hogs left it flat."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    materialize(
+        spark.range(20_000_000)
+        .groupBy((F.col("id") % 997).alias("k"))
+        .agg(F.sum(F.xxhash64("id")).alias("h"))
+    )
+    return time.perf_counter() - t0
 
 
 def _jvm_cpu_sec(pid: int | None) -> float | None:
@@ -203,9 +250,23 @@ def main() -> None:
         jvm_pid = None
 
     n_iter = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
+    # canary baseline: min of 3 (the same statistic the queries use)
+    canary_base = min(_canary_once(spark) for _ in range(3))
+    canary_series: list[dict] = []
+
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi % CANARY_EVERY == 0:
+            c = _canary_once(spark)
+            canary_series.append(
+                {
+                    "after_query_idx": qi,
+                    "ratio": round(c / canary_base, 2),
+                    "load1": _loadavg1(),
+                }
+            )
         runs = []
         load_before = _loadavg1()
         cpu0 = _jvm_cpu_sec(jvm_pid)
@@ -214,6 +275,25 @@ def main() -> None:
             materialize(registry.QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         cpu1 = _jvm_cpu_sec(jvm_pid)
+        # contention-robust retries (see protocol block above): a
+        # wide in-run spread asks the canary whether the BOX is
+        # degraded; only a contended canary buys extra runs, so
+        # plan-noise spreads (GC, AQE re-plans) don't inflate the
+        # bench wall, and sustained interference can't freeze a
+        # polluted min into the committed artifact.
+        retries = 0
+        canary_ratio = None
+        while (
+            len(runs) < n_iter + MAX_EXTRA_RUNS
+            and max(runs) / max(min(runs), 1e-9) > RETRY_BAND
+        ):
+            canary_ratio = round(_canary_once(spark) / canary_base, 2)
+            if canary_ratio <= CANARY_BAND:
+                break  # box healthy: the spread is the query's own
+            t0 = time.perf_counter()
+            materialize(registry.QUERIES[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+            retries += 1
         # isolation BETWEEN queries: cached intermediates must not
         # crowd the block manager for later queries.  Repeats of the
         # SAME query stay warm on purpose.
@@ -234,6 +314,10 @@ def main() -> None:
             "median": round(runs[len(runs) // 2], 3),
             "max": round(runs[-1], 3),
         }
+        if retries:
+            spreads[name]["retries"] = retries
+        if canary_ratio is not None:
+            spreads[name]["canary_ratio"] = canary_ratio
         if cpu0 is not None and cpu1 is not None:
             # JVM CPU seconds across ALL n runs of this query (the
             # per-run split isn't observable without a listener);
@@ -264,6 +348,14 @@ def main() -> None:
             "default_parallelism": spark.sparkContext.defaultParallelism,
             "load1_start": load1_start,
             "load1_end": _loadavg1(),
+            # contention timeline (round-12 protocol): the fixed
+            # canary probe's wall ratio vs its start-of-bench
+            # baseline, sampled every CANARY_EVERY queries — ratios
+            # near 1.0 certify the run as clean; a window of >1.5
+            # marks the queries measured inside it as suspect even
+            # if none individually triggered a retry
+            "canary_base_sec": round(canary_base, 3),
+            "canary_series": canary_series,
         },
     }
     # Self-archive the COMPLETE per-query artifact in-repo: the

@@ -50,7 +50,7 @@ def main() -> None:
     )
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.environ.get("ANN_RECALL_OUT", "ANN_RECALL_r11.json"),
+        os.environ.get("ANN_RECALL_OUT", "ANN_RECALL_r12.json"),
     )
     results: list[dict] = []
     for copies in rungs:

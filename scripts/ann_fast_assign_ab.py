@@ -150,7 +150,7 @@ def main() -> None:
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.environ.get("ANN_RECALL_OUT", "ANN_RECALL_r11.json"),
+        os.environ.get("ANN_RECALL_OUT", "ANN_RECALL_r12.json"),
     )
     try:
         with open(out_path) as f:

@@ -31,7 +31,7 @@ Method:
     deltas carry that variance and the cumulatives are the ground
     truth).
 
-Writes/merges into $ANN_RECALL_OUT (default ANN_RECALL_r11.json).
+Writes/merges into $ANN_RECALL_OUT (default ANN_RECALL_r12.json).
 $ANN_PATHS=path1,path2 restricts which paths a rung measures.
 
 Round-11 geometry (VERDICT r10 #2): cells are data-derived via
@@ -39,6 +39,17 @@ similarity.derive_n_cells (power of two nearest sqrt(n)) instead of
 the round-10 flat 256-cap, so the margin-6 budget is re-certified
 under scaled per-cell occupancy: 100k -> 256, 500k -> 512,
 1M -> 1024 cells.
+
+Round-12 additions (VERDICT r11 #1/#2):
+  * binary_hamming_rerank_trained / ivfadc_rerank_adaptive_trained —
+    the serving paths under a TRAINED coarse quantizer
+    (train_ivf_centroids: spherical k-means++ on a bounded sample)
+    with the Arrow/BLAS assign, each rung recording the per-cell
+    occupancy histogram (max/mean/p99/empty) alongside recall — the
+    cluster-tier configuration SCALE.md's design notes name;
+  * mrl_rerank_adaptive — the MRL serving form under the
+    truncated-sign-word collision budget (closing the fixed cut's
+    worst_query_recall 0.0 at 500k/1M).
 
 Usage: python scripts/ann_recall_scale.py [copies ...]
        (default rungs: 50, 250, 500 -> 100k, 500k, 1M vectors)
@@ -79,6 +90,7 @@ from db_mapreduce_project_spark.operators.similarity import (
     RERANK_MARGIN,
     TOPK,
     QUERY_MOD,
+    binary_hamming_cands_from,
     derive_n_cells,
     ivf_topk_from,
     ivfadc_collision_budget,
@@ -196,7 +208,7 @@ def main() -> None:
     )
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.environ.get("ANN_RECALL_OUT", "ANN_RECALL_r11.json"),
+        os.environ.get("ANN_RECALL_OUT", "ANN_RECALL_r12.json"),
     )
     # ANN_PATHS=path1,path2 restricts which paths a rung measures —
     # the expensive scaled-cells rungs (500k/1M at 512/1024 cells)
@@ -426,6 +438,174 @@ def main() -> None:
                 measure(incremental_df(), exact),
             )
 
+        if want("mrl_rerank_adaptive"):
+            # VERDICT r11 #2: the truncated-sign-word collision
+            # budget (mrl_collision_budget).  The budget VALUE is
+            # collected only at the smallest rung — a separate
+            # collect re-runs the truncated Catalyst assign, which
+            # at 1M/1024 cells is a third of the pipeline's own wall
+            from db_mapreduce_project_spark.functions.vectors import l2
+            from db_mapreduce_project_spark.operators.retrieval import (
+                mrl_collision_budget,
+            )
+            from db_mapreduce_project_spark.operators.similarity import (
+                ivf_assign,
+                ivf_centroids,
+            )
+
+            params = {
+                "dims": MRL_DIM,
+                "cells": cells,
+                "probe": probe,
+                "rerank_c": "adaptive",
+                "margin": RERANK_MARGIN,
+            }
+            if copies == 50:
+                trunc = rung.select(
+                    "vec_id",
+                    F.slice("embedding", 1, MRL_DIM).alias("embedding"),
+                ).select(
+                    "vec_id", "embedding", l2("embedding").alias("norm")
+                )
+                assigned = ivf_assign(trunc, ivf_centroids(trunc, cells))
+                params["c_budget"] = int(
+                    mrl_collision_budget(assigned).collect()[0][
+                        "c_budget"
+                    ]
+                )
+            n_ac, t_ac = timed_count(
+                mrl_cands_from(rung, None, cells, probe)
+            )
+            afull = measure(
+                mrl_rerank_from(rung, None, cells, probe), exact
+            )
+            record(
+                "mrl_rerank_adaptive",
+                params,
+                {
+                    **afull,
+                    "stages": {
+                        "coarse_truncated_adaptive_cut": {
+                            "cum_sec": t_ac,
+                            "rows": n_ac,
+                        },
+                        "exact_rerank": {
+                            "cum_sec": afull["sec"],
+                            "delta_sec": round(afull["sec"] - t_ac, 2),
+                        },
+                    },
+                },
+            )
+
+        # trained coarse quantizer (VERDICT r11 #1): k-means++
+        # centroids from a bounded sample + the Arrow/BLAS assign —
+        # the cluster-tier configuration — with the per-cell
+        # occupancy histogram recorded alongside recall
+        trained_paths = [
+            p
+            for p in (
+                "binary_hamming_rerank_trained",
+                "ivfadc_rerank_adaptive_trained",
+            )
+            if want(p)
+        ]
+        if trained_paths:
+            from db_mapreduce_project_spark.functions.vectors import l2
+            from db_mapreduce_project_spark.operators.similarity import (
+                ivf_assign_arrow,
+                train_ivf_centroids,
+            )
+
+            t0 = time.perf_counter()
+            cents = train_ivf_centroids(rung, cells)
+            train_sec = round(time.perf_counter() - t0, 2)
+            en = rung.select(
+                "vec_id", "embedding", l2("embedding").alias("norm")
+            )
+            t0 = time.perf_counter()
+            occ = (
+                ivf_assign_arrow(en, cents)
+                .groupBy("cell")
+                .count()
+                .agg(
+                    F.max("count").alias("mx"),
+                    F.expr("CAST(avg(count) AS DOUBLE)").alias("mean"),
+                    F.expr(
+                        "CAST(approx_percentile(count, 0.99) AS LONG)"
+                    ).alias("p99"),
+                    F.count("*").alias("used"),
+                )
+                .collect()[0]
+            )
+            occupancy = {
+                "max_cell": int(occ["mx"]),
+                "mean_cell": round(float(occ["mean"]), 1),
+                "p99_cell": int(occ["p99"]),
+                "cells_used": int(occ["used"]),
+                "cells_empty": int(cells - occ["used"]),
+                "occupancy_sec": round(time.perf_counter() - t0, 2),
+                "train_sec": train_sec,
+            }
+            print(f"   trained occupancy: {occupancy}", flush=True)
+
+        if want("binary_hamming_rerank_trained"):
+            record(
+                "binary_hamming_rerank_trained",
+                {
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": "adaptive",
+                    "margin": RERANK_MARGIN,
+                    "quantizer": "train_ivf_centroids (spherical "
+                    "k-means++, bounded sample) + ivf_assign_arrow",
+                    "occupancy": occupancy,
+                    "state": {
+                        "sign_bytes": n * 8,
+                        "cell_assign_bytes": n * 4,
+                    },
+                },
+                measure(
+                    exact_rerank_tail(
+                        rung,
+                        binary_hamming_cands_from(
+                            rung,
+                            n_cells=cells,
+                            n_probe=probe,
+                            margin=RERANK_MARGIN,
+                            fast_assign=True,
+                            cents=cents,
+                        ),
+                    ),
+                    exact,
+                ),
+            )
+
+        if want("ivfadc_rerank_adaptive_trained"):
+            record(
+                "ivfadc_rerank_adaptive_trained",
+                {
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": "adaptive",
+                    "margin": RERANK_MARGIN,
+                    "quantizer": "train_ivf_centroids (spherical "
+                    "k-means++, bounded sample) + ivf_assign_arrow",
+                    "occupancy": occupancy,
+                    "state": state,
+                },
+                measure(
+                    ivfadc_rerank_from(
+                        rung,
+                        None,
+                        cells,
+                        probe,
+                        fast_assign=True,
+                        cents=cents,
+                    ),
+                    exact,
+                ),
+            )
+
         if want("mrl_rerank"):
             n_mcands, t_mcands = timed_count(
                 mrl_cands_from(rung, RERANK_C_SCALE, cells, probe)
@@ -462,10 +642,6 @@ def main() -> None:
         # smallest-state serving form (8 B/vector sign words + cell):
         # same IVF routing, collision-derived adaptive budget, exact
         # tail.  Round-10 addition (ann_binary_hamming_rerank).
-        from db_mapreduce_project_spark.operators.similarity import (
-            binary_hamming_cands_from,
-        )
-
         if want("binary_hamming_rerank"):
             record(
                 "binary_hamming_rerank",

@@ -28,8 +28,12 @@ group-by-line shuffle is linear in corpus size, no quadratic
 hazard).
 
 Writes rows into $PIPELINE_LADDER_OUT (default
-PIPELINE_LADDER_r11.json).  Usage:
+PIPELINE_LADDER_r12.json — seeded with the r11 rungs so linearity
+reads in one file).  Usage:
   python scripts/pipeline_ladder_scale.py [copies ...]  (default 200)
+
+Round-12 (VERDICT r11 #5): the 2M rung (copies=400) confirms the
+dominant line-dedup rewrite stage is linear in corpus size.
 """
 
 from __future__ import annotations
@@ -108,7 +112,7 @@ def main() -> None:
     )
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.environ.get("PIPELINE_LADDER_OUT", "PIPELINE_LADDER_r11.json"),
+        os.environ.get("PIPELINE_LADDER_OUT", "PIPELINE_LADDER_r12.json"),
     )
     records = []
     for copies in rungs:

