@@ -179,24 +179,41 @@ def materialize(df) -> None:
 # into env.canary_series, so the artifact carries a contention
 # timeline even when no query triggered.
 RETRY_BAND = 1.6  # in-run max/min spread that triggers a canary check
-CANARY_BAND = 1.5  # canary_now / canary_base that reads as contended
+# contended threshold for canary_now / canary_base: a single ~0.5 s
+# probe carries ~2x intrinsic noise against a running-min base
+# (measured: healthy same-box samples read 1.0-1.97 of the best-ever
+# sample), while the membw failure mode degrades this machinery
+# 3-7x (BENCH_DRIFT_r11) — 2.0 sits above the noise and well below
+# the signal; each observation is itself a min-of-2 to cut the noise
+CANARY_BAND = 2.0
 MAX_EXTRA_RUNS = 2  # per-query retry budget under sustained contention
 CANARY_EVERY = 10  # periodic canary sample cadence (queries)
 
 
 def _canary_once(spark) -> float:
-    """One timed run of the fixed canary probe: 20M-row range ->
-    xxhash64 -> 4096-key groupBy count, fully materialized.  Pure
-    JVM (no Python workers, no input files), touches codegen, hash
-    aggregation and a small shuffle — the machinery the membw probe
-    degraded 3-7x while CPU-spin hogs left it flat."""
+    """One canary observation: the MIN of two timed runs of the
+    fixed probe (20M-row range -> xxhash64 -> 997-key groupBy,
+    fully materialized).  Pure JVM (no Python workers, no input
+    files), touches codegen, hash aggregation and a small shuffle —
+    the machinery the membw probe degraded 3-7x while CPU-spin hogs
+    left it flat.  Min-of-2 because a single ~0.5 s sample is too
+    noisy to compare against a running-min baseline."""
+    return min(_canary_raw(spark) for _ in range(2))
+
+
+def _canary_raw(spark) -> float:
+    """A single timed run of the canary probe."""
     from pyspark.sql import functions as F
 
     t0 = time.perf_counter()
     materialize(
         spark.range(20_000_000)
         .groupBy((F.col("id") % 997).alias("k"))
-        .agg(F.sum(F.xxhash64("id")).alias("h"))
+        # pmod before the sum: 20M raw 64-bit hashes overflow a
+        # long sum under ANSI mode
+        .agg(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000))).alias("h")
+        )
     )
     return time.perf_counter() - t0
 
@@ -251,19 +268,29 @@ def main() -> None:
 
     n_iter = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
-    # canary baseline: min of 3 (the same statistic the queries use)
+    # canary baseline: min of 3 (the same statistic the queries
+    # use), then a RUNNING minimum over every later observation —
+    # the start-of-bench samples can be biased high (JIT tails,
+    # residual pressure from whatever ran before), and a
+    # too-high base would under-read contention ratios; a running
+    # min only ever tightens the arbiter, never loosens it
     canary_base = min(_canary_once(spark) for _ in range(3))
     canary_series: list[dict] = []
+
+    def canary_ratio_now() -> float:
+        nonlocal canary_base
+        c = _canary_once(spark)
+        canary_base = min(canary_base, c)
+        return round(c / canary_base, 2)
 
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     for qi, name in enumerate(HEADLINE):
         if qi % CANARY_EVERY == 0:
-            c = _canary_once(spark)
             canary_series.append(
                 {
                     "after_query_idx": qi,
-                    "ratio": round(c / canary_base, 2),
+                    "ratio": canary_ratio_now(),
                     "load1": _loadavg1(),
                 }
             )
@@ -287,7 +314,7 @@ def main() -> None:
             len(runs) < n_iter + MAX_EXTRA_RUNS
             and max(runs) / max(min(runs), 1e-9) > RETRY_BAND
         ):
-            canary_ratio = round(_canary_once(spark) / canary_base, 2)
+            canary_ratio = canary_ratio_now()
             if canary_ratio <= CANARY_BAND:
                 break  # box healthy: the spread is the query's own
             t0 = time.perf_counter()
