@@ -227,3 +227,60 @@ def test_dedup_ladder_r11_bounded_rungs():
         en = _get(rows, "containment_ensemble", copies)
         assert en["recall_vs_exact"] == 1.0, en
         assert en["out_rows"] == ex_c["out_rows"], en
+
+
+def test_pipeline_ladder_r12_2m_rung_linearity():
+    """Round-12 (VERDICT r11 #5): the 2M-doc rung confirms the
+    composed C4 pipeline's scaling story, pinned from
+    PIPELINE_LADDER_r12.json + C4_DSIR_AB_r12.json:
+
+    * survivor counts scale exactly 2x (same gate rates, same
+      line-dedup geometry, DSIR selection within 0.3%);
+    * the DOMINANT line-dedup rewrite is sub-linear: <= 2x wall at
+      2x data (measured 1.70x at the default 32 partitions);
+    * the raw end-to-end super-linearity at 32 partitions (2.60x)
+      is per-partition DSIR bigram-stream SPILL, not algorithmic:
+      at 128 shuffle partitions the identical pipeline reads
+      <= 2.1x (measured 1.88x) with identical output rows — the
+      size-partitions-to-the-corpus discipline as data."""
+    import json
+    import os
+
+    base = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(__file__), "..", "PIPELINE_LADDER_r12.json"
+            )
+        )
+    )
+    r1 = [r for r in base if r["copies"] == 200][0]
+    r2 = [r for r in base if r["copies"] == 400][0]
+    assert r2["docs"] == 2 * r1["docs"] == 2_000_000
+    s1, s2 = r1["stages"], r2["stages"]
+    for st in ("gopher_keep", "gate_survivors", "line_dedup_rewritten"):
+        assert s2[st]["rows"] == 2 * s1[st]["rows"], st
+    assert abs(r2["end_to_end_rows"] - 2 * r1["end_to_end_rows"]) <= (
+        0.003 * 2 * r1["end_to_end_rows"]
+    )
+    rw1 = s1["line_dedup_rewrite_materialize"]["sec"]
+    rw2 = s2["line_dedup_rewrite_materialize"]["sec"]
+    assert rw2 / rw1 <= 2.2, (rw1, rw2)  # dominant stage linear
+
+    ab = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(__file__), "..", "C4_DSIR_AB_r12.json"
+            )
+        )
+    )
+    wide = [
+        r
+        for r in ab["rungs"]
+        if r["copies"] == 400 and r["shuffle_partitions"] == 128
+    ][0]
+    assert wide["end_to_end_rows"] == r2["end_to_end_rows"]
+    assert wide["end_to_end_sec"] / r1["end_to_end_sec"] <= 2.1, wide
+    # the 32-partition DSIR spill is the documented super-linear term
+    assert wide["stages"]["dsir_weights"]["sec"] < 0.5 * (
+        s2["dsir_weights"]["sec"]
+    )
