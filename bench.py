@@ -151,6 +151,7 @@ HEADLINE = [
     "ann_mrl_rerank_adaptive",  # MRL with the sign-word collision budget
     "ann_binary_hamming_rerank_fast",  # BLAS-assign serving default
     "ann_ivfadc_rerank_fast",  # BLAS-assign quantized serving form
+    "ann_binary_hamming_rerank_trained",  # k-means++ cluster-tier config
 ]
 
 

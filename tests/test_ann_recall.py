@@ -1376,3 +1376,28 @@ def test_ann_recall_r12_trained_and_mrl_adaptive_floors():
         and "(100000 vectors)" in r["corpus"]
     ][0]
     assert m100["params"]["c_budget"] == 455, m100["params"]
+
+
+def test_trained_registered_form_fixture_floor(spark):
+    """The registered ann_binary_hamming_rerank_trained (rows-only)
+    on the near-uniform sf0.01 fixture: recall is scanned-fraction
+    bounded like every fixture-scale path, and the TRAINED
+    centroids read BETTER pooled recall than the lowest-vec_id
+    quantizer (measured 0.50 vs 0.30 — balanced cells put more of
+    each query's probe mass on relevant neighborhoods).  Floors at
+    measured-minus-slack; the clone-geometry certification is the
+    ladder's (ANN_RECALL_r12.json, 1.0/1.0 at every rung)."""
+    from db_mapreduce_project_spark import registry
+
+    registry.load_all_queries()
+    e = _embeddings(spark)
+    exact = top_map(brute_topk_from(e).collect())
+    got = measure(
+        registry.QUERIES["ann_binary_hamming_rerank_trained"](spark, SF),
+        exact,
+    )
+    base = measure(
+        registry.QUERIES["ann_binary_hamming_rerank"](spark, SF), exact
+    )
+    assert got["recall"] >= 0.45, got
+    assert got["recall"] >= base["recall"], (got, base)

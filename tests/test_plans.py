@@ -290,6 +290,7 @@ _UNKEYED_JOIN_OK = {
     "ann_binary_hamming_rerank",  # same centroid + 1-row budget bcasts
     "ann_ivf_filtered",         # same centroid broadcasts
     "ann_mrl_rerank",           # same centroid broadcasts (truncated dims)
+    "ann_mrl_rerank_adaptive",  # same + 1-row sign-word budget broadcast
     "sketch_kmv_distinct",      # 1-row sketch x 1-row exact-count join
     "unigram_piece_probs",      # 1-row corpus-total + piece-table broadcasts
     "unigram_segment_words",    # same piece-table broadcasts
@@ -321,6 +322,13 @@ _EAGER = {
     # localCheckpoints the fingerprint table so the band self-join
     # does not run the JPEG+pHash kernel once per side
     "multimodal_phash_hamming_pairs",
+    # ivf_assign_arrow collects the bounded centroid table at plan
+    # construction (the BLAS closure); plans otherwise match their
+    # oracled siblings', whose shapes the sweep already covers
+    "ann_binary_hamming_rerank_fast",
+    "ann_ivfadc_rerank_fast",
+    # + the bounded k-means training sample collect
+    "ann_binary_hamming_rerank_trained",
 }
 
 
