@@ -1038,16 +1038,26 @@ def mrl_cands_from(
     n_probe: int = N_PROBE,
     mrl_dim: int = MRL_DIM,
     margin: int = RERANK_MARGIN,
+    fast_assign: bool = False,
 ) -> DataFrame:
     """The MRL coarse stage alone — (q_id, n_id) candidates from the
     truncated-dimension IVF index, cut to the top rerank_c per query
     by truncated cosine; rerank_c=None derives the cut from the
     truncated sign-word collision histogram
-    (:func:`mrl_collision_budget` — the adaptive serving form).
-    Exposed separately so the per-stage latency harness
+    (:func:`mrl_collision_budget` — the adaptive serving form);
+    fast_assign=True routes the corpus cell assignment through the
+    Arrow/BLAS twin on the TRUNCATED vectors (the scale serving
+    path — the Catalyst fold on 16 dims is still O(n*cells*16) of
+    interpreted arithmetic at derive_n_cells geometry).  Exposed
+    separately so the per-stage latency harness
     (scripts/ann_recall_scale.py) times the SAME subplan the
     serving pipeline runs."""
-    from .similarity import ivf_assign, ivf_centroids, ivf_probes
+    from .similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_centroids,
+        ivf_probes,
+    )
     from ..functions.vectors import l2
 
     trunc = e.select(
@@ -1055,7 +1065,7 @@ def mrl_cands_from(
     )
     t = trunc.select("vec_id", "embedding", l2("embedding").alias("norm"))
     cents = ivf_centroids(t, n_cells)
-    assigned = ivf_assign(t, cents)
+    assigned = (ivf_assign_arrow if fast_assign else ivf_assign)(t, cents)
     probes = ivf_probes(t, cents, n_probe)
     wc = Window.partitionBy("q_id").orderBy(
         F.col("tcos").desc(), F.col("n_id").asc()
@@ -1095,8 +1105,11 @@ def mrl_rerank_from(
     n_probe: int = N_PROBE,
     mrl_dim: int = MRL_DIM,
     margin: int = RERANK_MARGIN,
+    fast_assign: bool = False,
 ) -> DataFrame:
-    cands = mrl_cands_from(e, rerank_c, n_cells, n_probe, mrl_dim, margin)
+    cands = mrl_cands_from(
+        e, rerank_c, n_cells, n_probe, mrl_dim, margin, fast_assign
+    )
     full_q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("fq")
     )

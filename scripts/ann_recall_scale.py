@@ -497,6 +497,29 @@ def main() -> None:
                 },
             )
 
+        if want("mrl_rerank_adaptive_blas_assign"):
+            # the MRL adaptive serving form with the Arrow/BLAS
+            # assign on the truncated vectors — completes the BLAS
+            # story across all three decision-table forms
+            record(
+                "mrl_rerank_adaptive_blas_assign",
+                {
+                    "dims": MRL_DIM,
+                    "cells": cells,
+                    "probe": probe,
+                    "rerank_c": "adaptive",
+                    "margin": RERANK_MARGIN,
+                    "assign": "ivf_assign_arrow on the truncated "
+                    "prefix (float64 BLAS matmul per Arrow batch)",
+                },
+                measure(
+                    mrl_rerank_from(
+                        rung, None, cells, probe, fast_assign=True
+                    ),
+                    exact,
+                ),
+            )
+
         # trained coarse quantizer (VERDICT r11 #1): k-means++
         # centroids from a bounded sample + the Arrow/BLAS assign —
         # the cluster-tier configuration — with the per-cell

@@ -1401,3 +1401,59 @@ def test_trained_registered_form_fixture_floor(spark):
     )
     assert got["recall"] >= 0.45, got
     assert got["recall"] >= base["recall"], (got, base)
+
+
+def test_mrl_fast_assign_matches_catalyst_form(spark):
+    """The MRL adaptive pipeline with the BLAS assign on the
+    truncated prefix returns row-for-row the SAME result as the
+    Catalyst-fold form on the parity fixture — the same
+    twin-equality contract as the binary/IVFADC fast twins."""
+    from db_mapreduce_project_spark.operators.retrieval import (
+        mrl_rerank_from,
+    )
+
+    e = _embeddings(spark)
+    slow = sorted(map(tuple, mrl_rerank_from(e, None).collect()))
+    fast = sorted(
+        map(tuple, mrl_rerank_from(e, None, fast_assign=True).collect())
+    )
+    assert slow == fast
+
+
+def test_mrl_blas_assign_artifact_floors():
+    """Round-12 close-out: the MRL adaptive serving form with the
+    BLAS assign on the truncated prefix holds recall 1.0 / worst
+    1.0 at 500k and 1M while reading 26.8 / 40.7 s — cheaper than
+    the fixed cut ever was (173.4 s at 1M), making the recall SLA
+    free on matryoshka-trained data and this the fastest certified
+    serving form in the family at the 1M rung."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "ANN_RECALL_r12.json"
+    )
+    rows = json.load(open(path))["measurements"]
+    for n in (500_000, 1_000_000):
+        got = [
+            r
+            for r in rows
+            if r["path"] == "mrl_rerank_adaptive_blas_assign"
+            and f"({n} vectors)" in r["corpus"]
+        ]
+        assert len(got) == 1, (n, got)
+        assert got[0]["recall"] == 1.0, got
+        assert got[0]["worst_query_recall"] == 1.0, got
+    m1 = [
+        r
+        for r in rows
+        if r["path"] == "mrl_rerank_adaptive_blas_assign"
+        and "(1000000 vectors)" in r["corpus"]
+    ][0]
+    slow = [
+        r
+        for r in rows
+        if r["path"] == "mrl_rerank_adaptive"
+        and "(1000000 vectors)" in r["corpus"]
+    ][0]
+    assert m1["sec"] < 0.5 * slow["sec"], (m1["sec"], slow["sec"])
