@@ -1457,3 +1457,28 @@ def test_mrl_blas_assign_artifact_floors():
         and "(1000000 vectors)" in r["corpus"]
     ][0]
     assert m1["sec"] < 0.5 * slow["sec"], (m1["sec"], slow["sec"])
+
+
+def test_ann_skew_probe_artifact_floors():
+    """Round-12 skew certification (ANN_SKEW_r12.json): on the
+    hot-direction rung (150k of 200k vectors around one direction)
+    the trained quantizer bounds the hot cell at <= 0.25x the
+    untrained max (measured 7,088 vs 37,812) and serves >= 2x
+    faster at IDENTICAL recall — occupancy/cost is quantizer-bound,
+    recall on a quasi-duplicate cloud is budget-cap-bound (the
+    regime dedup-before-indexing exists for)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "ANN_SKEW_r12.json"
+    )
+    d = json.load(open(path))
+    un = d["configs"]["untrained_lowest_vec_id"]
+    tr = d["configs"]["trained_kmeans"]
+    assert tr["occupancy"]["max_cell"] <= 0.25 * un["occupancy"]["max_cell"]
+    assert tr["occupancy"]["cells_empty"] == 0
+    assert tr["sec"] <= 0.5 * un["sec"], (tr["sec"], un["sec"])
+    # recall equal under both quantizers (budget regime, not routing)
+    assert abs(tr["recall"] - un["recall"]) <= 0.005, (tr, un)
+    assert tr["recall"] >= 0.94
