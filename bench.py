@@ -152,6 +152,7 @@ HEADLINE = [
     "ann_binary_hamming_rerank_fast",  # BLAS-assign serving default
     "ann_ivfadc_rerank_fast",  # BLAS-assign quantized serving form
     "ann_binary_hamming_rerank_trained",  # k-means++ cluster-tier config
+    "ann_mrl_rerank_adaptive_fast",  # BLAS-assign MRL SLA form
 ]
 
 

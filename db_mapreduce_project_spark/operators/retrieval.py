@@ -1260,6 +1260,25 @@ register(
 )
 
 
+def ann_mrl_rerank_adaptive_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`mrl_rerank_from` adaptive with the Arrow/BLAS assign
+    on the truncated prefix — the third BLAS serving twin, making
+    every decision-table form driver-visible in its deployed
+    configuration.  Rows-only like the other twins: contract =
+    pinned row-equality with the value-hash-oracled
+    ann_mrl_rerank_adaptive (test_mrl_fast_assign_matches_catalyst_
+    form) + the ladder floors (mrl_rerank_adaptive_blas_assign:
+    recall 1.0 / worst 1.0 at 500k/1M, 26.8 / 40.7 s — the fastest
+    certified serving form at the 1M rung)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return mrl_rerank_from(e, None, fast_assign=True)
+
+
+register("ann_mrl_rerank_adaptive_fast", ann_mrl_rerank_adaptive_fast)
+
+
 def binary_hamming_rerank_from(
     e: DataFrame, margin: int = RERANK_MARGIN, fast_assign: bool = False
 ) -> DataFrame:

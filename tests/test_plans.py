@@ -329,6 +329,7 @@ _EAGER = {
     "ann_ivfadc_rerank_fast",
     # + the bounded k-means training sample collect
     "ann_binary_hamming_rerank_trained",
+    "ann_mrl_rerank_adaptive_fast",
 }
 
 
