@@ -153,6 +153,10 @@ HEADLINE = [
     "ann_ivfadc_rerank_fast",  # BLAS-assign quantized serving form
     "ann_binary_hamming_rerank_trained",  # k-means++ cluster-tier config
     "ann_mrl_rerank_adaptive_fast",  # BLAS-assign MRL SLA form
+    # round-13 additions
+    "ann_ivfadc_rerank_trained",  # trained quantized serving form
+    "ann_mrl_rerank_adaptive_trained",  # trained MRL SLA form
+    "dedup_embedding_signword",  # verified SimHash embedding dedup
 ]
 
 
@@ -312,6 +316,7 @@ def main() -> None:
         # polluted min into the committed artifact.
         retries = 0
         canary_ratio = None
+        retry_cpu = 0.0
         while (
             len(runs) < n_iter + MAX_EXTRA_RUNS
             and max(runs) / max(min(runs), 1e-9) > RETRY_BAND
@@ -319,9 +324,19 @@ def main() -> None:
             canary_ratio = canary_ratio_now()
             if canary_ratio <= CANARY_BAND:
                 break  # box healthy: the spread is the query's own
+            # CPU is re-sampled around EACH retry run so the
+            # canary probes between runs don't count toward this
+            # query's jvm_cpu_sec (round-12 ADVICE: cpu1 used to be
+            # captured before the retry loop, understating cpu/wall
+            # for exactly the retried — i.e. diagnostically
+            # interesting — queries).
+            rc0 = _jvm_cpu_sec(jvm_pid)
             t0 = time.perf_counter()
             materialize(registry.QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+            rc1 = _jvm_cpu_sec(jvm_pid)
+            if rc0 is not None and rc1 is not None:
+                retry_cpu += rc1 - rc0
             retries += 1
         # isolation BETWEEN queries: cached intermediates must not
         # crowd the block manager for later queries.  Repeats of the
@@ -351,7 +366,9 @@ def main() -> None:
             # JVM CPU seconds across ALL n runs of this query (the
             # per-run split isn't observable without a listener);
             # compare against sum(runs) for effective parallelism
-            spreads[name]["jvm_cpu_sec"] = round(cpu1 - cpu0, 2)
+            spreads[name]["jvm_cpu_sec"] = round(
+                cpu1 - cpu0 + retry_cpu, 2
+            )
             spreads[name]["wall_sum"] = round(sum(runs), 2)
         if load_before is not None:
             spreads[name]["load1_before"] = load_before
@@ -403,6 +420,31 @@ def main() -> None:
     except OSError:
         pass  # archiving must never fail the bench
     print(json.dumps(payload))
+    # The driver captures only the TAIL of stdout (~2 KB): the full
+    # payload line above truncates mid-JSON once the registry passed
+    # ~100 queries (BENCH_r12.json read parsed:null).  The FINAL
+    # stdout line is therefore a compact, self-sufficient summary
+    # that always survives tail capture; the complete per-query map
+    # lives in the line above and in the BENCH_LOCAL.json archive.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "stat": "min",
+                "n": n_iter,
+                "sf": sf,
+                "queries": slowest,
+                "queries_shown": "8 slowest",
+                "queries_full_in": "BENCH_LOCAL.json",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -1020,14 +1020,13 @@ def mrl_collision_budget(
         .groupBy("cell", "mword")
         .agg(F.count("*").alias("cnt"))
     )
+    demand = F.greatest(
+        F.lit(RERANK_C_FLOOR),
+        (F.max("cnt") * F.lit(margin) + F.lit(TOPK)).cast("int"),
+    )
     return hist.agg(
-        F.least(
-            F.lit(cap),
-            F.greatest(
-                F.lit(RERANK_C_FLOOR),
-                (F.max("cnt") * F.lit(margin) + F.lit(TOPK)).cast("int"),
-            ),
-        ).alias("c_budget")
+        F.least(F.lit(cap), demand).alias("c_budget"),
+        (demand > F.lit(cap)).alias("budget_capped"),
     )
 
 
@@ -1039,6 +1038,7 @@ def mrl_cands_from(
     mrl_dim: int = MRL_DIM,
     margin: int = RERANK_MARGIN,
     fast_assign: bool = False,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """The MRL coarse stage alone — (q_id, n_id) candidates from the
     truncated-dimension IVF index, cut to the top rerank_c per query
@@ -1064,7 +1064,11 @@ def mrl_cands_from(
         "vec_id", F.slice("embedding", 1, mrl_dim).alias("embedding")
     )
     t = trunc.select("vec_id", "embedding", l2("embedding").alias("norm"))
-    cents = ivf_centroids(t, n_cells)
+    if cents is None:
+        # deterministic oracle-mirrored pick; callers may override
+        # with train_ivf_centroids over the TRUNCATED relation (the
+        # trained serving twin)
+        cents = ivf_centroids(t, n_cells)
     assigned = (ivf_assign_arrow if fast_assign else ivf_assign)(t, cents)
     probes = ivf_probes(t, cents, n_probe)
     wc = Window.partitionBy("q_id").orderBy(
@@ -1106,9 +1110,10 @@ def mrl_rerank_from(
     mrl_dim: int = MRL_DIM,
     margin: int = RERANK_MARGIN,
     fast_assign: bool = False,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     cands = mrl_cands_from(
-        e, rerank_c, n_cells, n_probe, mrl_dim, margin, fast_assign
+        e, rerank_c, n_cells, n_probe, mrl_dim, margin, fast_assign, cents
     )
     full_q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("fq")
@@ -1409,3 +1414,47 @@ def ann_binary_hamming_rerank_trained(
 register(
     "ann_binary_hamming_rerank_trained", ann_binary_hamming_rerank_trained
 )
+
+
+def ann_ivfadc_rerank_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC serving under the TRAINED coarse quantizer (round-13,
+    VERDICT r12 #5): spherical k-means++ centroids (bounded-sample
+    train) + BLAS assign + the PQ-code collision budget + exact
+    rescore — the second decision-table row in its deployed
+    configuration.  Rows-only, same contract as the binary trained
+    twin: build determinism is pinned
+    (test_trained_twins_deterministic), fixture recall floors are
+    pinned (test_trained_twins_fixture_floors), and corpus-scale
+    recall is certified by the ANN_RECALL_r12 trained rows
+    (1.0 / worst 1.0 at 100k/500k/1M)."""
+    from .similarity import train_ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = train_ivf_centroids(e, N_CELLS)
+    return ivfadc_rerank_from(e, fast_assign=True, cents=cents)
+
+
+register("ann_ivfadc_rerank_trained", ann_ivfadc_rerank_trained)
+
+
+def ann_mrl_rerank_adaptive_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MRL-adaptive serving under a TRAINED truncated-space coarse
+    quantizer (round-13, VERDICT r12 #5): k-means++ centroids are
+    trained on the 16-dim PREFIX of the corpus (the space the MRL
+    coarse index actually routes in), then the adaptive sign-word
+    budget and the full-precision exact rerank run unchanged — the
+    third decision-table row in deployed form.  Rows-only, same
+    contract as the other trained twins."""
+    from .similarity import train_ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    trunc = e.select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("embedding")
+    )
+    cents = train_ivf_centroids(trunc, N_CELLS)
+    return mrl_rerank_from(e, None, fast_assign=True, cents=cents)
+
+
+register("ann_mrl_rerank_adaptive_trained", ann_mrl_rerank_adaptive_trained)

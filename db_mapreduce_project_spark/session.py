@@ -34,6 +34,14 @@ def get_spark(
       engines (parity with the DuckDB oracle).
     """
     if master is None:
+        # SPARK_GRAFT_MASTER overrides the whole master URL — used
+        # by the multi-process certification sweep (round 13,
+        # VERDICT r12 #3: `local-cluster[2,4,4096]` spawns real
+        # worker JVMs on localhost, adding process isolation —
+        # closure serialization, broadcast transport, no shared
+        # driver-side state — without needing a cluster manager).
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -46,6 +54,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Data-derived shuffle width (round 13): AQE can only
+        # coalesce DOWN from the pre-shuffle partition count, so a
+        # small static hint caps width forever — C4_DSIR_AB_r12.json
+        # measured DSIR's bigram aggregation spilling at width 32
+        # (5.0x wall for 2x data) while width 128 was linear again.
+        # Starting every shuffle at initialPartitionNum and letting
+        # AQE coalesce to ~advisoryPartitionSizeInBytes makes the
+        # post-coalesce width derive from the DATA: tiny inputs
+        # still collapse to a handful of partitions, and a 100x
+        # input simply keeps more of the initial width instead of
+        # spilling per-partition.  shuffle_partitions above remains
+        # only the non-AQE fallback.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "512"),
+        )
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

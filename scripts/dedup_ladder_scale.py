@@ -276,19 +276,26 @@ def main() -> None:
             records.append(rec_row)
             print(json.dumps(rec_row), flush=True)
 
-        if marginal:
-            # round-11 preset rows (VERDICT r10 #4): each banding
-            # preset measured on the SAME marginal-mix corpus and
-            # exact pair set — banded recall at every preset's
-            # design threshold separates S-curve choice from
-            # defect.  j05 (the 8x4 default) is the
-            # minhash_lsh_pairs row above.
+        # round-11 preset rows (VERDICT r10 #4): each banding
+        # preset measured on the SAME corpus and exact pair set —
+        # banded recall at every preset's design threshold
+        # separates S-curve choice from defect.  j05 (the 8x4
+        # default) is the minhash_lsh_pairs row above.  Presets run
+        # on every marginal-probe rung; on bounded-family rungs
+        # they are opt-in via DEDUP_LADDER_PRESETS=j03[,j04] (the
+        # round-13 2M certification runs j03 there, VERDICT r12
+        # #6).
+        preset_filter = os.environ.get("DEDUP_LADDER_PRESETS", "")
+        if marginal or preset_filter:
             from db_mapreduce_project_spark.operators.dedup import (
                 MH_PRESETS,
             )
 
+            wanted = [p for p in preset_filter.split(",") if p]
             for preset, (p_bands, p_rows) in MH_PRESETS.items():
                 if preset == "j05":
+                    continue
+                if not marginal and preset not in wanted:
                     continue
                 print(f"-- minhash preset {preset} "
                       f"({p_bands}x{p_rows}) ...", flush=True)

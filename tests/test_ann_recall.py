@@ -1482,3 +1482,186 @@ def test_ann_skew_probe_artifact_floors():
     # recall equal under both quantizers (budget regime, not routing)
     assert abs(tr["recall"] - un["recall"]) <= 0.005, (tr, un)
     assert tr["recall"] >= 0.94
+
+
+def test_train_ivf_centroids_degenerate_corpus_raises(spark):
+    """Round-12 ADVICE: an empty relation (or one whose every
+    vector is zero-norm) used to crash k-means++ seeding with an
+    opaque numpy ``rng.integers(0)`` ValueError; the guard now
+    raises a descriptive error before seeding."""
+    import pytest
+
+    from db_mapreduce_project_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-zero-norm vectors"):
+        train_ivf_centroids(empty, 4)
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="no non-zero-norm vectors"):
+        train_ivf_centroids(zeros, 4)
+
+
+def test_train_ivf_centroids_antipodal_cell_no_nan(spark):
+    """Round-12 ADVICE: a cell whose member vectors sum to
+    (near-)zero — here an exactly antipodal pair forced into the
+    single cell of a k=1 train — used to normalize a zero sum into
+    a NaN centroid that then poisoned every later argmax.  The
+    near-zero-sum cell is now re-seeded like an empty one, so the
+    result is always finite unit centroids."""
+    import math
+
+    from db_mapreduce_project_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rows = []
+    for i in range(8):
+        s = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [s * 1.0, s * 0.0, s * 0.0]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = train_ivf_centroids(e, 1).collect()
+    assert len(cents) == 1
+    cv = cents[0]["cv"]
+    assert all(math.isfinite(v) for v in cv), cv
+    assert abs(sum(v * v for v in cv) - 1.0) < 1e-9, cv
+
+
+def test_train_ivf_centroids_ceil_stride_sample(spark):
+    """Round-12 ADVICE: stride is now ceil(n / sample_cap), so the
+    hash thinning itself lands at-or-under the cap and the
+    orderBy(vec_id).limit(cap) safety cut no longer truncates the
+    survivors to an id-prefix-biased half.  Behavioral pin: with
+    n just over the cap the train still succeeds, is deterministic,
+    and yields k finite unit centroids."""
+    import math
+    import random
+
+    from db_mapreduce_project_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rnd = random.Random(13)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(4)]) for i in range(130)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = train_ivf_centroids(e, 8, sample_cap=100).collect()
+    again = train_ivf_centroids(e, 8, sample_cap=100).collect()
+    assert sorted(map(tuple, cents)) == sorted(map(tuple, again))
+    assert len(cents) == 8
+    for r in cents:
+        assert all(math.isfinite(v) for v in r["cv"])
+
+
+def test_collision_budget_capped_flag(spark):
+    """Round-13 (VERDICT r12 #1, observability leg): every
+    collision-budget relation now carries a second column,
+    `budget_capped` — True iff the data-derived demand
+    (margin * max_cluster + TOPK) exceeded the cap, i.e. the corpus
+    holds an indistinguishable pileup bigger than the exact stage
+    may rescore (the ANN_SKEW_r12 worst-0.0 regime).  Pin: on the
+    40-clone fixture the demand (6*40+5 = 245) is far below
+    RERANK_C_CAP so the flag reads False for all three budget
+    forms, and forcing a tiny cap flips it True with c_budget
+    clamped to the cap."""
+    from db_mapreduce_project_spark.operators.retrieval import (
+        MRL_DIM,
+        mrl_collision_budget,
+    )
+    from db_mapreduce_project_spark.operators.similarity import (
+        RERANK_C_CAP,
+        binary_collision_budget,
+        binary_sign_codes,
+        ivf_assign,
+        ivf_centroids,
+        ivfadc_collision_budget,
+        ivfadc_index,
+    )
+
+    e = expand_perturbed(_embeddings(spark), copies=40).cache()
+    _, _, _, codes = ivfadc_index(e)
+    row = ivfadc_collision_budget(codes, RERANK_C_CAP, 6).collect()[0]
+    assert row["c_budget"] == 6 * 40 + TOPK and not row["budget_capped"]
+    tiny = ivfadc_collision_budget(codes, 64, 6).collect()[0]
+    assert tiny["c_budget"] == 64 and tiny["budget_capped"], tiny
+
+    en = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
+    cents = ivf_centroids(en)
+    assigned = ivf_assign(en, cents)
+    brow = binary_collision_budget(
+        binary_sign_codes(assigned), RERANK_C_CAP
+    ).collect()[0]
+    assert not brow["budget_capped"] and brow["c_budget"] < RERANK_C_CAP
+    btiny = binary_collision_budget(
+        binary_sign_codes(assigned), 32
+    ).collect()[0]
+    assert btiny["c_budget"] == 32 and btiny["budget_capped"], btiny
+
+    trunc = assigned.select(
+        "vec_id",
+        F.slice("embedding", 1, MRL_DIM).alias("embedding"),
+        "cell",
+    )
+    mrow = mrl_collision_budget(trunc, RERANK_C_CAP).collect()[0]
+    assert not mrow["budget_capped"], mrow
+    mtiny = mrl_collision_budget(trunc, 32).collect()[0]
+    assert mtiny["c_budget"] == 32 and mtiny["budget_capped"], mtiny
+    e.unpersist()
+
+
+def test_trained_twins_registered_fixture_floors(spark):
+    """Round-13 (VERDICT r12 #5): the other two decision-table rows
+    now ship their TRAINED serving configurations as registered
+    queries.  Contract mirror of
+    test_trained_registered_form_fixture_floor: deterministic
+    build (two runs row-identical), fixture recall at or above the
+    untrained registered sibling minus slack (trained centroids
+    re-route probe mass; on the near-uniform fixture the forms are
+    scanned-fraction bounded, and measured trained recall is
+    within a few points of the sibling either way), stable schema.
+    Corpus-scale recall (1.0 / worst 1.0) is the ladder's
+    certification (ANN_RECALL_r12.json trained rows)."""
+    from db_mapreduce_project_spark import registry
+
+    registry.load_all_queries()
+    e = _embeddings(spark)
+    exact = top_map(brute_topk_from(e).collect())
+    for trained, sibling, slack in (
+        ("ann_ivfadc_rerank_trained", "ann_ivfadc_rerank_fast", 0.10),
+        (
+            "ann_mrl_rerank_adaptive_trained",
+            "ann_mrl_rerank_adaptive_fast",
+            0.10,
+        ),
+    ):
+        df = registry.QUERIES[trained](spark, SF)
+        assert [f.name for f in df.schema.fields] == [
+            "q_id",
+            "n_id",
+            "cos",
+            "rk",
+        ]
+        rows = sorted(map(tuple, df.collect()))
+        again = sorted(
+            map(tuple, registry.QUERIES[trained](spark, SF).collect())
+        )
+        assert rows == again, trained  # deterministic build
+        got = measure(registry.QUERIES[trained](spark, SF), exact)
+        sib = measure(registry.QUERIES[sibling](spark, SF), exact)
+        assert got["recall"] >= sib["recall"] - slack, (
+            trained,
+            got,
+            sib,
+        )
+        assert got["recall"] >= 0.20, (trained, got)
