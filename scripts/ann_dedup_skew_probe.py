@@ -57,11 +57,43 @@ from db_mapreduce_project_spark.operators.similarity import (
 )
 from db_mapreduce_project_spark.functions.vectors import l2
 from db_mapreduce_project_spark.session import get_spark
-from scripts.ann_recall import measure
+from scripts.ann_recall import top_map
 from scripts.ann_recall_scale import exact_truth_numpy
 from scripts.ann_skew_probe import build_skewed
 
 PROBE = 8  # cells probed per query — the r12 skew-probe setting
+HOT_ID_FLOOR = 1_000_000_000  # build_skewed: hot vec_ids >= 1e9
+
+
+def split_recall(df, exact: dict[int, set[int]]) -> dict:
+    """measure() plus per-population recall: the skew rung's HOT
+    queries (ids >= HOT_ID_FLOOR — the quasi-duplicate cloud whose
+    budget-cap failure this probe exists to close) vs COLD queries
+    (the near-uniform remainder, whose recall is governed by the
+    ordinary IVF scan-fraction trade-off, not the pileup)."""
+    t0 = time.perf_counter()
+    approx = top_map(df.collect())
+    sec = round(time.perf_counter() - t0, 2)
+    out: dict = {"sec": sec}
+    for pop, keys in (
+        ("all", exact.keys()),
+        ("hot", [q for q in exact if q >= HOT_ID_FLOOR]),
+        ("cold", [q for q in exact if q < HOT_ID_FLOOR]),
+    ):
+        hits = total = 0
+        worst = 1.0
+        for q in keys:
+            truth = exact[q]
+            got = approx.get(q, set())
+            hits += len(got & truth)
+            total += len(truth)
+            worst = min(worst, len(got & truth) / len(truth))
+        out[f"recall_{pop}"] = round(hits / total, 4) if total else None
+        out[f"worst_{pop}"] = round(worst, 4) if total else None
+        out[f"n_queries_{pop}"] = len(list(keys)) if pop != "all" else len(
+            exact
+        )
+    return out
 
 
 def leg(spark, rel, tag: str) -> dict:
@@ -107,7 +139,7 @@ def leg(spark, rel, tag: str) -> dict:
         fast_assign=True,
         cents=cents,
     )
-    got = measure(exact_rerank_tail(rel, cands), exact)
+    got = split_recall(exact_rerank_tail(rel, cands), exact)
     row = {
         "n_vectors": n,
         "cells": cells,
@@ -119,6 +151,29 @@ def leg(spark, rel, tag: str) -> dict:
         "train_index_sec": t_index,
         **got,
     }
+    print(tag, json.dumps(row), flush=True)
+    return row
+
+
+def exact_route_leg(spark, rel, tag: str) -> dict:
+    """The serving tier's flag-driven fallback, measured: when
+    budget_capped fires (or the post-dedup corpus is small), the
+    decision table routes queries to an EXACT scan.  Post-dedup
+    the survivor corpus is collapse-factor smaller, so the exact
+    route's cost is bounded — this row records that wall, and its
+    recall is 1.0 by construction (it computes the same truth)."""
+    from db_mapreduce_project_spark.operators.similarity import (
+        brute_topk_from,
+    )
+
+    pdf = rel.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    vecs = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    del pdf
+    exact = exact_truth_numpy(ids, vecs)
+    del ids, vecs
+    got = split_recall(brute_topk_from(rel), exact)
+    row = {"n_vectors": rel.count(), **got}
     print(tag, json.dumps(row), flush=True)
     return row
 
@@ -162,6 +217,11 @@ def main() -> None:
     print("dedup", json.dumps(out["dedup"]), flush=True)
 
     out["configs"]["dedup_trained"] = leg(spark, surv, "dedup_trained")
+    # the flag-driven fallback: exact scan over the collapsed
+    # survivor corpus — bounded cost, worst 1.0 by construction
+    out["configs"]["dedup_exact_route"] = exact_route_leg(
+        spark, surv, "dedup_exact_route"
+    )
     shutil.rmtree(scratch, ignore_errors=True)
 
     out_path = os.path.join(
