@@ -284,3 +284,46 @@ def test_pipeline_ladder_r12_2m_rung_linearity():
     assert wide["stages"]["dsir_weights"]["sec"] < 0.5 * (
         s2["dsir_weights"]["sec"]
     )
+
+
+def test_pipeline_ladder_r13_stock_config_linearity():
+    """Round-13 (VERDICT r12 #2): the C4 2M rung re-run at STOCK
+    engine config — no hand-set shuffle width anywhere.  get_spark
+    now starts every shuffle at
+    spark.sql.adaptive.coalescePartitions.initialPartitionNum=512
+    and lets AQE coalesce down to ~advisoryPartitionSizeInBytes,
+    so post-coalesce width derives from the data instead of a
+    constant.  Pinned from PIPELINE_LADDER_r13.json:
+
+    * outputs identical to the r12 rungs (same gate rates, same
+      survivor/selection counts at both 1M and 2M);
+    * end-to-end <= 1.7x for 2x data (measured 1.43x: 28.2 ->
+      40.3 s) — linear WITHOUT the r12 A/B's hand-set 128
+      partitions;
+    * the DSIR bigram stage no longer spills: its wall is flat
+      across the doubling (5.87 -> 5.89 s; at the old fixed width
+      32 it read 28.3 s at 2M)."""
+    import json
+    import os
+
+    here = os.path.dirname(__file__)
+    r13 = json.load(open(os.path.join(here, "..", "PIPELINE_LADDER_r13.json")))
+    r12 = json.load(open(os.path.join(here, "..", "PIPELINE_LADDER_r12.json")))
+    rows13 = {r["copies"]: r for r in r13}
+    rows12 = {r["copies"]: r for r in r12}
+    for copies in (200, 400):
+        a, b = rows13[copies], rows12[copies]
+        assert a["docs"] == b["docs"]
+        assert a["end_to_end_rows"] == b["end_to_end_rows"], copies
+        for st in ("gopher_keep", "gate_survivors", "line_dedup_rewritten",
+                   "dsir_weights", "dsir_selected"):
+            assert a["stages"][st]["rows"] == b["stages"][st]["rows"], (
+                copies, st)
+    r1, r2 = rows13[200], rows13[400]
+    assert r2["end_to_end_sec"] / r1["end_to_end_sec"] <= 1.7, (r1, r2)
+    d1 = r1["stages"]["dsir_weights"]["sec"]
+    d2 = r2["stages"]["dsir_weights"]["sec"]
+    assert d2 <= 2.0 * d1, (d1, d2)  # no spill cliff
+    rw1 = r1["stages"]["line_dedup_rewrite_materialize"]["sec"]
+    rw2 = r2["stages"]["line_dedup_rewrite_materialize"]["sec"]
+    assert rw2 / rw1 <= 2.2, (rw1, rw2)
