@@ -258,6 +258,7 @@ def main() -> None:
                 "exact_twin": (exact_name + suffix) if exact_name else None,
                 "exact_rows": n_exact,
                 "sf": SF_DIR,
+                "heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
             }
             if fam == "minhash_lsh_pairs":
                 rec_row["recall_bands"] = [
@@ -275,6 +276,13 @@ def main() -> None:
                     )
             records.append(rec_row)
             print(json.dumps(rec_row), flush=True)
+
+        # dump the four main family rows BEFORE the preset loop: a
+        # preset-pass crash (e.g. heap exhaustion on a wider
+        # banding at a new rung) must not lose the completed
+        # measurements (round 13 — the first 2M attempt lost ~22
+        # minutes of rows exactly this way)
+        _merge_dump(records, out_path)
 
         # round-11 preset rows (VERDICT r10 #4): each banding
         # preset measured on the SAME corpus and exact pair set —
@@ -321,6 +329,9 @@ def main() -> None:
                         for lo in (0.3, 0.414, 0.5, 0.8)
                     ],
                     "sf": SF_DIR,
+                    "heap": os.environ.get(
+                        "SPARK_GRAFT_DRIVER_MEM", "8g"
+                    ),
                 }
                 records.append(row)
                 print(json.dumps(row), flush=True)
