@@ -71,6 +71,21 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "512"),
         )
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # Without this, AQE partition coalescing is DISABLED for the
+        # stage that materializes a .cache()d plan (Spark preserves
+        # the cached plan's output partitioning by default), so every
+        # cached intermediate materializes at the FULL pre-coalesce
+        # width — measured at sf0.1 with initialPartitionNum=512:
+        # dedup_minhash_lsh 6.1 -> 2.1 s, frequent_pairs_apriori
+        # 5.8 -> 1.0 s once cached plans coalesce like everything
+        # else.  No query's RESULT depends on partitioning (no
+        # rand()/spark_partition_id()/monotonically_increasing_id in
+        # the package), so letting the cached plan's partitioning
+        # derive from the data is semantics-free here.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

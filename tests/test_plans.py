@@ -330,6 +330,12 @@ _EAGER = {
     # + the bounded k-means training sample collect
     "ann_binary_hamming_rerank_trained",
     "ann_mrl_rerank_adaptive_fast",
+    # round-13 trained twins: same bounded training collect at plan
+    # construction, same centroid/codebook + 1-row budget broadcasts
+    # as their oracled siblings (ann_ivfadc_rerank /
+    # ann_mrl_rerank_adaptive in _UNKEYED_JOIN_OK)
+    "ann_ivfadc_rerank_trained",
+    "ann_mrl_rerank_adaptive_trained",
 }
 
 
