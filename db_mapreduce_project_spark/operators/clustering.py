@@ -92,7 +92,10 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors = new_cent.select("cid").distinct()
         cent = new_cent.unionByName(
             cent.join(survivors, "cid", "left_anti")
-        ).localCheckpoint()
+        # LAZY: KM_ITERS is fixed (no mid-loop driver decision), so
+        # the final assign materializes the Lloyd cascade as one job
+        # instead of one blocking checkpoint job per iteration
+        ).localCheckpoint(eager=False)
 
     return assign(cent)
 

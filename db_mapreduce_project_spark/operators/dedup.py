@@ -1517,7 +1517,19 @@ def _min_label_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    # Propagate over TOUCHED vertices only: a doc that appears in no
+    # near-dup pair is its own component by construction and its
+    # label can never change, so carrying the whole corpus through
+    # every round's join + aggregate + fingerprint is pure shuffle
+    # overhead — the pair graph is the dup subset, typically a tiny
+    # fraction of the corpus (and the 100 TB regime where this loop
+    # matters).  Singletons rejoin as label = doc_id at the end.
+    touched = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = touched.select("doc_id", F.col("doc_id").alias("label"))
 
     def _labels_fp(df: DataFrame) -> tuple:
         # shared fingerprint (cardinality is constant for label
@@ -1580,7 +1592,15 @@ def _min_label_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_clusters: fingerprint collision — assignments "
             "matched hashes but differ; raise hash width"
         )
-    return labels
+    # singletons (docs in no pair) re-enter as their own label — the
+    # loop above never saw them, so they paid zero per-round cost.
+    # Broadcast the touched set explicitly: it is dup-subset-sized
+    # by construction, but lives behind a localCheckpoint (no stats),
+    # so the planner would otherwise fall back to a sort-merge join.
+    rest = d.join(F.broadcast(touched), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    return labels.union(rest)
 
 
 def dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,7 +135,11 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).cast("bigint").alias("rank"),
             )
-            .localCheckpoint()
+            # LAZY: the iteration count is fixed (no mid-loop driver
+            # decision), so the final action materializes the whole
+            # 8-round cascade as ONE job instead of 8 blocking
+            # checkpoint jobs — the bpe_learn_merges discipline
+            .localCheckpoint(eager=False)
         )
     return (
         ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
@@ -293,7 +297,9 @@ def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("cand", F.col("hops")),
                 ).alias("hops"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY: the settled-count below is the round's single
+            # materializing action (1 job/round instead of 2)
+            .localCheckpoint(eager=False)
         )
         settled = dist.where(F.col("hops").isNotNull()).count()
         if settled == n_settled:

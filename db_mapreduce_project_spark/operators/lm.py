@@ -76,8 +76,14 @@ def kn_worst_from(d: DataFrame) -> DataFrame:
     eval_bg = _bigrams(d.where(F.col("doc_id") % 2 == 1))
 
     # the model: one corpus-wide aggregation; everything else rolls
-    # up from this vocab^2-bounded table
-    bg = train_bg.groupBy("lang", "a", "b").agg(F.count("*").alias("cnt_ab"))
+    # up from this vocab^2-bounded table.  CACHED — four consumers
+    # (ctx, tot, cont, and the eval join) otherwise each replay the
+    # train-half bigram explode + corpus aggregation (the compiled
+    # plan showed 10 parquet scans / 0 reused exchanges); the model
+    # table is exactly what a production LM filter persists.
+    bg = train_bg.groupBy("lang", "a", "b").agg(
+        F.count("*").alias("cnt_ab")
+    ).cache()
     ctx = bg.groupBy("lang", "a").agg(
         F.sum("cnt_ab").alias("cnt_a"),
         F.count("*").alias("n1p_a"),  # N1+(a,*): distinct b after a
@@ -296,10 +302,14 @@ def kn3_worst_from(d: DataFrame) -> DataFrame:
     train = _trigrams(d.where(F.col("doc_id") % 2 == 0))
     ev = _trigrams(d.where(F.col("doc_id") % 2 == 1))
 
-    # the ONE corpus-wide aggregation
+    # the ONE corpus-wide aggregation.  CACHED — five consumers
+    # (ctx2, kn2_raw, tot, pcont, and the eval join) otherwise each
+    # replay the train-half trigram explode + aggregation (the
+    # compiled plan showed 20 parquet scans / 0 reused exchanges);
+    # the vocab^3-bounded count table is the persisted LM artifact.
     tri = train.groupBy("lang", "a", "b", "c").agg(
         F.count("*").alias("cnt_abc")
-    )
+    ).cache()
     # trigram-context totals: c(ab) and N1+(ab*)
     ctx2 = tri.groupBy("lang", "a", "b").agg(
         F.sum("cnt_abc").alias("cnt_ab"),

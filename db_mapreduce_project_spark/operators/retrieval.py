@@ -1069,7 +1069,13 @@ def mrl_cands_from(
         # with train_ivf_centroids over the TRUNCATED relation (the
         # trained serving twin)
         cents = ivf_centroids(t, n_cells)
-    assigned = (ivf_assign_arrow if fast_assign else ivf_assign)(t, cents)
+    # cache the truncated index (vec_id, 16-dim prefix, norm, cell):
+    # the candidate ranking and the sign-word collision budget both
+    # consume it and would each replay the coarse assign fold — the
+    # ivfadc_index cached-codes rationale applied to the MRL form
+    assigned = (ivf_assign_arrow if fast_assign else ivf_assign)(
+        t, cents
+    ).cache()
     probes = ivf_probes(t, cents, n_probe)
     wc = Window.partitionBy("q_id").orderBy(
         F.col("tcos").desc(), F.col("n_id").asc()

@@ -45,9 +45,13 @@ def _state_partitions(
     A stateful micro-batch pays per-partition state-store open/
     commit EVERY batch; at fixture scale 32 state partitions are
     pure overhead (stream_sink_left_outer_join: 21.4 s -> 13.7 s at
-    8).  Production sizes this UP with state volume — the knob is
-    per-query because Spark pins a stream's state partitioning in
-    its checkpoint, so each fresh-checkpoint sink picks its own.
+    8; round-13 re-measure: 8 -> 4 reads 13.4 -> 8.1 / 8.8 -> 7.9 /
+    9.0 -> 7.8 min-of-3 on the three join/dedup sinks, while 2 and 1
+    are inside noise of 4 — the floor below ~8 s is per-batch
+    machinery, not state width).  Production sizes this UP with
+    state volume — the knob is per-query because Spark pins a
+    stream's state partitioning in its checkpoint, so each
+    fresh-checkpoint sink picks its own.
 
     no_data_batches=False additionally scopes
     spark.sql.streaming.noDataMicroBatches.enabled off — safe ONLY
@@ -278,13 +282,18 @@ def _stream_events(
             # left to evict.
             import glob
 
-            tmp = _scratch_dir("events_flush_")
-            spark.createDataFrame([], raw_schema).coalesce(1).write.parquet(
-                os.path.join(tmp, "empty")
+            import pyarrow.parquet as pq
+
+            # zero-row parquet with the STAGED files' exact arrow
+            # schema, written driver-side with pyarrow — the former
+            # spark.createDataFrame([]).write round-trip cost a whole
+            # Spark job (~0.3 s per sink run) to produce 0 rows
+            first = sorted(glob.glob(os.path.join(stage, "*.parquet")))[0]
+            arrow_schema = pq.read_schema(first)
+            pq.write_table(
+                arrow_schema.empty_table(),
+                os.path.join(stage, "zz_flush.parquet"),
             )
-            part = glob.glob(os.path.join(tmp, "empty", "part-*.parquet"))[0]
-            os.replace(part, os.path.join(stage, "zz_flush.parquet"))
-            shutil.rmtree(tmp, ignore_errors=True)
     else:
         stage = source_dir
         raw_schema = spark.read.parquet(source_dir).schema
@@ -1045,7 +1054,7 @@ def stream_sink_left_outer_join(
     root = _scratch_dir("stream_loj_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    with _state_partitions(spark, 8, no_data_batches=False):
+    with _state_partitions(spark, 4, no_data_batches=False):
         q = stream_left_outer_attribution(spark, sf_dir, out, ckpt)
         if not q.awaitTermination(300):
             q.stop()
@@ -1348,7 +1357,7 @@ def stream_sink_full_outer_join(
     root = _scratch_dir("stream_foj_q_")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    with _state_partitions(spark, 8, no_data_batches=False):
+    with _state_partitions(spark, 4, no_data_batches=False):
         q = stream_full_outer_attribution(spark, sf_dir, out, ckpt)
         if not q.awaitTermination(300):
             q.stop()
@@ -1588,7 +1597,7 @@ def stream_sink_dedup_within_watermark(
     # this is the _state_partitions contract's arrival-emitting case
     # (b): dropDuplicatesWithinWatermark emits on first arrival, and
     # watermark eviction only drops seen-set state, never emits
-    with _state_partitions(spark, 8, no_data_batches=False):
+    with _state_partitions(spark, 4, no_data_batches=False):
         q = stream_dedup_within_watermark(spark, sf_dir, out, ckpt)
         if not q.awaitTermination(300):
             q.stop()
