@@ -1298,15 +1298,27 @@ def dsir_importance_weights_from(d: DataFrame) -> DataFrame:
     """Per-doc DSIR log importance weight of a (doc_id, text, lang)
     relation against its own `lang = DSIR_TARGET_LANG` slice."""
     bk = _bigram_buckets(d)
-    # ONE corpus aggregation produces both distributions' bucket
-    # counts (conditional sum for the target slice); the corpus
-    # totals then come from summing the <=4096-row bucket table,
-    # not from a second corpus pass — 2 corpus scans total (counts
-    # + scoring join), down from 4 in the naive form.
-    counts = bk.groupBy("bucket").agg(
-        F.count("*").alias("c_s"),
+    # ONE corpus pass total (round 13; was 2 — counts + scoring
+    # join): the bigram stream first rolls up to per-(doc, bucket)
+    # multiplicities `k` — a map-side-combining aggregate bounded by
+    # n_docs x min(doc_bigrams, DSIR_BUCKETS) rows — and BOTH
+    # distributions' bucket counts and the per-doc scores are exact
+    # integer rollups of that table (sum(k), sum(qw * k)), so the
+    # corpus-scale explode + per-char hash fold runs once.  The
+    # rollup is cached: it is the only relation the two consumers
+    # below share, and it is metadata-scale next to the instance
+    # stream.
+    per_db = (
+        bk.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("k"))
+        .cache()
+    )
+    counts = per_db.groupBy("bucket").agg(
+        F.sum("k").alias("c_s"),
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("k")).otherwise(
+                F.lit(0)
+            )
         ).alias("c_t"),
     )
     tot = counts.agg(
@@ -1330,9 +1342,14 @@ def dsir_importance_weights_from(d: DataFrame) -> DataFrame:
         ).alias("qw"),
     )
     scored = (
-        bk.join(F.broadcast(weights), "bucket")
+        per_db.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum("qw").alias("sq"))
+        # integer-exact equivalents of the per-instance folds:
+        # count(*) == sum(k), sum(qw) == sum(qw * k)
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("qw") * F.col("k")).alias("sq"),
+        )
     )
     return (
         scored.select(

@@ -2496,7 +2496,11 @@ def signword_suppressed(
     fingerprint with a lower-vec_id keeper AND scores cos >=
     `threshold` against that keeper.  One fingerprint groupBy + one
     keeper point-lookup + one cosine per corpus row: linear."""
-    f = signword_fingerprints(e)
+    # cache the fingerprint relation: its three consumers (keeper
+    # election, keeper point-lookup side, member side) would each
+    # replay the upstream lineage — for the registered query that is
+    # the whole 4x fixture expansion plus the sign fold per copy
+    f = signword_fingerprints(e).cache()
     keep = f.groupBy("f_lo", "f_hi").agg(
         F.min("vec_id").alias("keeper_id")
     )
