@@ -286,11 +286,14 @@ def build_avi_payloads(d: DataFrame) -> DataFrame:
     64-byte window at offset f*32 — 50% overlap, temporally
     correlated frames like video).  The source plane rides along
     for the per-frame loss bound."""
-    body = _ascii_body(_AVI_BODY_LEN)
-    src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return _spread(src).mapInPandas(
+    return _spread(_avi_src(d)).mapInPandas(
         _encode_avi_batches, schema="doc_id bigint, body binary, vid binary"
     )
+
+
+def _avi_src(d: DataFrame) -> DataFrame:
+    body = _ascii_body(_AVI_BODY_LEN)
+    return d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
 
 
 AVI_STATS_SCHEMA = (
@@ -347,8 +350,11 @@ def multimodal_video_avi_mjpeg_stats(
     per frame), so one wrong bit anywhere in container or codec
     breaks the value hash."""
     d = load_table(spark, sf_dir, "documents")
-    stats = build_avi_payloads(d).mapInPandas(
-        _sample_avi_frames_batches, schema=AVI_STATS_SCHEMA
+    from .multimodal import fuse_batches
+
+    stats = _spread(_avi_src(d)).mapInPandas(
+        fuse_batches(_encode_avi_batches, _sample_avi_frames_batches),
+        schema=AVI_STATS_SCHEMA,
     )
     return stats.orderBy("doc_id", "frame_idx")
 

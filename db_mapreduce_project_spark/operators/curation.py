@@ -48,6 +48,7 @@ from ..functions.hashing import (
     duck_charhash,
     spark_charhash,
 )
+from ..functions.hashing_arrow import bigram_bucket_counts_arrow
 from ..functions.stable import duck_qint, qint
 from ..io import load_table
 from ..registry import register
@@ -1297,22 +1298,21 @@ def _bigram_buckets(d: DataFrame) -> DataFrame:
 def dsir_importance_weights_from(d: DataFrame) -> DataFrame:
     """Per-doc DSIR log importance weight of a (doc_id, text, lang)
     relation against its own `lang = DSIR_TARGET_LANG` slice."""
-    bk = _bigram_buckets(d)
     # ONE corpus pass total (round 13; was 2 — counts + scoring
-    # join): the bigram stream first rolls up to per-(doc, bucket)
-    # multiplicities `k` — a map-side-combining aggregate bounded by
-    # n_docs x min(doc_bigrams, DSIR_BUCKETS) rows — and BOTH
-    # distributions' bucket counts and the per-doc scores are exact
-    # integer rollups of that table (sum(k), sum(qw * k)), so the
-    # corpus-scale explode + per-char hash fold runs once.  The
-    # rollup is cached: it is the only relation the two consumers
-    # below share, and it is metadata-scale next to the instance
-    # stream.
-    per_db = (
-        bk.groupBy("doc_id", "lang", "bucket")
-        .agg(F.count("*").alias("k"))
-        .cache()
-    )
+    # join): the bigram stream rolls up to per-(doc, bucket)
+    # multiplicities `k`, and BOTH distributions' bucket counts and
+    # the per-doc scores are exact integer rollups of that table
+    # (sum(k), sum(qw * k)).  Round 14: the rollup itself is the
+    # vectorized Arrow kernel (guide §4.2) — the per-bigram charhash
+    # fold AND the groupBy(doc, lang, bucket) exchange both collapse
+    # into one Python stage (per-doc rollup is exact because each doc
+    # is one input row); values differentially tested against the
+    # Catalyst _bigram_buckets fold.  The rollup is cached: it is the
+    # only relation the two consumers below share, and it is
+    # metadata-scale next to the instance stream.
+    per_db = bigram_bucket_counts_arrow(
+        d, "doc_id", "lang", "text", DSIR_BUCKETS
+    ).cache()
     counts = per_db.groupBy("bucket").agg(
         F.sum("k").alias("c_s"),
         F.sum(

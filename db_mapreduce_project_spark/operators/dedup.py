@@ -29,8 +29,11 @@ from ..functions.hashing import (
     lsh_bands_portable,
     minhash_signature_from_pairs,
     spark_charhash,
-    token_shingle_hash_pairs,
     simhash60_portable,
+)
+from ..functions.hashing_arrow import (
+    charhash_pair_arrow,
+    token_shingle_hash_pairs_arrow,
 )
 from ..functions.vectors import duck_cosine
 from ..io import load_table
@@ -67,7 +70,15 @@ def _capped_shingle_hashes(d: DataFrame) -> DataFrame:
     # the expensive part, and without the cache it runs twice (once
     # under the hot-shingle aggregate, once as the anti-join left
     # side) — the broadcast anti-join downstream is map-side cheap
-    sh_all = token_shingle_hash_pairs(d, "doc_id", "text", n=3).cache()
+    # round 14: the shingle producer is the vectorized Arrow kernel
+    # (guide §4.2/§4.3) — value-identical hash pairs to the Catalyst
+    # token_shingle_hash_pairs fold (differentially tested), computed
+    # as NumPy modular arithmetic over flat codepoint buffers instead
+    # of per-char HOF lambdas (the engine's dominant per-task CPU:
+    # 176 JVM-CPU-s on one minhash query in the r13 bench).  The
+    # kernel dedups per doc, so the old `.distinct()` exchange is
+    # gone too: one Arrow boundary replaces the fold chain + shuffle.
+    sh_all = token_shingle_hash_pairs_arrow(d, "doc_id", "text", n=3).cache()
     hot = (
         sh_all.groupBy("h1", "h2")
         .agg(F.count("*").alias("df"))
@@ -1500,36 +1511,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_rollup(_min_label_assignments(spark, sf_dir))
 
 
-def _min_label_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, label) component assignments by min-label
-    propagation over the ngram-jaccard pair graph — the shared core
-    of dedup_clusters (dup-group summary) and dedup_apply_keepers
-    (the apply step)."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edge list, both directions; localCheckpoint cuts
-    # the lineage so the LSH pipeline plans once, not per iteration
-    edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .localCheckpoint(eager=True)
-    )
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    # Propagate over TOUCHED vertices only: a doc that appears in no
-    # near-dup pair is its own component by construction and its
-    # label can never change, so carrying the whole corpus through
-    # every round's join + aggregate + fingerprint is pure shuffle
-    # overhead — the pair graph is the dup subset, typically a tiny
-    # fraction of the corpus (and the 100 TB regime where this loop
-    # matters).  Singletons rejoin as label = doc_id at the end.
-    touched = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = touched.select("doc_id", F.col("doc_id").alias("label"))
+def cc_min_label_loop(
+    touched: DataFrame, edges: DataFrame, max_rounds: int = 20
+) -> tuple[DataFrame, tuple]:
+    """The connected-components label loop over a symmetrized,
+    checkpointed edge list: min-label propagation WITH pointer
+    jumping (round 14, VERDICT r13 #6) — each round takes
+
+        label(v) <- min(label(v), min_{u in N(v)} label(u),
+                        label(label(v)))
+
+    The label(label(v)) hop is the hash-to-min/pointer-doubling
+    step (Rastogi et al., "Finding Connected Components in
+    Map-Reduce in Logarithmic Rounds", ICDE 2013): labels chase the
+    component minimum through an exponentially-growing horizon, so
+    convergence needs O(log diameter) rounds instead of
+    O(diameter) — at 100 TB each round is a full shuffle of the
+    pair-graph vertex set, and the plain propagation additionally
+    hard-failed past diameter 20 (the round bound).  A 64-chain
+    that plain propagation cannot finish inside the bound converges
+    in <= 9 rounds (pinned by test).  The hop engages adaptively
+    from round 3 (see inline comment) so clique-shaped dup graphs —
+    the common case — never pay its extra self-join; results are
+    identical (monotone min over ids from the same component;
+    parity 4/4 + the exact fixpoint check below).
+
+    Returns (labels, final fingerprint) — the fingerprint's count
+    component is the touched-vertex cardinality, which the caller's
+    broadcast size guard reads."""
 
     def _labels_fp(df: DataFrame) -> tuple:
         # shared fingerprint (cardinality is constant for label
@@ -1537,26 +1546,48 @@ def _min_label_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # harmless); exact loop-exit re-verification happens below
         return _set_fingerprint(df, "doc_id", "label")
 
+    labels = touched.select("doc_id", F.col("doc_id").alias("label"))
     prev_fp = _labels_fp(labels)
     converged = False
-    for _ in range(20):  # bounded: pair-graph diameter is tiny
+    for rnd in range(1, max_rounds + 1):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nlabel"))
         )
+        joined = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+        )
+        label_terms = [
+            F.col("label"),
+            F.coalesce("nlabel", F.col("label")),
+        ]
+        # The pointer hop costs one extra self-join of the label
+        # relation per round, and dup graphs are overwhelmingly
+        # clique-shaped (LSH pairs within a duplicate family), where
+        # plain propagation already converges in 2-3 rounds — so the
+        # hop engages ADAPTIVELY from round 3: cliques never pay it
+        # (fixture A/B read 1.9x with it always-on), while a
+        # diameter-d chain still converges in O(log d) rounds
+        # (2 plain rounds reach distance 2, then the horizon
+        # doubles per round).
+        if rnd >= 3:
+            # pointer jump: label of my label (label values are
+            # always doc_ids of touched vertices, so the lookup
+            # always lands; left join + coalesce only defends the
+            # invariant)
+            ptr = labels.select(
+                F.col("doc_id").alias("label"),
+                F.col("label").alias("plabel"),
+            )
+            joined = joined.join(ptr, "label", "left")
+            label_terms.append(F.coalesce("plabel", F.col("label")))
         # localCheckpoint each round: iterative self-joins otherwise
         # DOUBLE the logical plan per iteration (exponential analysis
         # / codegen cost -> driver OOM long before data is the issue)
         new_labels = (
-            labels.join(
-                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
+            joined.select(
+                "doc_id", F.least(*label_terms).alias("label")
             )
             # lazy: the fingerprint aggregate below is the single
             # action that materializes this round (was eager
@@ -1566,17 +1597,16 @@ def _min_label_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_fp = _labels_fp(new_labels)
         prev_labels = labels
         labels = new_labels
+        CC_ROUNDS_TAKEN["rounds"] = rnd
         if new_fp == prev_fp:
             converged = True
             break
         prev_fp = new_fp
     if not converged:
-        # label propagation needs O(diameter) rounds; returning
-        # unconverged labels would silently mislabel clusters
         raise RuntimeError(
             "dedup_clusters: min-label propagation did not converge "
-            "in 20 rounds (pair-graph diameter > 20); raise the bound "
-            "or switch to a doubling/large-star scheme"
+            f"in {max_rounds} rounds (needs O(log diameter) with "
+            "pointer jumping — raise the bound)"
         )
     # exact confirmation of the fingerprint fixpoint (labels can only
     # decrease monotonically, so equality here proves convergence)
@@ -1592,15 +1622,63 @@ def _min_label_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_clusters: fingerprint collision — assignments "
             "matched hashes but differ; raise hash width"
         )
-    # singletons (docs in no pair) re-enter as their own label — the
-    # loop above never saw them, so they paid zero per-round cost.
-    # Broadcast the touched set explicitly: it is dup-subset-sized
-    # by construction, but lives behind a localCheckpoint (no stats),
-    # so the planner would otherwise fall back to a sort-merge join.
-    rest = d.join(F.broadcast(touched), "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("label")
+    return labels, prev_fp
+
+
+# instrumentation: last min-label loop / star-contraction round counts
+CC_ROUNDS_TAKEN = {"rounds": None, "star_rounds": None}
+
+
+def _min_label_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) component assignments over the ngram-jaccard
+    pair graph — the shared core of dedup_clusters (dup-group
+    summary), dedup_apply_keepers / dedup_keepers_by_quality (the
+    apply steps) and dedup_materialize_corpus.
+
+    Round 14 (VERDICT r13 #6): the component computation is the
+    large-star/small-star EDGE CONTRACTION (`_star_edges_converged`,
+    shared with dedup_clusters_largestar) instead of per-vertex
+    min-label propagation.  Measured at sf0.1 the propagation loop
+    needed NINE join+aggregate rounds (the pair graph carries
+    chain-shaped components, not just cliques) at ~0.6 s of fixed
+    per-round cost each, while star contraction converges in 3-4
+    window rounds — and at 100 TB every saved round is a full
+    shuffle of the dup-subset.  Results are identical (both
+    algorithms assign the component minimum; the long-standing
+    cross-algorithm equality test pins it, and the recursive-CTE
+    oracles re-verify every query built on this).  The min-label
+    primitive (now with adaptive pointer jumping) remains available
+    as :func:`cc_min_label_loop` with its own convergence tests."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    star, fp = _star_edges_converged(pairs)
+    return _labels_from_star_edges(d, star, fp[0])
+
+
+def _labels_from_star_edges(
+    d: DataFrame, star: DataFrame, n_edges: int
+) -> DataFrame:
+    """(doc_id, label) for the WHOLE corpus from a converged star
+    edge set (member -> component min; singletons and component
+    minima have no edge and label themselves).
+
+    The star set lives behind a localCheckpoint (no stats), so the
+    planner would fall back to a sort-merge join — shuffling the
+    corpus — without a hint; but an UNCONDITIONAL broadcast hint is
+    a 100 TB hazard (the dup subset is not bounded; a realistic dup
+    rate makes it multi-TB, past the 8 GB broadcast cap — round-13
+    verdict #1).  SIZE-GUARD it with the edge count the convergence
+    fingerprint already carries: hint only when the relation
+    provably fits (rows x 16 B, well under the broadcast cap);
+    otherwise leave the strategy to the planner/AQE."""
+    se = star.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("mlabel")
     )
-    return labels.union(rest)
+    if n_edges <= 2_000_000:
+        se = F.broadcast(se)
+    return d.select("doc_id").join(se, "doc_id", "left").select(
+        "doc_id", F.coalesce("mlabel", F.col("doc_id")).alias("label")
+    )
 
 
 def dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1671,7 +1749,20 @@ def largestar_clusters_from(d: DataFrame) -> DataFrame:
     (member -> component min).  Same rollup, same recursive-CTE
     oracle as dedup_clusters; cross-algorithm equality is asserted
     in tests."""
-    pairs = jaccard_pairs_from(d).select("doc_a", "doc_b")
+    edges, fp = _star_edges_converged(
+        jaccard_pairs_from(d).select("doc_a", "doc_b")
+    )
+    labels = _labels_from_star_edges(d.select("doc_id"), edges, fp[0])
+    return _cluster_rollup(labels)
+
+
+def _star_edges_converged(pairs: DataFrame) -> tuple[DataFrame, tuple]:
+    """Alternating large-star/small-star contraction of a near-dup
+    pair list to its converged star edge set (member -> component
+    min) — the shared CC core of dedup_clusters_largestar AND (since
+    round 14) _min_label_assignments.  Returns (edges, fingerprint);
+    the fingerprint's count component is the edge cardinality the
+    broadcast size guard reads."""
     edges = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("u"),
@@ -1691,7 +1782,7 @@ def largestar_clusters_from(d: DataFrame) -> DataFrame:
 
     w_u = Window.partitionBy("u")
     prev_fp = _fingerprint(edges)
-    for _ in range(15):  # O(log^2 n) bound; fixtures converge in ~3
+    for rnd in range(1, 16):  # O(log^2 n) bound; fixtures converge in ~3
         # Each star op needs min(neighborhood) alongside every
         # neighbor row — a window min over partitionBy(u) delivers
         # both in ONE shuffle, where the old groupBy+self-join shape
@@ -1740,6 +1831,7 @@ def largestar_clusters_from(d: DataFrame) -> DataFrame:
         prev_edges = edges
         edges = new_edges
         prev_fp = new_fp
+        CC_ROUNDS_TAKEN["star_rounds"] = rnd
         if converged:
             break
     else:
@@ -1756,14 +1848,7 @@ def largestar_clusters_from(d: DataFrame) -> DataFrame:
             "dedup_clusters_largestar: fingerprint collision — "
             "edge sets matched hashes but differ; raise hash width"
         )
-    labels = d.select("doc_id").join(
-        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("mlabel")),
-        "doc_id",
-        "left",
-    ).select(
-        "doc_id", F.coalesce("mlabel", F.col("doc_id")).alias("label")
-    )
-    return _cluster_rollup(labels)
+    return edges, prev_fp
 
 
 def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,26 +1992,18 @@ def dedup_materialize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold per surviving row — the same plan you'd run at 100 TB,
     where the suppress list is the small side by construction.
     """
-    from ..functions.hashing import spark_charhash_pair
-
     labels = _min_label_assignments(spark, sf_dir)
     suppressed = labels.where(F.col("label") != F.col("doc_id")).select(
         "doc_id"
     )
     d = load_table(spark, sf_dir, "documents")
-    # explode(array(...)) materializes the two-hash fold ONCE —
-    # a Generate is a CollapseProject barrier, without which the
-    # downstream h1/h2 projections each re-run the whole fold
-    kept = d.join(suppressed, "doc_id", "left_anti").select(
-        "doc_id",
-        "n_chars",
-        F.explode(F.array(spark_charhash_pair(F.col("text")))).alias("fp"),
-    )
-    return kept.select(
-        "doc_id",
-        "n_chars",
-        F.col("fp.h1").alias("fp1"),
-        F.col("fp.h2").alias("fp2"),
+    # round 14: the full-text fingerprint fold runs in the Arrow
+    # kernel (guide §4.2) — one NumPy modular fold per batch instead
+    # of the per-char Catalyst HOF over every surviving document
+    # (value-identical, differentially tested)
+    kept = d.join(suppressed, "doc_id", "left_anti")
+    return charhash_pair_arrow(
+        kept, "text", ["doc_id", "n_chars"], h1_name="fp1", h2_name="fp2"
     ).orderBy("doc_id")
 
 
@@ -1981,51 +2058,18 @@ def _span_hash_stream(d: DataFrame) -> DataFrame:
     trick as token_shingle_hash_pairs; hashes are value-identical,
     the oracles keep hashing span strings)."""
     assert SPAN_LEN % SPAN_STRIDE == 0
-    nb_per_span = SPAN_LEN // SPAN_STRIDE
-    p10_1 = pow(FP_CHAR_BASE, SPAN_STRIDE, FP_MOD)
-    p10_2 = pow(FP_WORD_BASE, SPAN_STRIDE, FP_MOD2)
-    from ..functions.hashing import spark_charhash_pair
+    from ..functions.hashing_arrow import span_hash_stream_arrow
 
-    d = d.where(F.length("text") >= SPAN_LEN)
-    n_full = F.floor(F.length("text") / SPAN_STRIDE).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(0), n_full - 1),
-        lambda j: spark_charhash_pair(
-            F.substring(
-                F.col("text"), j * SPAN_STRIDE + 1, SPAN_STRIDE
-            )
-        ),
-    )
-
-    def compose(i: Column) -> Column:
-        b0 = F.element_at(F.col("_b"), i)
-        s1, s2 = b0["h1"], b0["h2"]
-        for k in range(1, nb_per_span):
-            bk = F.element_at(F.col("_b"), i + k)
-            s1 = (s1 * p10_1 + bk["h1"]) % FP_MOD
-            s2 = (s2 * p10_2 + bk["h2"]) % FP_MOD2
-        return F.struct(
-            ((i - 1) * SPAN_STRIDE).cast("bigint").alias("off"),
-            s1.alias("h1"),
-            s2.alias("h2"),
-        )
-
-    return (
-        d.select(
-            "doc_id",
-            F.explode(F.array(blocks)).alias("_b"),
-            F.sequence(F.lit(1), n_full - (nb_per_span - 1)).alias("_idx"),
-        )
-        .select(
-            "doc_id",
-            F.explode(F.transform(F.col("_idx"), compose)).alias("h"),
-        )
-        .select(
-            "doc_id",
-            F.col("h.off").alias("off"),
-            F.col("h.h1").alias("h1"),
-            F.col("h.h2").alias("h2"),
-        )
+    # round 14: the block fold + span composition run in the Arrow
+    # kernel (guide §4.2) — value-identical hash pairs (the same
+    # block-composition identity, differentially tested); the
+    # length filter stays JVM-side so it rides the scan
+    return span_hash_stream_arrow(
+        d.where(F.length("text") >= SPAN_LEN),
+        "doc_id",
+        "text",
+        SPAN_LEN,
+        SPAN_STRIDE,
     )
 
 

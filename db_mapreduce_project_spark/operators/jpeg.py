@@ -470,11 +470,14 @@ def build_jpeg_payloads(d: DataFrame) -> DataFrame:
     column."""
     from .multimodal import _spread
 
-    body = _ascii_body(JPEG_BODY_LEN)
-    src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return _spread(src).mapInPandas(
+    return _spread(_jpeg_src(d)).mapInPandas(
         _encode_jpeg_batches, schema="doc_id bigint, body binary, img binary"
     )
+
+
+def _jpeg_src(d: DataFrame) -> DataFrame:
+    body = _ascii_body(JPEG_BODY_LEN)
+    return d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
 
 
 JPEG_STATS_SCHEMA = (
@@ -529,8 +532,11 @@ def multimodal_decode_jpeg_stats(
     single wrong bit anywhere — DCT, tables, zigzag, Huffman, byte
     stuffing, parser — breaks the value hash."""
     d = load_table(spark, sf_dir, "documents")
-    stats = build_jpeg_payloads(d).mapInPandas(
-        _decode_jpeg_stats_batches, schema=JPEG_STATS_SCHEMA
+    from .multimodal import _spread, fuse_batches
+
+    stats = _spread(_jpeg_src(d)).mapInPandas(
+        fuse_batches(_encode_jpeg_batches, _decode_jpeg_stats_batches),
+        schema=JPEG_STATS_SCHEMA,
     )
     return stats.orderBy("doc_id")
 
@@ -674,8 +680,10 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    ph = build_jpeg_payloads(d).mapInPandas(
-        _phash_batches,
+    from .multimodal import _spread, fuse_batches
+
+    ph = _spread(_jpeg_src(d)).mapInPandas(
+        fuse_batches(_encode_jpeg_batches, _phash_batches),
         schema="doc_id bigint, phash_src bigint, phash_dec bigint, "
         "ham_codec bigint",
     )
@@ -818,10 +826,12 @@ def multimodal_phash_hamming_pairs(
     # kernel twice (4 mapInPandas instances in the lazy plan).
     # localCheckpoint materializes fingerprints ONCE — also the
     # 100 TB shape: hash the corpus once, then index the hashes.
+    from .multimodal import _spread, fuse_batches
+
     ph = (
-        build_jpeg_payloads(d)
+        _spread(_jpeg_src(d))
         .mapInPandas(
-            _phash_batches,
+            fuse_batches(_encode_jpeg_batches, _phash_batches),
             schema="doc_id bigint, phash_src bigint, phash_dec bigint, "
             "ham_codec bigint",
         )

@@ -413,10 +413,47 @@ def _spread(d: DataFrame, min_parts: int = 8, parts: int = 32) -> DataFrame:
     is single-row-group, so without this the whole per-doc codec
     loop runs in ONE task.  Only widens narrow inputs — at real
     scale the scan already has thousands of partitions and this is
-    a no-op (never a coalesce)."""
-    if d.rdd.getNumPartitions() < min_parts:
+    a no-op (never a coalesce).
+
+    The narrowness probe reads the optimizer's size estimate
+    (round 14): the old `d.rdd.getNumPartitions()` compiled the
+    whole subplan to an RDD DAG (~50-100 ms of driver work per
+    codec query, thrown away immediately); the logical-plan
+    `sizeInBytes` statistic answers the same question — can this
+    scan even have min_parts partitions? — without physical
+    planning.  Same decision boundary: a scan under min_parts x
+    maxPartitionBytes cannot split wider than min_parts."""
+    try:
+        max_part = int(
+            d.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .filesMaxPartitionBytes()
+        )
+    except Exception:
+        max_part = 128 * 1024 * 1024
+    est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est < min_parts * max_part:
         return d.repartition(parts)
     return d
+
+
+def fuse_batches(*fns):
+    """Compose mapInPandas batch kernels into ONE Python stage
+    (guide §4.4): fuse_batches(enc, dec) pipes each task's Arrow
+    batch iterator through enc then dec INSIDE the same Python
+    worker call — per-row dataflow identical to
+    `.mapInPandas(enc).mapInPandas(dec)`, but with one Python stage
+    launch and half the JVM<->Python Arrow round-trips.  The
+    build->decode codec queries below fuse this way; the standalone
+    build_*_payloads builders keep the two-stage form for callers
+    that consume the encoded payload column itself."""
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for fn in fns:
+            batches = fn(batches)
+        return batches
+
+    return fused
 
 
 def build_ppm_payloads(d: DataFrame) -> DataFrame:
@@ -496,9 +533,16 @@ def build_png_payloads(d: DataFrame) -> DataFrame:
     stage sits); the binary column then flows Arrow-batched to the
     decode kernel, never row-by-row through Python between
     operators."""
+    return _spread(_png_src(d)).mapInPandas(
+        _encode_png_batches, schema="doc_id bigint, img binary"
+    )
+
+
+def _png_src(d: DataFrame) -> DataFrame:
+    """JVM-side source projection of the PNG pipeline (shared by the
+    standalone builder and the fused build->decode query)."""
     body = _ascii_body(_PPM_BODY_LEN)
-    src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return _spread(src).mapInPandas(_encode_png_batches, schema="doc_id bigint, img binary")
+    return d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
 
 
 def _decode_png_stats_batches(
@@ -533,8 +577,10 @@ def multimodal_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (filters computed forward vs reversed), so a bug in either
     side breaks the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    stats = build_png_payloads(d).mapInPandas(
-        _decode_png_stats_batches, schema=DECODE_SCHEMA
+    # fused encode->decode: one Python stage instead of two (§4.4)
+    stats = _spread(_png_src(d)).mapInPandas(
+        fuse_batches(_encode_png_batches, _decode_png_stats_batches),
+        schema=DECODE_SCHEMA,
     )
     return stats.orderBy("doc_id")
 
@@ -667,11 +713,16 @@ def build_wav_payloads(d: DataFrame) -> DataFrame:
     RIFF container with fmt/JUNK/data chunks (encode_wav).  The
     binary column flows Arrow-batched between kernels, never
     row-by-row through Python between operators."""
-    body = _ascii_body(WAV_BODY_LEN)
-    src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return _spread(src).mapInPandas(
+    return _spread(_wav_src(d)).mapInPandas(
         _encode_wav_batches, schema="doc_id bigint, wav binary"
     )
+
+
+def _wav_src(d: DataFrame) -> DataFrame:
+    """JVM-side source projection of the WAV pipeline (shared by the
+    standalone builder and the fused audio-codec queries)."""
+    body = _ascii_body(WAV_BODY_LEN)
+    return d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
 
 
 WAV_STATS_SCHEMA = (
@@ -719,8 +770,10 @@ def multimodal_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     env-gated; it would replace decode_wav inside the identical
     kernel shape."""
     d = load_table(spark, sf_dir, "documents")
-    stats = build_wav_payloads(d).mapInPandas(
-        _decode_wav_stats_batches, schema=WAV_STATS_SCHEMA
+    # fused encode->decode: one Python stage instead of two (§4.4)
+    stats = _spread(_wav_src(d)).mapInPandas(
+        fuse_batches(_encode_wav_batches, _decode_wav_stats_batches),
+        schema=WAV_STATS_SCHEMA,
     )
     return stats.orderBy("doc_id")
 
@@ -921,8 +974,9 @@ def multimodal_decode_rice_stats(
     stream format, and every bit of that stream is produced by this
     module, no codec library involved."""
     d = load_table(spark, sf_dir, "documents")
-    stats = build_wav_payloads(d).mapInPandas(
-        _rice_stats_batches, schema=WAV_STATS_SCHEMA
+    stats = _spread(_wav_src(d)).mapInPandas(
+        fuse_batches(_encode_wav_batches, _rice_stats_batches),
+        schema=WAV_STATS_SCHEMA,
     )
     return stats.orderBy("doc_id")
 
@@ -979,8 +1033,9 @@ def multimodal_decode_flac_stats(
     oracle certifies the whole container+prediction+entropy loop
     lossless."""
     d = load_table(spark, sf_dir, "documents")
-    stats = build_wav_payloads(d).mapInPandas(
-        _flac_stats_batches, schema=WAV_STATS_SCHEMA
+    stats = _spread(_wav_src(d)).mapInPandas(
+        fuse_batches(_encode_wav_batches, _flac_stats_batches),
+        schema=WAV_STATS_SCHEMA,
     )
     return stats.orderBy("doc_id")
 
@@ -1076,8 +1131,9 @@ def multimodal_audio_mulaw_stats(
     target pipeline — swap the compander for an MFCC or codec
     frontend and the plumbing is unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    stats = build_wav_payloads(d).mapInPandas(
-        _mulaw_stats_batches, schema=MULAW_STATS_SCHEMA
+    stats = _spread(_wav_src(d)).mapInPandas(
+        fuse_batches(_encode_wav_batches, _mulaw_stats_batches),
+        schema=MULAW_STATS_SCHEMA,
     )
     return stats.orderBy("doc_id")
 
@@ -1387,11 +1443,14 @@ def build_gif_payloads(d: DataFrame) -> DataFrame:
     body bytes as the PPM/PNG pipelines, as a 48x1 grayscale-
     palette image); LZW needs a dictionary, which Catalyst can't
     express, so the build runs in an Arrow mapInPandas kernel."""
-    body = _ascii_body(_PPM_BODY_LEN)
-    src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return _spread(src).mapInPandas(
+    return _spread(_gif_src(d)).mapInPandas(
         _encode_gif_batches, schema="doc_id bigint, img binary"
     )
+
+
+def _gif_src(d: DataFrame) -> DataFrame:
+    body = _ascii_body(_PPM_BODY_LEN)
+    return d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
 
 
 def _decode_gif_stats_batches(
@@ -1426,8 +1485,9 @@ def multimodal_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPM/PNG (the codecs must all round-trip the identical bytes),
     with GIF's own 48x1 dimensions."""
     d = load_table(spark, sf_dir, "documents")
-    stats = build_gif_payloads(d).mapInPandas(
-        _decode_gif_stats_batches, schema=DECODE_SCHEMA
+    stats = _spread(_gif_src(d)).mapInPandas(
+        fuse_batches(_encode_gif_batches, _decode_gif_stats_batches),
+        schema=DECODE_SCHEMA,
     )
     return stats.orderBy("doc_id")
 
@@ -1486,11 +1546,14 @@ def _encode_gif_anim_batches(
 
 
 def build_gif_anim_payloads(d: DataFrame) -> DataFrame:
-    body = _ascii_body(_VID_BODY_LEN)
-    src = d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
-    return _spread(src).mapInPandas(
+    return _spread(_gif_anim_src(d)).mapInPandas(
         _encode_gif_anim_batches, schema="doc_id bigint, vid binary"
     )
+
+
+def _gif_anim_src(d: DataFrame) -> DataFrame:
+    body = _ascii_body(_VID_BODY_LEN)
+    return d.select("doc_id", F.encode(body, "UTF-8").alias("body"))
 
 
 VID_STATS_SCHEMA = (
@@ -1541,8 +1604,9 @@ def multimodal_video_frame_stats(
     the value hash certifies container framing AND entropy decode
     AND the sampling pattern."""
     d = load_table(spark, sf_dir, "documents")
-    stats = build_gif_anim_payloads(d).mapInPandas(
-        _sample_gif_frames_batches, schema=VID_STATS_SCHEMA
+    stats = _spread(_gif_anim_src(d)).mapInPandas(
+        fuse_batches(_encode_gif_anim_batches, _sample_gif_frames_batches),
+        schema=VID_STATS_SCHEMA,
     )
     return stats.orderBy("doc_id", "frame_idx")
 

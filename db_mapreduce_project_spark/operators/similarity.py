@@ -1533,9 +1533,18 @@ def ivfadc_index(
     deterministic oracle-mirrored lowest-vec_id pick."""
     en = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
     if cents is None:
-        cents = ivf_centroids(en, n_cells)
+        # cache the coarse quantizer (round 14): n_cells rows, but
+        # its lineage is a TakeOrdered over the corpus — every
+        # consumer (assign, probes, residual join) replayed that
+        # scan.  Like the code index below, the centroid table IS a
+        # stored artifact of a real IVFADC deployment.
+        cents = ivf_centroids(en, n_cells).cache()
     resid = ivfadc_residuals(en, cents, fast_assign)
-    cb = ivfadc_codebook(resid, n_cells)
+    # cache the residual codebook (round 14): M x K rows, but its
+    # lineage is a full assign + residual pass (TakeOrdered over the
+    # resid relation) — its second consumer (the query LUT build in
+    # ivfadc_scored_from_index) replayed that whole pass per query.
+    cb = ivfadc_codebook(resid, n_cells).cache()
     # cache the CODE INDEX: its consumers (packed-codes scan, query
     # LUTs via the shared lineage, collision-budget histogram, and —
     # in the upsert form — compaction) each replayed the full
@@ -1567,14 +1576,28 @@ def ivfadc_index_trained_on(
     adds are embarrassingly parallel map-side passes."""
     en = e.select("vec_id", "embedding", l2("embedding").alias("norm"))
     base = en.where(train_pred)
-    cents = ivf_centroids(base, n_cells)
+    # cached like ivfadc_index's centroid table: n_cells rows behind
+    # a TakeOrdered-over-the-corpus lineage, multiple consumers
+    cents = ivf_centroids(base, n_cells).cache()
+    # ONE residual/assign pass (round 14, guide §2.4): the coarse
+    # assign + residual computation is row-wise, so the BASE-slice
+    # residuals the codebook trains on are exactly the full-set
+    # residuals filtered by the train predicate — computing
+    # ivfadc_residuals twice (base slice, then full set) replayed
+    # the corpus x cells argmin expansion.  The shared residual
+    # relation is cached (the build-time sibling of the cached code
+    # index; at 100 TB persist DISK_ONLY and unpersist after the
+    # build — it is a transient build artifact, the codes below are
+    # the stored one).
+    resid = ivfadc_residuals(en, cents).cache()
     # codebook trains on BASE residuals only (the delta didn't exist
-    # at training time); the code index encodes EVERY row
-    cb = ivfadc_codebook(ivfadc_residuals(base, cents), n_cells)
+    # at training time); the code index encodes EVERY row.  Cached
+    # like ivfadc_index's: the LUT consumer would replay its pass.
+    cb = ivfadc_codebook(resid.where(train_pred), n_cells).cache()
     # cached for the same reason as ivfadc_index: the code index is
     # the stored serving artifact; every downstream consumer would
     # otherwise replay the encode expansion
-    codes = ivfadc_codes(ivfadc_residuals(en, cents), cb).cache()
+    codes = ivfadc_codes(resid, cb).cache()
     return en, cents, cb, codes
 
 

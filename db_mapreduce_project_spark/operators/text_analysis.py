@@ -169,18 +169,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (polynomial
     mod 1e9+7 over normalized words) — content-defined identity for
     dedup joins; pure integer arithmetic, bit-exact across engines."""
+    from ..functions.hashing_arrow import word_fingerprint_arrow
+
     d = load_table(spark, sf_dir, "documents")
-    words_arr = F.filter(
-        F.transform(
-            F.split(F.lower(F.trim("text")), r"\s+", -1),
-            lambda w: F.regexp_replace(w, "[^a-z]", ""),
-        ),
-        lambda w: w != "",
-    )
-    return (
-        d.select("doc_id", spark_word_fingerprint(words_arr).alias("fp"))
-        .orderBy("doc_id")
-    )
+    # round 14: the per-char/per-word polynomial fold runs in the
+    # Arrow kernel (guide §4.2) — value-identical to
+    # spark_word_fingerprint over the same filtered token array
+    # (differentially tested in tests/test_portable_hash.py)
+    return word_fingerprint_arrow(d, "doc_id", "text").orderBy("doc_id")
 
 
 _DUCK_WORDS = (

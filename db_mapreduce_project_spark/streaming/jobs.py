@@ -993,9 +993,16 @@ def stream_left_outer_attribution(
     staging must append its own flush-sentinel file)."""
     if source_dir is None:
         source_dir = stage_events_once(spark, sf_dir, flush_sentinel=True)
+    # ONE streaming source, branched (round 14): the two join sides
+    # used to be two separate readStream instances over the SAME
+    # staged dir — two file-source listings + offset entries + batch
+    # scans per micro-batch.  Branching a single source halves that
+    # per-batch fixed cost (a stream-stream SELF-join over filtered
+    # branches — each branch keeps its own watermark column);
+    # emitted rows are identical, pinned by the oracle.
+    src = _stream_events(spark, sf_dir, source_dir=source_dir)
     clicks = (
-        _stream_events(spark, sf_dir, source_dir=source_dir)
-        .where(F.col("event_type") == "click")
+        src.where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
@@ -1004,8 +1011,7 @@ def stream_left_outer_attribution(
         .withWatermark("c_ts", "10 minutes")
     )
     purchases = (
-        _stream_events(spark, sf_dir, source_dir=source_dir)
-        .where(F.col("event_type") == "purchase")
+        src.where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
@@ -1293,9 +1299,10 @@ def stream_full_outer_attribution(
     `source_dir` as in stream_left_outer_attribution."""
     if source_dir is None:
         source_dir = stage_events_once(spark, sf_dir, flush_sentinel=True)
+    # one branched source — see stream_left_outer_attribution
+    src = _stream_events(spark, sf_dir, source_dir=source_dir)
     clicks = (
-        _stream_events(spark, sf_dir, source_dir=source_dir)
-        .where(F.col("event_type") == "click")
+        src.where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
@@ -1304,8 +1311,7 @@ def stream_full_outer_attribution(
         .withWatermark("c_ts", "10 minutes")
     )
     purchases = (
-        _stream_events(spark, sf_dir, source_dir=source_dir)
-        .where(F.col("event_type") == "purchase")
+        src.where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
@@ -1498,46 +1504,53 @@ def _stage_events_time_slices(
     eviction rows of stream-stream outer joins (same role as
     _stream_events' sentinel; the stress ladder replays the joins
     through sliced staging)."""
-    import glob
     import time
 
-    ev = load_table(spark, sf_dir, "events")
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     stage = _scratch_dir("events_dww_")
-    tmp = os.path.join(stage, "_build")
     slice_us = slice_hours * 3600 * 1_000_000
     off_us = DWW_SLICE_OFFSET_HOURS * 3600 * 1_000_000
-    (
-        ev.withColumn(
-            "slice",
-            F.floor(
-                (F.unix_micros("ts") + off_us) / F.lit(slice_us)
-            ).cast("int"),
+    # Staging is metadata-scale driver work (slice the fixture into
+    # time-ordered files), not a distributed computation — round 14
+    # moves it driver-side with pyarrow, removing two whole Spark
+    # jobs per sink run (the repartition(1).write.partitionBy job
+    # and the empty-sentinel write; the flush-sentinel discipline in
+    # _stream_events made the same move in round 13).  ts
+    # normalization mirrors io.load_table exactly: nanos fixtures
+    # truncate to micros, naive micros pass through (Spark reads
+    # them as TIMESTAMP_NTZ and _stream_events re-casts under UTC).
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ts_idx = t.schema.get_field_index("ts")
+    ts_type = t.schema.field(ts_idx).type
+    if pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
+        t = t.set_column(
+            ts_idx, "ts", t.column("ts").cast(pa.timestamp("us"))
         )
-        .repartition(1)
-        .write.partitionBy("slice")
-        .parquet(tmp)
-    )
+    elif pa.types.is_int64(ts_type):
+        micros_col = pa.compute.divide(t.column("ts"), 1000)
+        t = t.set_column(
+            ts_idx, "ts", micros_col.cast(pa.timestamp("us"))
+        )
+    micros = t.column("ts").cast(pa.int64()).to_numpy()
+    # double division + floor, bit-matching the Spark expression the
+    # previous staging used (F.floor((unix_micros + off) / slice_us))
+    sl = np.floor((micros + off_us) / float(slice_us)).astype(np.int64)
     now = time.time()
-    slices = sorted(glob.glob(os.path.join(tmp, "slice=*")))
-    for i, d in enumerate(slices):
-        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+    order = np.argsort(sl, kind="stable")
+    uniq, starts = np.unique(sl[order], return_index=True)
+    bounds = np.append(starts, len(order))
+    for i in range(len(uniq)):
+        rows = order[bounds[i] : bounds[i + 1]]
         dst = os.path.join(stage, f"slice_{i:04d}.parquet")
-        os.replace(part, dst)
+        pq.write_table(t.take(pa.array(np.sort(rows))), dst)
         os.utime(dst, (now + i, now + i))
-    import shutil
-
     if flush_sentinel:
-        schema = spark.read.parquet(
-            os.path.join(stage, "slice_0000.parquet")
-        ).schema
-        spark.createDataFrame([], schema).coalesce(1).write.parquet(
-            os.path.join(tmp, "empty")
-        )
-        part = glob.glob(os.path.join(tmp, "empty", "part-*.parquet"))[0]
         dst = os.path.join(stage, "zz_flush.parquet")
-        os.replace(part, dst)
-        os.utime(dst, (now + len(slices), now + len(slices)))
-    shutil.rmtree(tmp, ignore_errors=True)
+        pq.write_table(t.schema.empty_table(), dst)
+        os.utime(dst, (now + len(uniq), now + len(uniq)))
     return stage
 
 
