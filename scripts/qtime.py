@@ -29,6 +29,13 @@ def main() -> int:
     ap.add_argument("-n", type=int, default=3)
     ap.add_argument("--explain", default=None, metavar="DIR")
     ap.add_argument("--suffix", default="", help="filename suffix for explain dumps")
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="clearCache between same-query repeats (round-13 ADVICE: "
+        "the default warm mode flatters cache-introducing changes; "
+        "use --cold when A/B-ing a change that adds .cache())",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -57,6 +64,8 @@ def main() -> int:
             spark.catalog.clearCache()
         runs = []
         for _ in range(args.n):
+            if args.cold:
+                spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"qtime:{name}")
             t0 = time.perf_counter()
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
