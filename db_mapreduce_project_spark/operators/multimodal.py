@@ -421,20 +421,10 @@ def _spread(d: DataFrame, min_parts: int = 8, parts: int = 32) -> DataFrame:
     codec query, thrown away immediately); the logical-plan
     `sizeInBytes` statistic answers the same question — can this
     scan even have min_parts partitions? — without physical
-    planning.  Same decision boundary: a scan under min_parts x
-    maxPartitionBytes cannot split wider than min_parts."""
-    try:
-        max_part = int(
-            d.sparkSession._jsparkSession.sessionState()
-            .conf()
-            .filesMaxPartitionBytes()
-        )
-    except Exception:
-        max_part = 128 * 1024 * 1024
-    est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if est < min_parts * max_part:
-        return d.repartition(parts)
-    return d
+    planning.  Shared with the hash kernels' spread_narrow."""
+    from ..functions.hashing_arrow import spread_narrow
+
+    return spread_narrow(d, min_parts, parts)
 
 
 def fuse_batches(*fns):

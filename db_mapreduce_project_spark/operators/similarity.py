@@ -1250,13 +1250,19 @@ def pq_codebook(e: DataFrame) -> DataFrame:
     )
 
 
-def pq_codes(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+def pq_codes(
+    e: DataFrame, n_planes: int = N_PLANES, cb: DataFrame | None = None
+) -> DataFrame:
     """The PQ index: (n_id, bucket, m, k) — 8 one-nibble codes per
     vector (PQ_K=16), an 8x smaller index than SQ8's 64 bytes.
     Assignment is per-(vector, subspace) argmin over the BROADCAST
     codebook — one map-side pass over the corpus, no shuffle of the
-    vectors; the row_number tiebreak (d2 ASC, k ASC) is the
-    deterministic argmin the oracle mirrors."""
+    vectors.  The argmin is a map-side-combining min_by with the
+    (d2 ASC, k ASC) struct tiebreak (round 14; the former
+    row_number window shuffled the whole n x M x K expansion —
+    ivfadc_codes' comment explains why the aggregate shape is the
+    scale-correct one; the min_by struct order is the identical
+    deterministic argmin the oracle mirrors)."""
     subs = e.select(
         F.col("vec_id").alias("n_id"),
         _bucket_expr("embedding", n_planes).alias("bucket"),
@@ -1264,14 +1270,16 @@ def pq_codes(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
             F.array(*[_dsub("embedding", m) for m in range(PQ_M)])
         ).alias("m", "sv"),
     )
-    w = Window.partitionBy("n_id", "m").orderBy(
-        F.col("d2").asc(), F.col("k").asc()
-    )
+    if cb is None:
+        cb = pq_codebook(e)
     return (
-        subs.join(F.broadcast(pq_codebook(e)), "m")
+        subs.join(F.broadcast(cb), "m")
         .withColumn("d2", _sqdist("sv", "cw"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("n_id", "m")
+        .agg(
+            F.min_by("k", F.struct(F.col("d2"), F.col("k"))).alias("k"),
+            F.first("bucket").alias("bucket"),
+        )
         .select("n_id", "bucket", "m", "k")
     )
 
@@ -1293,10 +1301,15 @@ def pq_adc_from(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
             F.array(*[_dsub("qv", m) for m in range(PQ_M)])
         ).alias("m", "qsv"),
     )
+    # cache the codebook (round 14): M x K rows behind a
+    # TakeOrdered-over-the-corpus lineage, consumed by BOTH the
+    # encode argmin and the ADC lookup join — the stored-artifact
+    # discipline of ivfadc_index
+    cb = pq_codebook(e).cache()
     parts = (
-        qsubs.join(pq_codes(e, n_planes), ["bucket", "m"])
+        qsubs.join(pq_codes(e, n_planes, cb=cb), ["bucket", "m"])
         .where(F.col("q_id") != F.col("n_id"))
-        .join(F.broadcast(pq_codebook(e)), ["m", "k"])
+        .join(F.broadcast(cb), ["m", "k"])
         .select(
             "q_id",
             "n_id",
