@@ -1512,7 +1512,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cc_min_label_loop(
-    touched: DataFrame, edges: DataFrame, max_rounds: int = 20
+    touched: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 20,
+    ptr_from: int = 3,
 ) -> tuple[DataFrame, tuple]:
     """The connected-components label loop over a symmetrized,
     checkpointed edge list: min-label propagation WITH pointer
@@ -1571,7 +1574,7 @@ def cc_min_label_loop(
         # diameter-d chain still converges in O(log d) rounds
         # (2 plain rounds reach distance 2, then the horizon
         # doubles per round).
-        if rnd >= 3:
+        if rnd >= ptr_from:
             # pointer jump: label of my label (label values are
             # always doc_ids of touched vertices, so the lookup
             # always lands; left join + coalesce only defends the
